@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with the noop sink (full execution, no driver
+collect) — the number is end-to-end plan time including scan, shuffle,
+and any pandas-UDF stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from talknet_segmentation_batchprocessing_spark import registry
+from talknet_segmentation_batchprocessing_spark.session import get_spark
+
+# Headline set: the flagship segmentation pipeline, the heaviest
+# relational cores (windows, theta join, AP), and the scale-path
+# extension operators (dedup / similarity / text).
+HEADLINE = [
+    "w1_speaking_segments",
+    "pipeline_scores_to_segments",
+    "q1_pricing_summary",
+    "a6_average_precision",
+    "j1_equijoin_ranked",
+    "j5_spatial_best_match",
+    "w4_linear_interpolation",
+    "w3_windowed_median",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="talknet-segmentation-bench")
+    registry._ensure_loaded()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch JIT/IO noise.
+    registry.REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

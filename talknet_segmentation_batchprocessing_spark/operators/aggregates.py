@@ -1,0 +1,153 @@
+"""Aggregation operators (SURVEY.md §2.4), including the full VOC
+average-precision window pipeline (A6) — the reference's main
+evaluation metric, re-expressed without the subprocess
+(utils/get_ava_active_speaker_performance.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# A1 quirk: the intended 11-element multiset {1,1,1,2,2,2,3,3,4,5,6} is a
+# Python *set* literal in the reference (demoTalkNet.py:233-234), which
+# collapses to 6 equal-weight durations.
+DURATION_SET = [1, 2, 3, 4, 5, 6]
+
+
+def ensemble_mean_scores(per_duration_scores: DataFrame) -> DataFrame:
+    """A1: per (video, track, frame) mean score over the duration
+    ensemble, rounded to 1 decimal (demoTalkNet.py:256-271)."""
+    return (
+        per_duration_scores.groupBy("video_id", "track_id", "frame_idx")
+        .agg(F.round(F.avg("score"), 1).alias("score"))
+    )
+
+
+def track_mean_size(tracks: DataFrame) -> DataFrame:
+    """A2/F4: mean track box size, the face-size filter input
+    (demoTalkNet.py:176: ``max(mean(w), mean(h))``)."""
+    return tracks.groupBy("video_id", "track_id").agg(
+        F.avg(F.col("x2") - F.col("x1")).alias("mean_w"),
+        F.avg(F.col("y2") - F.col("y1")).alias("mean_h"),
+        F.greatest(
+            F.avg(F.col("x2") - F.col("x1")), F.avg(F.col("y2") - F.col("y1"))
+        ).alias("mean_size"),
+    )
+
+
+def conditional_count(df: DataFrame, cond: Column, group_cols: Sequence[str] = ()) -> DataFrame:
+    """A4: ``count(*) FILTER (WHERE ...)`` — positives count
+    (script:145-148)."""
+    agg = F.sum(F.when(cond, 1).otherwise(0)).alias("n_matching")
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+def per_speaker_f1(
+    scored: DataFrame,
+    speaker_col: str = "speaker_id",
+    gt_col: str = "gt",
+    score_col: str = "score",
+) -> DataFrame:
+    """A5: per-speaker accuracy + F1 over binarized scores
+    (``score > 0``), reference Columbia eval demoTalkNet.py:425-437.
+
+    One grouped pass of conditional sums; F1 from TP/FP/FN arithmetic.
+    """
+    pred = (F.col(score_col) > 0).cast("int")
+    gt = F.col(gt_col)
+    return (
+        scored.groupBy(speaker_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(((pred == 1) & (gt == 1)).cast("int")).alias("tp"),
+            F.sum(((pred == 1) & (gt == 0)).cast("int")).alias("fp"),
+            F.sum(((pred == 0) & (gt == 1)).cast("int")).alias("fn"),
+            F.sum((pred == gt).cast("int")).alias("correct"),
+        )
+        .withColumn("accuracy", F.round(F.col("correct") / F.col("n"), 6))
+        .withColumn(
+            "f1",
+            F.round(
+                F.when(
+                    (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+                    2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_positive",
+    tiebreak_cols: Sequence[str] = ("uid",),
+    group_cols: Sequence[str] = (),
+    out_col: str = "ap",
+    ndigits: int = 6,
+) -> DataFrame:
+    """A6: VOC average precision as a pure window pipeline
+    (utils/get_ava_active_speaker_performance.py:23-67,151-177).
+
+    Sorted desc by score: ``tp = cumsum(label)``, ``precision = tp/rank``,
+    ``recall = tp/P``; precision made monotone non-increasing via suffix
+    max; ``AP = sum(delta_recall * smoothed_precision)``. The reference's
+    [0,...,1]/[0,...,0] padding contributes nothing to the sum (the
+    appended point has precision 0), so the window form is exact.
+
+    ``tiebreak_cols`` pins the order among equal scores (pandas sort is
+    stable on merge order; any fixed total order yields the same AP only
+    up to tie handling, so determinism requires the explicit key).
+    """
+    part: list = list(group_cols)
+    order = [F.desc(score_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*part).orderBy(*order) if part else Window.orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wsuffix = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    lab = F.col(label_col).cast("int")
+    ranked = (
+        df.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_tp", F.sum(lab).over(wcum))
+        .withColumn("_pos", F.sum(lab).over(wall))
+    )
+    pr = ranked.withColumn("_prec", F.col("_tp") / F.col("_rank")).withColumn(
+        "_rec", F.col("_tp") / F.col("_pos")
+    )
+    sm = pr.withColumn("_sprec", F.max("_prec").over(wsuffix)).withColumn(
+        "_dr", F.col("_rec") - F.coalesce(F.lag("_rec").over(w), F.lit(0.0))
+    )
+    agg = F.round(F.sum(F.col("_dr") * F.col("_sprec")), ndigits).alias(out_col)
+    return sm.groupBy(*part).agg(agg) if part else sm.agg(agg)
+
+
+def entity_clip_extent(ava: DataFrame) -> DataFrame:
+    """A7: per entity, first/last frame_timestamp + owning video
+    (utils/tools.py:115,125-139 audio-slice bounds)."""
+    return ava.groupBy("entity_id").agg(
+        F.min("frame_timestamp").alias("start_ts"),
+        F.max("frame_timestamp").alias("end_ts"),
+        F.first("video_id").alias("video_id"),
+    )
+
+
+def audio_energy_db(samples_col: Column | str, eps: float = 1e-4) -> Column:
+    """A9: ``10*log10(mean(x^2) + eps)`` over a sample array
+    (dataLoader.py:24-26) — higher-order ``aggregate``, no UDF."""
+    c = F.col(samples_col) if isinstance(samples_col, str) else samples_col
+    n = F.size(c)
+    total = F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.lit(10.0) * F.log10(total / n + F.lit(eps))
+
+
+def snr_gain(clean_db: Column, noise_db: Column, snr: Column) -> Column:
+    """A9 companion: ``sqrt(10 ** ((cleanDB - noiseDB - snr) / 10))``
+    (dataLoader.py:26)."""
+    return F.sqrt(F.pow(F.lit(10.0), (clean_db - noise_db - snr) / F.lit(10.0)))

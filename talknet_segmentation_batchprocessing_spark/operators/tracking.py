@@ -1,0 +1,113 @@
+"""J6: greedy IoU face-track association — the reference's
+order-dependent sequential algorithm (demoTalkNet.py:146-164), which is
+NOT a Catalyst join: faces are consumed greedily, so results depend on
+scan order exactly like the reference.
+
+Spark mapping: ``applyInPandas`` over ``(video_id, scene_id)`` groups —
+the same unit the reference iterates (demoTalkNet.py:519-523). Groups
+are scene-bounded, so per-task state is small; cross-scene parallelism
+is free. The IoU arithmetic itself is the relational X1 expression; only
+the greedy matching loop lives in Python.
+
+Parity notes (deliberately replicated reference behaviors):
+- the reference removes a face from the frame list WHILE iterating it,
+  which makes Python's iterator skip the face immediately after every
+  consumed one (demoTalkNet.py:150-159) — we advance the cursor past
+  one slot after a removal to match;
+- ``break`` on a too-large frame gap exits only the CURRENT frame's
+  face list, not the whole sweep (demoTalkNet.py:160-161);
+- a track is kept iff strictly more than ``min_track`` faces
+  (demoTalkNet.py:167).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+TRACK_SCHEMA = (
+    "video_id string, scene_id int, track_id int, frame_idx int, "
+    "x1 double, y1 double, x2 double, y2 double"
+)
+
+
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two boxes [x1,y1,x2,y2] (demoTalkNet.py:131-144)."""
+    xa = max(a[0], b[0])
+    ya = max(a[1], b[1])
+    xb = min(a[2], b[2])
+    yb = min(a[3], b[3])
+    inter = max(0.0, xb - xa) * max(0.0, yb - ya)
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / (area_a + area_b - inter)
+
+
+def greedy_track_scene(
+    pdf: pd.DataFrame,
+    num_failed_det: int = 10,
+    min_track: int = 10,
+    iou_thres: float = 0.5,
+) -> pd.DataFrame:
+    """Reference-parity greedy tracker for ONE scene's detections.
+
+    Input columns: video_id, scene_id, frame_idx, det_id, x1..y2.
+    Defaults match the reference knobs (batchProcessVideos.py:18-20).
+    """
+    video_id = pdf["video_id"].iloc[0]
+    scene_id = int(pdf["scene_id"].iloc[0])
+    p = pdf.sort_values(["frame_idx", "det_id"])
+    # per-frame mutable face lists, frames in ascending order
+    frame_lists: list[list[tuple[int, np.ndarray]]] = []
+    for f, grp in p.groupby("frame_idx", sort=True):
+        frame_lists.append(
+            [(int(f), row) for row in grp[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float)]
+        )
+    tracks: list[list[tuple[int, np.ndarray]]] = []
+    while True:
+        track: list[tuple[int, np.ndarray]] = []
+        for faces in frame_lists:
+            i = 0
+            while i < len(faces):
+                frame, box = faces[i]
+                if not track:
+                    track.append((frame, box))
+                    faces.pop(i)
+                elif frame - track[-1][0] <= num_failed_det:
+                    if _iou(box, track[-1][1]) > iou_thres:
+                        track.append((frame, box))
+                        faces.pop(i)
+                else:
+                    break
+                # cursor advances one slot whether or not we popped —
+                # reproducing the reference's remove-during-iterate skip
+                i += 1
+        if not track:
+            break
+        if len(track) > min_track:
+            tracks.append(track)
+    rows = [
+        (video_id, scene_id, tid, frame, box[0], box[1], box[2], box[3])
+        for tid, track in enumerate(tracks)
+        for frame, box in track
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["video_id", "scene_id", "track_id", "frame_idx", "x1", "y1", "x2", "y2"],
+    )
+
+
+def track_faces(
+    detections: DataFrame,
+    num_failed_det: int = 10,
+    min_track: int = 10,
+    iou_thres: float = 0.5,
+) -> DataFrame:
+    """J6 entry point: detections(video_id, scene_id, frame_idx, det_id,
+    x1..y2[, conf]) -> tracks, one applyInPandas task per scene."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return greedy_track_scene(pdf, num_failed_det, min_track, iou_thres)
+
+    return detections.groupBy("video_id", "scene_id").applyInPandas(fn, TRACK_SCHEMA)

@@ -1,0 +1,322 @@
+"""A1-A9 aggregation queries (SURVEY.md §2.4), including the full VOC
+average-precision window pipeline (A6) and a TPC-H-Q1-shaped pricing
+summary used as a bench headline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import audio_energy_db, average_precision, per_speaker_f1
+from ..functions.rounding import stable_round
+from ..registry import load, query
+
+
+@query(
+    "a1_ensemble_round_avg",
+    oracle="""
+SELECT user_id, event_type, floor((avg(value)) * 1e1 + 0.5) / 1e1 AS score
+FROM events GROUP BY user_id, event_type
+""",
+    doc="A1 duration-ensemble mean + round-half-up(x,1) (demoTalkNet.py:256-271; "
+    "the 6-member collapsed durationSet quirk is documented in "
+    "operators.aggregates.DURATION_SET)",
+    tags=("A1", "X14"),
+)
+def a1_ensemble_round_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        stable_round(F.avg("value"), 1).alias("score")
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+       floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+       floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+       floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
+       floor((avg(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H-Q1-shaped pricing summary: the canonical wide-agg scan; "
+    "bench headline exercising partial aggregation + codegen",
+    tags=("A1", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a3_counts",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""",
+    doc="A3 per-key counts (extractSpeakingSegments.py:40,90,141 segment/"
+    "track counts)",
+    tags=("A3",),
+)
+def a3_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "a4_conditional_count",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       count(*) AS n_total
+FROM events GROUP BY user_id
+""",
+    doc="A4 positives count: count(*) FILTER (WHERE label='SPEAKING_AUDIBLE') "
+    "(get_ava_active_speaker_performance.py:145-148)",
+    tags=("A4",),
+)
+def a4_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "a5_per_speaker_f1",
+    oracle="""
+SELECT user_id AS speaker_id, count(*) AS n,
+       CAST(sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN pred = gt THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+       floor((sum(CASE WHEN pred = gt THEN 1 ELSE 0 END) / (1.0 * count(*))) * 1e6 + 0.5) / 1e6 AS accuracy,
+       floor((CASE WHEN 2 * sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END)
+                       + sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END)
+                       + sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) > 0
+             THEN 2.0 * sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END)
+                  / (2.0 * sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END))
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS f1
+FROM (
+  SELECT user_id,
+         CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS gt
+  FROM events
+) GROUP BY user_id
+""",
+    doc="A5 per-speaker ACC/F1 over binarized scores "
+    "(demoTalkNet.py:425-437 Columbia eval): grouped conditional sums + "
+    "F1 arithmetic — runs the per_speaker_f1 operator",
+    tags=("A5",),
+)
+def a5_per_speaker_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("user_id").alias("speaker_id"),
+        (F.col("value") - 50.0).alias("score"),  # >0 <=> value>50
+        F.col("event_type").isin("click", "purchase").cast("int").alias("gt"),
+    )
+    return per_speaker_f1(scored, "speaker_id", "gt", "score")
+
+
+@query(
+    "a6_average_precision",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, value AS score,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS lab,
+         row_number() OVER (ORDER BY value DESC, event_id) AS rnk
+  FROM events
+), cum AS (
+  SELECT *,
+         sum(lab) OVER (ORDER BY score DESC, event_id ROWS UNBOUNDED PRECEDING) AS tp,
+         sum(lab) OVER () AS pos
+  FROM ranked
+), pr AS (
+  SELECT event_id, score, tp * 1.0 / rnk AS prec, tp * 1.0 / pos AS rec
+  FROM cum
+), sm AS (
+  SELECT *,
+         max(prec) OVER (ORDER BY score DESC, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sprec,
+         rec - coalesce(lag(rec) OVER (ORDER BY score DESC, event_id), 0.0) AS dr
+  FROM pr
+)
+SELECT floor((sum(dr * sprec)) * 1e6 + 0.5) / 1e6 AS ap FROM sm
+""",
+    doc="A6 VOC average precision as a pure window pipeline "
+    "(get_ava_active_speaker_performance.py:23-67,151-177): rank by score "
+    "desc, cumsum TP, precision/recall, suffix-max monotone smoothing, "
+    "sum(delta_recall * precision) — flagship eval query",
+    tags=("A6", "flagship"),
+)
+def a6_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("event_id").alias("uid"),
+        F.col("value").alias("score"),
+        (F.col("event_type") == "click").cast("int").alias("is_positive"),
+    )
+    return average_precision(scored, "score", "is_positive", tiebreak_cols=("uid",))
+
+
+@query(
+    "a7_extent_minmax_first",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, event_type AS first_event FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT e.user_id, min(e.ts) AS start_ts, max(e.ts) AS end_ts,
+       any_value(f.first_event) AS first_event
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY e.user_id
+""",
+    doc="A7 entity clip extent: per entity first/last timestamp + first "
+    "attribute (utils/tools.py:115,125-139)",
+    tags=("A7",),
+)
+def a7_extent_minmax_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_event"))
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.any_value("first_event").alias("first_event"),
+        )
+    )
+
+
+@query(
+    "a8_distinct",
+    oracle="SELECT DISTINCT event_type, user_id FROM events",
+    doc="A8 distinct entity list (utils/tools.py:112-116 unique().tolist())",
+    tags=("A8",),
+)
+def a8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_type", "user_id").distinct()
+
+
+@query(
+    "a9_energy_db",
+    oracle="""
+SELECT vec_id,
+       floor((10.0 * log10(
+         list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))
+           / len(embedding) + 0.0001)) * 1e4 + 0.5) / 1e4 AS energy_db
+FROM embeddings
+""",
+    doc="A9 audio energy dB: 10*log10(mean(x^2)+1e-4) over a sample array "
+    "via higher-order aggregate, no UDF (dataLoader.py:24-26)",
+    tags=("A9",),
+)
+def a9_energy_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id", stable_round(audio_energy_db(arr), 4).alias("energy_db")
+    )
+
+
+@query(
+    "ext_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="Extension surface: ROLLUP grouping sets (free from Spark; the "
+    "reference has none — SURVEY.md §2.4 note)",
+    tags=("ext",),
+)
+def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        stable_round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "ext_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS sum_price, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="Extension surface: CUBE grouping sets",
+    tags=("ext",),
+)
+def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        stable_round(F.sum("o_totalprice"), 2).alias("sum_price"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "ext_pivot",
+    oracle="""
+SELECT user_id,
+       floor((coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0)) * 1e2 + 0.5) / 1e2 AS v_click,
+       floor((coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0)) * 1e2 + 0.5) / 1e2 AS v_view,
+       floor((coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0)) * 1e2 + 0.5) / 1e2 AS v_purchase
+FROM events GROUP BY user_id
+""",
+    doc="Extension surface: pivot (conditional-agg form on the oracle side)",
+    tags=("ext",),
+)
+def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum("value"))
+    )
+    return p.select(
+        "user_id",
+        stable_round(F.coalesce(F.col("click"), F.lit(0.0)), 2).alias("v_click"),
+        stable_round(F.coalesce(F.col("view"), F.lit(0.0)), 2).alias("v_view"),
+        stable_round(F.coalesce(F.col("purchase"), F.lit(0.0)), 2).alias("v_purchase"),
+    )

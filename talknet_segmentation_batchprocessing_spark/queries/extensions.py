@@ -1,0 +1,619 @@
+"""Large-scale training-data pipeline operators (BASELINE.json north
+star): deduplication, similarity search, text analysis, multimodal
+plumbing — each a first-class oracle-checked query over `documents` /
+`embeddings`.
+
+Determinism design: MinHash/SimHash normally hash raw tokens; Spark's
+xxhash64 and DuckDB's hash() differ, so these queries derive token ids
+from a sorted-vocabulary row_number and apply affine hash families to
+the ids — bit-identical on both engines. At 100 TB the vocab
+row_number (a global sort) would be replaced by xxhash64 directly
+(no oracle constraint in production); the band/bucket/join topology —
+the part that matters for scale — is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+from ..registry import load, query
+
+# ---------------------------------------------------------------------------
+# shared text fragments
+# ---------------------------------------------------------------------------
+
+_MINHASH_P = 8191  # Mersenne prime for the affine hash family
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    ).filter(F.size("w") >= k)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(1, size(w) - {k - 1}), i -> concat_ws(' ', slice(w, i, {k})))")
+        ).alias("shingle"),
+    ).distinct()
+
+
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+"""
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies, n_chars
+FROM documents GROUP BY text, n_chars
+""",
+    doc="Exact dedup: hash-groupBy on content, keep min doc_id as "
+    "canonical. At 100 TB: group by xxhash64(text) first, verify "
+    "within-bucket to avoid shuffling full text",
+    tags=("dedup", "ext"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("text", "n_chars").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    ).select("canonical_id", "n_copies", "n_chars")
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       floor((p.n_common * 1.0 / (sa.n + sb.n - p.n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    doc="N-gram Jaccard near-dup: 3-shingles -> shingle-equi-join -> "
+    "pairwise Jaccard >= 0.2. The shingle join IS the scale path (no "
+    "all-pairs product); skewed shingles would be cut by a document-"
+    "frequency cap in production",
+    tags=("dedup", "ext"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        x.join(y, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", stable_round(jac, 6).alias("jaccard"))
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+vocab AS (
+  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+ds AS (SELECT s.doc_id, v.sid FROM sh s JOIN vocab v USING (shingle)),
+params AS (SELECT j, 2 * j + 3 AS a, 5 * j + 7 AS b FROM (SELECT unnest(range(0, 8)) AS j)),
+mh AS (
+  SELECT doc_id, j, min((a * sid + b) % {_MINHASH_P}) AS minh
+  FROM ds CROSS JOIN params GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY j) AS sig
+  FROM mh GROUP BY doc_id, j // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN ds x ON x.doc_id = c.doc_a
+  JOIN ds y ON y.doc_id = c.doc_b AND y.sid = x.sid
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       floor((coalesce(m.n_common, 0) * 1.0
+             / (sa.n + sb.n - coalesce(m.n_common, 0))) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM cand c
+LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    doc="MinHash+LSH near-dup: 3-shingles -> 8 affine minhashes over "
+    "sorted-vocab ids -> 2 bands x 4 rows -> band-bucket join -> "
+    "candidate pairs verified with true Jaccard. The band join is the "
+    "100 TB path: candidates ~ O(true dups), never all-pairs",
+    tags=("dedup", "ext", "flagship"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    vocab = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("bigint"))
+    )
+    ds = sh.join(vocab, "shingle").select("doc_id", "sid")
+    params = spark.range(0, 8).select(
+        F.col("id").alias("j"),
+        (2 * F.col("id") + 3).alias("a"),
+        (5 * F.col("id") + 7).alias("b"),
+    )
+    mh = (
+        ds.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "j")
+        .agg(F.min((F.col("a") * F.col("sid") + F.col("b")) % _MINHASH_P).alias("minh"))
+    )
+    bands = mh.groupBy(
+        "doc_id", F.floor(F.col("j") / 4).cast("int").alias("band")
+    ).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(j, minh))),"
+            " s -> cast(s.minh as string)), ',')"
+        ).alias("sig")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = ds.select(F.col("doc_id").alias("doc_a"), "sid")
+    y = ds.select(F.col("doc_id").alias("doc_b"), "sid")
+    common = (
+        cand.join(x, "doc_a").join(y, ["doc_b", "sid"]).groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("n_common")
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            stable_round(nc / (F.col("na") + F.col("nb") - nc), 6).alias("jaccard"),
+        )
+    )
+
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  )
+),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT tok FROM toks)
+),
+dt AS (
+  SELECT t.doc_id, (v.tid * 2654435761) % 65536 AS h
+  FROM toks t JOIN vocab v USING (tok)
+),
+bits AS (
+  SELECT doc_id, b,
+         CAST(sum(CASE WHEN (CAST(floor(h / power(2, b)) AS BIGINT) % 2) = 1
+                  THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM dt CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    doc="SimHash fingerprint: 16-bit signed-sum-of-token-hash-bits per "
+    "doc; identical fingerprints = near-dup candidates. One groupBy per "
+    "stage, no pairwise work until bucketing",
+    tags=("dedup", "ext"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).distinct()
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("tok")).cast("bigint"))
+    )
+    dt = toks.join(vocab, "tok").select(
+        "doc_id", ((F.col("tid") * 2654435761) % 65536).alias("h")
+    )
+    bvals = spark.range(0, 16).select(F.col("id").alias("b"))
+    bit = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("bigint") % 2)
+    bits = (
+        dt.crossJoin(F.broadcast(bvals))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.when(bit == 1, 1).otherwise(-1)).cast("bigint").alias("s"))
+    )
+    weight = F.pow(F.lit(2.0), F.col("b")).cast("bigint")
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, weight).otherwise(0)).cast("bigint").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_COS_EXPR_SPARK = (
+    "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(transform(av, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))"
+    " * sqrt(aggregate(transform(bv, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)))"
+)
+
+_COS_EXPR_DUCK = (
+    "list_sum(list_transform(range(1, 65), i -> av[i] * bv[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> av[i] * av[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> bv[i] * bv[i]))))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS av, b.v AS bv
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, floor(({_COS_EXPR_DUCK}) * 1e4 + 0.5) / 1e4 AS cos_sim
+FROM pairs WHERE {_COS_EXPR_DUCK} > 0.8
+""",
+    doc="Embedding-cosine near-dup: pairs above 0.8 cosine. Brute-force "
+    "O(n^2) is the correctness baseline; sim_lsh_bucketed is the scale "
+    "path (bucket first, verify within bucket)",
+    tags=("dedup", "similarity", "ext"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(_COS_EXPR_SPARK)
+    return pairs.filter(cos > 0.8).select(
+        "vec_a", "vec_b", stable_round(cos, 4).alias("cos_sim")
+    )
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS av, c.v AS bv
+  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_EXPR_DUCK} AS cs FROM pairs
+)
+SELECT query_id, neighbor_id, floor((cs) * 1e4 + 0.5) / 1e4 AS cos_sim, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    doc="ANN baseline: brute-force cosine top-5 for 10 query vectors. "
+    "Scale path: broadcast the query batch, scan candidates once, "
+    "partial top-k per partition then global merge (Spark does this via "
+    "the window + AQE)",
+    tags=("similarity", "ext"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("av")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"))
+    pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("cs", F.expr(_COS_EXPR_SPARK))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", stable_round("cs", 4).alias("cos_sim"), "rank")
+    )
+
+
+_HYPERPLANE_DUCK = "((((j * 64 + (i - 1)) * 2654435761) % 2000) / 1000.0 - 1.0)"
+_HYPERPLANE_SPARK = "((((j * 64 + (i - 1)) * 2654435761) % 2000) / 1000.0 - 1.0)"
+
+
+@query(
+    "sim_lsh_bucketed",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+proj AS (
+  SELECT vec_id, j,
+         list_sum(list_transform(range(1, 65), i -> v[i] * {_HYPERPLANE_DUCK})) AS dot
+  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT vec_id, bucket FROM buckets
+""",
+    doc="Random-hyperplane LSH bucketing: 8 sign bits -> 256 buckets; "
+    "the ANN scale path joins within-bucket only. Hyperplanes are "
+    "deterministic pseudo-random (affine mod) so both engines agree",
+    tags=("similarity", "ext"),
+)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    js = spark.range(0, 8).select(F.col("id").alias("j"))
+    proj = emb.crossJoin(F.broadcast(js)).withColumn(
+        "dot",
+        F.expr(
+            "aggregate(transform(v, (x, i0) -> x * ((((j * 64 + i0) * 2654435761) % 2000) / 1000.0 - 1.0)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        ),
+    )
+    weight = F.pow(F.lit(2.0), F.col("j")).cast("bigint")
+    return proj.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("dot") > 0, weight).otherwise(0)).cast("bigint").alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "les", "des", "et", "est", "une"],
+}
+
+
+def _sw_list_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _STOPWORDS[lang]) + "]"
+
+
+_LANGID_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(w, x -> list_contains({_sw_list_sql('en')}, x))) AS BIGINT) AS n_en,
+         CAST(len(list_filter(w, x -> list_contains({_sw_list_sql('es')}, x))) AS BIGINT) AS n_es,
+         CAST(len(list_filter(w, x -> list_contains({_sw_list_sql('de')}, x))) AS BIGINT) AS n_de,
+         CAST(len(list_filter(w, x -> list_contains({_sw_list_sql('fr')}, x))) AS BIGINT) AS n_fr
+  FROM t
+)
+SELECT doc_id, lang, n_en, n_es, n_de, n_fr,
+       CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr THEN 'en'
+            WHEN n_es >= n_de AND n_es >= n_fr THEN 'es'
+            WHEN n_de >= n_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM c
+"""
+
+
+@query(
+    "text_langid",
+    oracle=_LANGID_ORACLE,
+    doc="Language-ID heuristic: stopword-lexicon hit counts + "
+    "deterministic argmax. Pure higher-order array functions, one scan",
+    tags=("text", "ext"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("w"))
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(x) for x in _STOPWORDS[lang]])
+        return F.size(F.filter(F.col("w"), lambda x: F.array_contains(arr, x))).cast("bigint")
+
+    c = t.select(
+        "doc_id",
+        "lang",
+        hits("en").alias("n_en"),
+        hits("es").alias("n_es"),
+        hits("de").alias("n_de"),
+        hits("fr").alias("n_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("n_en") >= F.col("n_es"))
+            & (F.col("n_en") >= F.col("n_de"))
+            & (F.col("n_en") >= F.col("n_fr")),
+            "en",
+        )
+        .when((F.col("n_es") >= F.col("n_de")) & (F.col("n_es") >= F.col("n_fr")), "es")
+        .when(F.col("n_de") >= F.col("n_fr"), "de")
+        .otherwise("fr")
+    )
+    return c.withColumn("pred_lang", pred)
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars, string_split(lower(text), ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(w, x -> list_contains({_sw_list_sql('en')}, x))) AS BIGINT) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens, n_punct, n_stop,
+       floor((n_chars * 1.0 / n_tokens) * 1e4 + 0.5) / 1e4 AS avg_token_len,
+       floor((n_stop * 1.0 / n_tokens) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
+       floor((least(n_tokens / 50.0, 1.0) * 0.5
+             + (n_stop * 1.0 / n_tokens) * 0.3
+             + (1.0 - least(n_punct * 1.0 / n_tokens, 1.0)) * 0.2) * 1e4 + 0.5) / 1e4 AS quality
+FROM m
+"""
+
+
+@query(
+    "text_quality_score",
+    oracle=_QUALITY_ORACLE,
+    doc="Quality scoring: length/punctuation/stopword-ratio features + "
+    "composite score — single-scan column arithmetic",
+    tags=("text", "ext"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(x) for x in _STOPWORDS["en"]])
+    t = docs.select(
+        "doc_id", "text", "n_chars", F.split(F.lower("text"), " ").alias("w")
+    )
+    m = t.select(
+        "doc_id",
+        "n_chars",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[.,!?;:]"), 0)).cast("bigint").alias("n_punct"),
+        F.size(F.filter(F.col("w"), lambda x: F.array_contains(sw, x))).cast("bigint").alias("n_stop"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_punct",
+        "n_stop",
+        stable_round(F.col("n_chars") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        stable_round(F.col("n_stop") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        stable_round(
+            F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.5
+            + (F.col("n_stop") / F.col("n_tokens")) * 0.3
+            + (1.0 - F.least(F.col("n_punct") / F.col("n_tokens"), F.lit(1.0))) * 0.2,
+            4,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(letter runs / digit runs / single symbols)",
+    tags=("text", "ext"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS fingerprint
+FROM documents
+""",
+    doc="Document fingerprint (key-collision canonicalization): sorted "
+    "distinct token join — dedups reworded/reordered copies",
+    tags=("text", "dedup", "ext"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ").alias(
+            "fingerprint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS byte_len,
+       sha256(text) AS content_sha
+FROM documents
+""",
+    doc="Multimodal column plumbing: opaque binary payload + typed "
+    "metadata (byte length, content hash). Decode/feature-extract UDFs "
+    "live in extensions.multimodal (stubbed — no media libs in image); "
+    "this query proves the binary column path end-to-end",
+    tags=("multimodal", "ext"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(bin_col).alias("byte_len"),
+        F.sha2(bin_col, 256).alias("content_sha"),
+    )

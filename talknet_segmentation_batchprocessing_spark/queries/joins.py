@@ -1,0 +1,257 @@
+"""J1-J8 join queries (SURVEY.md §2.3).
+
+Physical-plan posture: dimension joins (customer, supplier, nation)
+broadcast; the spatial J5 join is an equi-join on the frame key with a
+residual IoU predicate — never a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.geometry import iou
+from ..operators.windows import top_per_group
+from ..functions.rounding import stable_round
+from ..registry import load, query
+
+# Synthetic boxes derived from lineitem rows: linenumber 1 rows are the
+# "groundtruth" boxes of frame l_orderkey, linenumber 2 rows the
+# "detections" — pure column arithmetic, identical on both sides.
+_BOX_A = """
+SELECT l_orderkey AS frame_id,
+       l_discount * 100 AS ax1, l_tax * 100 AS ay1,
+       l_discount * 100 + l_quantity AS ax2, l_tax * 100 + l_quantity AS ay2
+FROM lineitem WHERE l_linenumber = 1
+"""
+_BOX_B = """
+SELECT l_orderkey AS frame_id, l_suppkey,
+       l_discount * 100 AS bx1, l_tax * 100 AS by1,
+       l_discount * 100 + l_quantity AS bx2, l_tax * 100 + l_quantity AS by2
+FROM lineitem WHERE l_linenumber = 2
+"""
+
+
+def _boxes_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("frame_id"),
+        (F.col("l_discount") * 100).alias("ax1"),
+        (F.col("l_tax") * 100).alias("ay1"),
+        (F.col("l_discount") * 100 + F.col("l_quantity")).alias("ax2"),
+        (F.col("l_tax") * 100 + F.col("l_quantity")).alias("ay2"),
+    )
+
+
+def _boxes_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") == 2).select(
+        F.col("l_orderkey").alias("frame_id"),
+        "l_suppkey",
+        (F.col("l_discount") * 100).alias("bx1"),
+        (F.col("l_tax") * 100).alias("by1"),
+        (F.col("l_discount") * 100 + F.col("l_quantity")).alias("bx2"),
+        (F.col("l_tax") * 100 + F.col("l_quantity")).alias("by2"),
+    )
+
+
+@query(
+    "j1_equijoin_ranked",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, o.o_totalprice,
+       CAST(row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INTEGER) AS pos
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    doc="J1 GT-prediction 1:1 equi-join + sort desc by score "
+    "(get_ava_active_speaker_performance.py:117-124); customer side "
+    "broadcast (dimension)",
+    tags=("J1", "W8"),
+)
+def j1_equijoin_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return j.select(
+        "o_orderkey", "c_name", "o_totalprice", F.row_number().over(w).alias("pos")
+    )
+
+
+@query(
+    "j2_tolerance_check",
+    oracle="""
+SELECT a.l_orderkey, floor((abs(a.l_extendedprice - b.l_extendedprice)) * 1e2 + 0.5) / 1e2 AS price_gap
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber = 2
+WHERE abs(a.l_extendedprice - b.l_extendedprice) > 1000.0
+""",
+    doc="J2 post-join elementwise tolerance check "
+    "(get_ava_active_speaker_performance.py:127-142 bbox equality, X16)",
+    tags=("J2", "X16"),
+)
+def j2_tolerance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select("l_orderkey", F.col("l_extendedprice").alias("pa"))
+    b = li.filter(F.col("l_linenumber") == 2).select("l_orderkey", F.col("l_extendedprice").alias("pb"))
+    gap = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(gap > 1000.0)
+        .select("l_orderkey", stable_round(gap, 2).alias("price_gap"))
+    )
+
+
+@query(
+    "j3_surrogate_equijoin",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, s.s_name
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+""",
+    doc="J3 track-score positional zip as surrogate-key equi-join "
+    "(extractSpeakingSegments.py:91); supplier broadcast",
+    tags=("J3",),
+)
+def j3_surrogate_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    return li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "s_name"
+    )
+
+
+@query(
+    "j4_group_collect",
+    oracle="""
+SELECT l_orderkey,
+       string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS items,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_orderkey
+""",
+    doc="J4 frame-face inversion: per-frame collected face list "
+    "(demoTalkNet.py:344-352), as deterministic sorted collect",
+    tags=("J4",),
+)
+def j4_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias("items"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_J5_ORACLE = f"""
+WITH a AS ({_BOX_A}), b AS ({_BOX_B}), pairs AS (
+  SELECT a.frame_id, b.l_suppkey,
+         greatest(0, least(ax2, bx2) - greatest(ax1, bx1))
+           * greatest(0, least(ay2, by2) - greatest(ay1, by1)) AS inter,
+         (ax2 - ax1) * (ay2 - ay1) AS area_a,
+         (bx2 - bx1) * (by2 - by1) AS area_b
+  FROM a JOIN b ON a.frame_id = b.frame_id
+), scored AS (
+  SELECT frame_id, l_suppkey, inter / (area_a + area_b - inter) AS iou
+  FROM pairs WHERE inter / (area_a + area_b - inter) > 0.1
+), best AS (
+  SELECT frame_id, l_suppkey, iou,
+         row_number() OVER (PARTITION BY frame_id ORDER BY iou DESC, l_suppkey) AS rn
+  FROM scored
+)
+SELECT a.frame_id,
+       b.l_suppkey AS matched_supp,
+       floor((coalesce(b.iou, 0.0)) * 1e6 + 0.5) / 1e6 AS best_iou
+FROM a LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON a.frame_id = b.frame_id
+"""
+
+
+@query(
+    "j5_spatial_best_match",
+    oracle=_J5_ORACLE,
+    doc="J5 GT-face spatial match: equi-join on frame + IoU>thr residual "
+    "predicate + top-1-per-group + left join with missing->0 "
+    "(demoTalkNet.py:402-419)",
+    tags=("J5", "W5", "X1"),
+)
+def j5_spatial_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _boxes_a(spark, sf_dir)
+    b = _boxes_b(spark, sf_dir)
+    pairs = a.join(b, "frame_id").withColumn(
+        "iou", iou("ax1", "ay1", "ax2", "ay2", "bx1", "by1", "bx2", "by2")
+    )
+    scored = pairs.filter(F.col("iou") > 0.1)
+    best = top_per_group(
+        scored, ["frame_id"], [F.desc("iou"), F.col("l_suppkey")], k=1
+    ).select("frame_id", F.col("l_suppkey").alias("matched_supp"), "iou")
+    return (
+        a.select("frame_id")
+        .join(best, "frame_id", "left")
+        .select(
+            "frame_id",
+            "matched_supp",
+            stable_round(F.coalesce(F.col("iou"), F.lit(0.0)), 6).alias("best_iou"),
+        )
+    )
+
+
+@query(
+    "j7_anti_equality_pair",
+    oracle="""
+WITH pool AS (SELECT s_suppkey FROM supplier), pairs AS (
+  SELECT a.s_suppkey, b.s_suppkey AS other_key,
+         ((b.s_suppkey - a.s_suppkey) % 100 + 100) % 100 AS dist
+  FROM pool a JOIN pool b ON a.s_suppkey <> b.s_suppkey
+)
+SELECT s_suppkey, other_key AS noise_key FROM (
+  SELECT s_suppkey, other_key,
+         row_number() OVER (PARTITION BY s_suppkey ORDER BY dist, other_key) AS rn
+  FROM pairs
+) WHERE rn = 1
+""",
+    doc="J7 audio-noise pairing: anti-equality self-join + deterministic "
+    "pick of another pool member (dataLoader.py:15-17 random non-self key; "
+    "cyclic-next rule replaces the RNG for reproducibility)",
+    tags=("J7", "U3"),
+)
+def j7_anti_equality_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey")
+    b = sup.select(F.col("s_suppkey").alias("other_key"))
+    pairs = sup.join(b, F.col("s_suppkey") != F.col("other_key"))
+    dist = ((F.col("other_key") - F.col("s_suppkey")) % 100 + 100) % 100
+    w = Window.partitionBy("s_suppkey").orderBy(dist.alias("dist"), F.col("other_key"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_suppkey", F.col("other_key").alias("noise_key"))
+    )
+
+
+@query(
+    "j8_length_constrained_pick",
+    oracle="""
+SELECT p_partkey, donor_key, donor_size FROM (
+  SELECT a.p_partkey, b.p_partkey AS b_key, b.p_size,
+         row_number() OVER (PARTITION BY a.p_partkey
+                            ORDER BY b.p_size, b.p_partkey) AS rn
+  FROM part a JOIN part b
+    ON b.p_size >= a.p_size AND b.p_partkey <> a.p_partkey
+) AS t(p_partkey, donor_key, donor_size, rn) WHERE rn = 1
+""",
+    doc="J8 length-constrained pairing: theta join length>=length + "
+    "smallest-qualifying pick (TalkSet/generate_TalkSet.py:219-224 "
+    "resample-until-long-enough, deterministic rule replaces RNG)",
+    tags=("J8",),
+)
+def j8_length_constrained_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_size")
+    b = part.select(
+        F.col("p_partkey").alias("donor_key"), F.col("p_size").alias("donor_size")
+    )
+    j = part.join(
+        b,
+        (F.col("donor_size") >= F.col("p_size"))
+        & (F.col("donor_key") != F.col("p_partkey")),
+    )
+    w = Window.partitionBy("p_partkey").orderBy("donor_size", "donor_key")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "donor_key", "donor_size")
+    )

@@ -1,0 +1,194 @@
+"""End-to-end pipeline queries: the ASD stages chained over
+synthetic-table analogs.
+
+``pipeline_scores_to_segments`` is the Phase-0 minimum slice
+(SURVEY.md §7): scores -> threshold -> islands -> min-duration ->
+segments, executed by the REAL ``extract_segments`` operator and
+oracle-checked. The sequential kernels (J6 tracking, W6 NMS, M2 scene
+detection) register rows-only queries (not SQL-expressible —
+order-dependent greedy algorithms) and are property-tested in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.nms import nms
+from ..operators.segmentation import extract_segments
+from ..operators.tracking import track_faces
+from ..functions.rounding import stable_round
+from ..registry import load, query
+
+# events -> scores-table analog: video = user bucket, track = user,
+# frame = per-track ordinal, score centered at 0 like TalkNet logits.
+_SCORES_SQL = """
+  SELECT CAST(user_id % 5 AS VARCHAR) AS video_id,
+         CAST(user_id AS INTEGER) AS track_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) - 1 AS frame_idx,
+         value - 50.0 AS score
+  FROM events
+"""
+
+
+def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        (F.col("user_id") % 5).cast("string").alias("video_id"),
+        F.col("user_id").cast("int").alias("track_id"),
+        (F.row_number().over(w) - 1).alias("frame_idx"),
+        (F.col("value") - 50.0).alias("score"),
+    )
+
+
+_P0_ORACLE = f"""
+WITH scores AS ({_SCORES_SQL}),
+flagged AS (
+  SELECT *, (score > 0.0) AS speaking FROM scores
+), marked AS (
+  SELECT *, CASE WHEN (lag(speaking) OVER w) IS DISTINCT FROM speaking THEN 1 ELSE 0 END AS chg
+  FROM flagged WINDOW w AS (PARTITION BY video_id, track_id ORDER BY frame_idx)
+), runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY video_id, track_id ORDER BY frame_idx
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), segs AS (
+  SELECT video_id, track_id, island,
+         min(frame_idx) AS start_frame,
+         max(frame_idx) + 1 AS end_frame
+  FROM runs WHERE speaking GROUP BY video_id, track_id, island
+  HAVING max(frame_idx) + 1 - min(frame_idx) >= 3
+)
+SELECT video_id, track_id,
+       CAST(row_number() OVER (PARTITION BY video_id, track_id ORDER BY start_frame) - 1 AS INTEGER) AS seg_id,
+       start_frame, end_frame,
+       floor((start_frame / 25.0) * 1e6 + 0.5) / 1e6 AS start_ts,
+       floor((end_frame / 25.0) * 1e6 + 0.5) / 1e6 AS end_ts,
+       floor(((end_frame - start_frame) / 25.0) * 1e6 + 0.5) / 1e6 AS duration
+FROM segs
+"""
+
+
+@query(
+    "pipeline_scores_to_segments",
+    oracle=_P0_ORACLE,
+    doc="Phase-0 minimum slice (SURVEY.md §7): scores -> strict-> "
+    "threshold (F5) -> gaps-and-islands (W1) -> min-duration filter "
+    "(F6) -> segments table with exclusive ends + frame/25 timestamps "
+    "(X10) — runs the real extract_segments operator "
+    "(extractSpeakingSegments.py:44-99 parity)",
+    tags=("W1", "F5", "F6", "X10", "flagship"),
+)
+def pipeline_scores_to_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _scores(spark, sf_dir)
+    segs = extract_segments(
+        scores, threshold=0.0, min_duration_s=0.12, fps=25.0
+    )  # min_frames = int(0.12*25) = 3
+    return segs.select(
+        "video_id",
+        "track_id",
+        "seg_id",
+        "start_frame",
+        "end_frame",
+        stable_round("start_ts", 6).alias("start_ts"),
+        stable_round("end_ts", 6).alias("end_ts"),
+        stable_round("duration", 6).alias("duration"),
+    )
+
+
+_M2_ORACLE = """
+WITH diffs AS (
+  SELECT user_id, ts, event_id, value,
+         abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS d
+  FROM events
+)
+SELECT user_id,
+       CAST(1 + sum(CASE WHEN d > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes
+FROM diffs GROUP BY user_id
+"""
+
+
+@query(
+    "m2_scene_change_islands",
+    oracle=_M2_ORACLE,
+    doc="M2 relational analog: content-change scene detection = "
+    "change-point islands on frame-metric deltas (|x - lag(x)| > thr) "
+    "(demoTalkNet.py:93-110 ContentDetector semantics; the pixel-metric "
+    "extraction is the pipeline.scene UDF)",
+    tags=("M2",),
+)
+def m2_scene_change_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.abs(F.col("value") - F.lag("value").over(w))
+    return (
+        ev.withColumn("d", d)
+        .groupBy("user_id")
+        .agg(
+            (1 + F.sum(F.when(F.col("d") > 150.0, 1).otherwise(0))).cast("bigint").alias("n_scenes")
+        )
+    )
+
+
+def _synthetic_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic detections derived from events: boxes drift with
+    value so consecutive frames of the same user overlap (trackable)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        (F.col("user_id") % 5).cast("string").alias("video_id"),
+        (F.col("user_id") % 3).cast("int").alias("scene_id"),
+        (F.row_number().over(w) - 1).alias("frame_idx"),
+        # det_id must be unique within (video, scene, frame) for a
+        # deterministic scan order; user_id is (one det per user-frame)
+        F.col("user_id").cast("int").alias("det_id"),
+        (F.col("value") % 50).alias("x1"),
+        ((F.col("value") * 0.7) % 50).alias("y1"),
+        ((F.col("value") % 50) + 30.0).alias("x2"),
+        (((F.col("value") * 0.7) % 50) + 30.0).alias("y2"),
+        F.lit(0.95).alias("conf"),
+    )
+
+
+@query(
+    "j6_greedy_tracking",
+    oracle=None,  # order-dependent greedy matching — not SQL-expressible
+    doc="J6 greedy IoU track association over (video_id, scene_id) "
+    "groups via applyInPandas (demoTalkNet.py:146-164 parity, incl. the "
+    "remove-during-iterate skip); rows-only check + property tests",
+    tags=("J6", "rows-only"),
+)
+def j6_greedy_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dets = _synthetic_detections(spark, sf_dir)
+    tracks = track_faces(dets, num_failed_det=10, min_track=10, iou_thres=0.5)
+    return (
+        tracks.groupBy("video_id", "scene_id", "track_id")
+        .agg(
+            F.count("*").alias("n_faces"),
+            F.min("frame_idx").alias("first_frame"),
+            F.max("frame_idx").alias("last_frame"),
+        )
+        .orderBy("video_id", "scene_id", "track_id")
+    )
+
+
+@query(
+    "w6_nms_greedy",
+    oracle=None,  # sequential suppression — not SQL-expressible
+    doc="W6 greedy NMS per (video_id, frame_idx) via applyInPandas with "
+    "relational top-k pre-cap (box_utils.py:7-38,129-140 parity); "
+    "rows-only check + property tests",
+    tags=("W6", "rows-only"),
+)
+def w6_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dets = _synthetic_detections(spark, sf_dir).withColumn(
+        "conf", (F.col("x1") / 100.0) + 0.5
+    )
+    kept = nms(dets.select(
+        "video_id", "frame_idx", "det_id", "x1", "y1", "x2", "y2", "conf"
+    ), overlap=0.3, top_k=10)
+    return kept.groupBy("video_id").agg(
+        F.count("*").alias("n_kept"),
+        stable_round(F.sum("conf"), 2).alias("sum_conf"),
+    ).orderBy("video_id")

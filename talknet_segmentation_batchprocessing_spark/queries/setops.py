@@ -1,0 +1,92 @@
+"""U1-U4 set-operation queries (SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import load, query
+
+
+@query(
+    "u1_union_all",
+    oracle="""
+SELECT event_id, event_type, 'pos' AS side FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, event_type, 'neg' AS side FROM events WHERE event_type = 'error'
+""",
+    doc="U1 union of positive+negative label partitions "
+    "(utils/tools.py:110-114 pandas.concat)",
+    tags=("U1", "F7"),
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pos = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "event_type", F.lit("pos").alias("side")
+    )
+    neg = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "event_type", F.lit("neg").alias("side")
+    )
+    return pos.unionByName(neg)
+
+
+@query(
+    "u2_union_modulo_split",
+    oracle="""
+SELECT event_id, event_type, split FROM (
+  SELECT event_id, event_type,
+         CASE WHEN (row_number() OVER (ORDER BY event_id) - 1) % 100 < 90
+              THEN 'train' ELSE 'val' END AS split
+  FROM events
+)
+""",
+    doc="U2 union of variants + deterministic modulo train/val split "
+    "(TalkSet/generate_TalkSet.py:364-391: num %% 30000 < 27000)",
+    tags=("U2",),
+)
+def u2_union_modulo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    split = F.when(
+        ((F.row_number().over(w) - 1) % 100) < 90, F.lit("train")
+    ).otherwise(F.lit("val"))
+    return ev.select("event_id", "event_type", split.alias("split"))
+
+
+@query(
+    "u3_except",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+    doc="U3 set difference: exclude self/err keys from the pool "
+    "(dataLoader.py:16 set(keys) - {dataName})",
+    tags=("U3",),
+)
+def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    error_users = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clickers.subtract(error_users)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "u4_explode_duration_set",
+    oracle="""
+SELECT duration, event_type FROM
+  (SELECT unnest([1, 2, 3, 4, 5, 6]) AS duration),
+  (SELECT DISTINCT event_type FROM events)
+""",
+    doc="U4 duration multiset explode (demoTalkNet.py:233-234 set-literal "
+    "collapse: {1,1,1,2,2,2,3,3,4,5,6} -> 6 distinct) x scoring variants",
+    tags=("U4", "A1"),
+)
+def u4_explode_duration_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import DURATION_SET
+
+    ev = load(spark, sf_dir, "events")
+    durations = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in DURATION_SET])).alias("duration")
+    )
+    return durations.crossJoin(ev.select("event_type").distinct())

@@ -1,0 +1,303 @@
+"""W1-W9 window/sequence queries (SURVEY.md §2.5) over the `events`
+stream table — (user_id, ts, value) stands in for (track_id,
+frame_idx, score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.segmentation import gaps_and_islands, speaking_flag
+from ..operators.windows import (
+    centered_mean,
+    interpolate_gaps,
+    pack_batches,
+    top_per_group,
+    tumbling_window_id,
+    windowed_median,
+)
+from ..functions.rounding import stable_round
+from ..registry import load, query
+
+THRESHOLD = 50.0  # events.value mean ~49.6 → balanced runs
+MIN_RUN = 3
+
+_W1_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value, (value > {THRESHOLD}) AS speaking
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN (lag(speaking) OVER w) IS DISTINCT FROM speaking THEN 1 ELSE 0 END AS chg
+  FROM flagged WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), segs AS (
+  SELECT user_id, island, min(ts) AS start_ts, max(ts) AS end_ts,
+         count(*) AS n_events, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
+  FROM runs WHERE speaking GROUP BY user_id, island
+  HAVING count(*) >= {MIN_RUN}
+)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_ts) - 1 AS INTEGER) AS seg_id,
+       start_ts, end_ts, n_events, sum_value
+FROM segs
+"""
+
+
+@query(
+    "w1_speaking_segments",
+    oracle=_W1_ORACLE,
+    doc="W1 gaps-and-islands run-length segmentation + F5 strict-> threshold "
+    "+ F6 min-length (extractSpeakingSegments.py:44-61,98-99)",
+    tags=("W1", "F5", "F6", "flagship"),
+)
+def w1_speaking_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    flagged = ev.withColumn("speaking", speaking_flag("value", THRESHOLD))
+    runs = gaps_and_islands(flagged, ["user_id"], ["ts", "event_id"], "speaking", "island")
+    segs = (
+        runs.filter("speaking")
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .filter(F.col("n_events") >= MIN_RUN)
+    )
+    w = Window.partitionBy("user_id").orderBy("start_ts")
+    return segs.select(
+        "user_id",
+        (F.row_number().over(w) - 1).alias("seg_id"),
+        "start_ts",
+        "end_ts",
+        "n_events",
+        "sum_value",
+    )
+
+
+_W2_ORACLE = """
+SELECT user_id, event_id,
+       floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) * 1e3 + 0.5) / 1e3 AS smoothed
+FROM events
+"""
+
+
+@query(
+    "w2_centered_smoothing",
+    oracle=_W2_ORACLE,
+    doc="W2 centered moving average, rows -2..+2 (demoTalkNet.py:349-351; "
+    "clean variant — the reference tail quirk is unit-tested in parity mode)",
+    tags=("W2", "A11"),
+)
+def w2_centered_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = centered_mean(ev, ["user_id"], ["ts", "event_id"], "value", 2, 2, "smoothed")
+    return out.select("user_id", "event_id", stable_round("smoothed", 3).alias("smoothed"))
+
+
+_W3_ORACLE = """
+SELECT user_id, event_id,
+       floor((median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)) * 1e3 + 0.5) / 1e3 AS med
+FROM events
+"""
+
+
+@query(
+    "w3_windowed_median",
+    oracle=_W3_ORACLE,
+    doc="W3 running median k=13, the relational core of medfilt on track "
+    "center/size (demoTalkNet.py:185-192); zero-pad edge variant unit-tested",
+    tags=("W3",),
+)
+def w3_windowed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = windowed_median(ev, ["user_id"], ["ts", "event_id"], "value", k=13, out_col="med")
+    return out.select("user_id", "event_id", stable_round("med", 3).alias("med"))
+
+
+_W4_ORACLE = """
+WITH seqd AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+), obs AS (
+  SELECT user_id, CAST(seq AS BIGINT) AS seq, value FROM seqd WHERE event_type <> 'error'
+), extent AS (
+  SELECT user_id, min(seq) AS f0, max(seq) AS f1 FROM obs GROUP BY user_id
+), axis AS (
+  SELECT user_id, unnest(generate_series(f0, f1)) AS seq FROM extent
+), dense AS (
+  SELECT a.user_id, a.seq, o.value FROM axis a LEFT JOIN obs o USING (user_id, seq)
+), anch AS (
+  SELECT user_id, seq, value,
+    last_value(CASE WHEN value IS NOT NULL THEN seq END IGNORE NULLS) OVER wp AS pf,
+    last_value(value IGNORE NULLS) OVER wp AS pv,
+    first_value(CASE WHEN value IS NOT NULL THEN seq END IGNORE NULLS) OVER wn AS nf,
+    first_value(value IGNORE NULLS) OVER wn AS nv
+  FROM dense
+  WINDOW wp AS (PARTITION BY user_id ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY seq ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, seq,
+       floor((coalesce(value, pv + ((seq - pf) / (nf - pf)) * (nv - pv))) * 1e3 + 0.5) / 1e3 AS value_interp
+FROM anch
+"""
+
+
+@query(
+    "w4_linear_interpolation",
+    oracle=_W4_ORACLE,
+    doc="W4 dense-axis linear interpolation over gaps "
+    "(demoTalkNet.py:168-175 interp1d over missing frames): drop 'error' "
+    "rows from a per-user sequence, then sequence+explode + ignorenulls "
+    "window anchors rebuild them",
+    tags=("W4",),
+)
+def w4_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = ev.withColumn("seq", F.row_number().over(w).cast("bigint"))
+    obs = seqd.filter(F.col("event_type") != "error").select("user_id", "seq", "value")
+    dense = interpolate_gaps(obs, ["user_id"], "seq", ["value"])
+    return dense.select("user_id", "seq", stable_round("value", 3).alias("value_interp"))
+
+
+_W5_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@query(
+    "w5_top1_per_group",
+    oracle=_W5_ORACLE,
+    doc="W5 top-1 per group (best-IoU pick, demoTalkNet.py:415-417)",
+    tags=("W5",),
+)
+def w5_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return top_per_group(
+        orders, ["o_custkey"], [F.desc("o_totalprice"), F.col("o_orderkey")], k=1
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+_W6_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INTEGER) AS rk FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn <= 3
+"""
+
+
+@query(
+    "w6_topk_candidates",
+    oracle=_W6_ORACLE,
+    doc="W6 relational core: top-k candidate cap per frame before greedy NMS "
+    "(model/faceDetector/s3fd/box_utils.py:129-140 top_k); the sequential "
+    "suppression loop itself is the applyInPandas kernel (rows-only query)",
+    tags=("W6",),
+)
+def w6_topk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return top_per_group(
+        li,
+        ["l_orderkey"],
+        [F.desc("l_extendedprice"), F.col("l_linenumber")],
+        k=3,
+        rank_col="rk",
+        keep_rank=True,
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+
+
+_W7_ORACLE = """
+SELECT o_orderkey, len,
+       CAST(floor((cum - 1) / 500000.0) AS BIGINT) AS batch_id
+FROM (
+  SELECT o_orderkey, len,
+         sum(len) OVER (ORDER BY len DESC, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS len FROM orders)
+)
+"""
+
+
+@query(
+    "w7_batch_packing",
+    oracle=_W7_ORACLE,
+    doc="W7 length-sorted dynamic batch packing (dataLoader.py:89-108): "
+    "sort desc + integer running-sum bucketing; the reference's exact "
+    "greedy recurrence is unit-tested via pack_batches_exact",
+    tags=("W7",),
+)
+def w7_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    sized = orders.select(
+        "o_orderkey", F.floor("o_totalprice").cast("bigint").alias("len")
+    )
+    return pack_batches(
+        sized, "len", 500000, order_desc=True, tiebreak_cols=("o_orderkey",)
+    ).select("o_orderkey", "len", "batch_id")
+
+
+_W8_ORACLE = """
+SELECT event_id, value, CAST(rn AS INTEGER) AS pos FROM (
+  SELECT event_id, value,
+         row_number() OVER (ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 100
+"""
+
+
+@query(
+    "w8_global_sort_limit",
+    oracle=_W8_ORACLE,
+    doc="W8 global sort by score desc (get_ava_active_speaker_performance."
+    "py:119-124) with deterministic tiebreak + row limit (F9)",
+    tags=("W8", "F9"),
+)
+def w8_global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 100)
+        .select("event_id", "value", "pos")
+    )
+
+
+_W9_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS clip_id, event_type,
+       count(*) AS n, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "w9_tumbling_clips",
+    oracle=_W9_ORACLE,
+    doc="W9 tumbling clip windows: floor(t/width) clip ids "
+    "(demoTalkNet.py:256-262 duration*25-frame scoring clips)",
+    tags=("W9",),
+)
+def w9_tumbling_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clip = tumbling_window_id(F.col("ts").cast("double"), 3600.0)
+    return (
+        ev.withColumn("clip_id", clip)
+        .groupBy("clip_id", "event_type")
+        .agg(F.count("*").alias("n"), stable_round(F.sum("value"), 2).alias("sum_value"))
+    )

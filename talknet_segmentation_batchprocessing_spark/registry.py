@@ -1,0 +1,137 @@
+"""Central query registry: every implemented operator from SURVEY.md §2
+registers its relational core here as a named query plus (where
+SQL-expressible) a DuckDB oracle.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` read this registry.
+The driver runs each Spark query and its oracle side-by-side at sf0.01
+and hash-compares row count + schema + values, so:
+
+- every computed column is explicitly aliased identically on both sides;
+- double-valued aggregates are rounded in-query on BOTH sides so
+  floating-point summation order (Spark partitions vs DuckDB) cannot
+  flip low bits of the hash;
+- all orderings used for ranking/tie-breaks carry a deterministic
+  final key.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered views, or None => rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator registering a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+_PYFILES_ZIP: str | None = None
+_PYFILES_SESSIONS: set[int] = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to Python workers of any SparkSession.
+
+    The driver contract may hand us a session we didn't build; its
+    applyInPandas workers resolve our module via the session's pyFiles,
+    not the driver's sys.path. ``addPyFile`` of a package zip is the
+    runtime equivalent of ``spark-submit --py-files`` and also the
+    cluster deployment path.
+    """
+    global _PYFILES_ZIP
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SESSIONS:
+        return
+    if _PYFILES_ZIP is None:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        fd, zpath = tempfile.mkstemp(suffix=".zip", prefix=f"{pkg_name}_")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+        _PYFILES_ZIP = zpath
+    spark.sparkContext.addPyFile(_PYFILES_ZIP)
+    _PYFILES_SESSIONS.add(key)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    # The driver may hand us a vanilla SparkSession; without this conf
+    # Spark 4 refuses TIMESTAMP(NANOS) parquet columns outright
+    # (PARQUET_TYPE_ILLEGAL). It is a runtime SQL conf, so set it here
+    # rather than only in our own session factory.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): surfaced as long nanos via
+    # spark.sql.legacy.parquet.nanosAsLong; all values are exact
+    # microseconds (ns%1000 == 0 across the testdata), so integer-div
+    # conversion is lossless. Doubles would corrupt (~1.7e18 > 2^53).
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {n: s.fn for n, s in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from .queries import (  # noqa: F401
+        aggregates,
+        extensions,
+        filters,
+        joins,
+        pipeline_e2e,
+        scalars,
+        setops,
+        windows,
+    )
+
+    _LOADED = True

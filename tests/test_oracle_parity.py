@@ -1,0 +1,76 @@
+"""Mirror of the driver's correctness gate: run every registered query
+on Spark AND its DuckDB oracle on the same parquet tables, then compare
+row count + schema (column names) + values exactly.
+
+Runs at sf0.001 for speed (the driver uses sf0.01); any float that
+could differ in low bits is rounded in-query on BOTH sides, so exact
+comparison is the intended bar.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from talknet_segmentation_batchprocessing_spark import registry
+
+from .conftest import SF_SMOKE
+
+registry._ensure_loaded()
+ORACLE_NAMES = sorted(n for n, s in registry.REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_NAMES = sorted(n for n, s in registry.REGISTRY.items() if s.oracle is None)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(name, spark, duck):
+    spec = registry.REGISTRY[name]
+    sdf = _canon(spec.fn(spark, SF_SMOKE).toPandas())
+    odf = _canon(duck.execute(spec.oracle).df())
+    assert list(sdf.columns) == list(odf.columns), (
+        f"{name}: column mismatch {list(sdf.columns)} vs {list(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    for c in sdf.columns:
+        a, b = sdf[c], odf[c]
+        if pd.api.types.is_float_dtype(a):
+            bad = ~((a == b) | (a.isna() & b.isna()))
+            if bad.any():
+                i = bad.idxmax()
+                assert math.isclose(a[i], b[i], rel_tol=0, abs_tol=0), (
+                    f"{name}.{c}: row {i}: {a[i]!r} != {b[i]!r} "
+                    f"({int(bad.sum())} mismatching rows)"
+                )
+        else:
+            eq = (a == b) | (a.isna() & b.isna())
+            assert eq.all(), (
+                f"{name}.{c}: {int((~eq).sum())} mismatching rows, first at "
+                f"{(~eq).idxmax()}: {a[(~eq)].head(3).tolist()} vs {b[(~eq)].head(3).tolist()}"
+            )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark):
+    spec = registry.REGISTRY[name]
+    df = spec.fn(spark, SF_SMOKE)
+    n = df.count()
+    assert n >= 0
+    # determinism: same plan executed twice yields identical results
+    p1 = df.toPandas()
+    p2 = spec.fn(spark, SF_SMOKE).toPandas()
+    pd.testing.assert_frame_equal(
+        _canon(p1), _canon(p2), check_dtype=False
+    )
