@@ -11,6 +11,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import stable_round
+
 # A1 quirk: the intended 11-element multiset {1,1,1,2,2,2,3,3,4,5,6} is a
 # Python *set* literal in the reference (demoTalkNet.py:233-234), which
 # collapses to 6 equal-weight durations.
@@ -67,10 +69,10 @@ def per_speaker_f1(
             F.sum(((pred == 0) & (gt == 1)).cast("int")).alias("fn"),
             F.sum((pred == gt).cast("int")).alias("correct"),
         )
-        .withColumn("accuracy", F.round(F.col("correct") / F.col("n"), 6))
+        .withColumn("accuracy", stable_round(F.col("correct") / F.col("n"), 6))
         .withColumn(
             "f1",
-            F.round(
+            stable_round(
                 F.when(
                     (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
                     2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
@@ -107,8 +109,18 @@ def average_precision(
     order = [F.desc(score_col)] + [F.col(c) for c in tiebreak_cols]
     w = Window.partitionBy(*part).orderBy(*order) if part else Window.orderBy(*order)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wsuffix = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # Suffix max expressed as a running max over the exact REVERSE total
+    # order: frames ending at UNBOUNDED FOLLOWING are recomputed per row
+    # by WindowExec (O(n^2) per partition — 145 s at 100k rows), while
+    # growing UNBOUNDED PRECEDING frames aggregate incrementally (O(n)).
+    order_rev = [F.asc(score_col)] + [F.desc(c) for c in tiebreak_cols]
+    w_rev = (
+        Window.partitionBy(*part).orderBy(*order_rev)
+        if part
+        else Window.orderBy(*order_rev)
+    )
+    wsuffix = w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lab = F.col(label_col).cast("int")
     ranked = (
@@ -122,7 +134,7 @@ def average_precision(
     sm = pr.withColumn("_sprec", F.max("_prec").over(wsuffix)).withColumn(
         "_dr", F.col("_rec") - F.coalesce(F.lag("_rec").over(w), F.lit(0.0))
     )
-    agg = F.round(F.sum(F.col("_dr") * F.col("_sprec")), ndigits).alias(out_col)
+    agg = stable_round(F.sum(F.col("_dr") * F.col("_sprec")), ndigits).alias(out_col)
     return sm.groupBy(*part).agg(agg) if part else sm.agg(agg)
 
 

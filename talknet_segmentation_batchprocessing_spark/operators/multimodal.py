@@ -1,0 +1,99 @@
+"""Multimodal column operators: image/audio/video as opaque binary
+columns with typed metadata (BASELINE.json extension surface).
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shape,
+UDF signatures — is real and tested; the pixel/codec work is pluggable
+because this image has no cv2/PIL/PyAV. Decoders raise
+``NotImplementedError`` unless a deterministic fake is requested, per
+the same pattern as sources.media_ingest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, byte_len int, content_sha string, height int, width int"
+)
+FEATURES_SCHEMA = "doc_id long, feature array<float>"
+
+
+def attach_binary_meta(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Typed metadata for an opaque binary column — pure JVM columns,
+    no UDF: length + content hash (dedup key / integrity)."""
+    b = F.col(binary_col)
+    return df.select(
+        F.col(id_col),
+        F.octet_length(b).alias("byte_len"),
+        F.sha2(b, 256).alias("content_sha"),
+    )
+
+
+def fake_image_decoder(height: int = 16, width: int = 16):
+    """Deterministic pixel fake: gray image seeded from content hash."""
+
+    def decode(content: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.sha256(content).digest()[:4], "big")
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
+
+    return decode
+
+
+def cv2_image_decoder():
+    """Real decoder (cv2.imdecode); not available in this image."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "cv2 is not installed; use fake_image_decoder() for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire cv2.imdecode(np.frombuffer(content)) here")
+
+
+def extract_image_features(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    resize_to: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Decode -> resize (block-mean, the X4 grayscale+resize analog) ->
+    flatten to a float feature vector. Arrow-batched ``mapInPandas``;
+    one batch = one vectorized decode loop, no per-row Python UDF."""
+    from ..deploy import ensure_worker_imports
+
+    ensure_worker_imports(df)
+    dec = decoder or fake_image_decoder()
+    rh, rw = resize_to
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for r in pdf.itertuples(index=False):
+                img = dec(getattr(r, binary_col))
+                h, w = img.shape
+                # block-mean resize: exact when shapes divide, else crop
+                img = img[: (h // rh) * rh, : (w // rw) * rw]
+                blocks = img.reshape(rh, h // rh, rw, w // rw).mean(axis=(1, 3))
+                ids.append(getattr(r, id_col))
+                feats.append((blocks.flatten() / 255.0).astype(np.float32))
+            yield pd.DataFrame({"doc_id": ids, "feature": feats})
+
+    return df.select(id_col, binary_col).mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    frames: DataFrame,
+    every_n: int = 25,
+    frame_col: str = "frame_idx",
+) -> DataFrame:
+    """Frame sampling (1 fps from a 25 fps stream when every_n=25) —
+    pure relational modulo filter, pushed to the scan."""
+    return frames.filter((F.col(frame_col) % every_n) == 0)

@@ -57,6 +57,10 @@ def nms(detections: DataFrame, overlap: float = 0.1, top_k: int | None = None) -
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ..deploy import ensure_worker_imports
+
+    ensure_worker_imports(detections)
+
     if top_k is not None:
         w = Window.partitionBy("video_id", "frame_idx").orderBy(F.desc("conf"), "det_id")
         detections = (

@@ -107,6 +107,10 @@ def track_faces(
     """J6 entry point: detections(video_id, scene_id, frame_idx, det_id,
     x1..y2[, conf]) -> tracks, one applyInPandas task per scene."""
 
+    from ..deploy import ensure_worker_imports
+
+    ensure_worker_imports(detections)
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return greedy_track_scene(pdf, num_failed_det, min_track, iou_thres)
 

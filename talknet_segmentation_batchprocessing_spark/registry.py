@@ -16,7 +16,6 @@ and hash-compares row count + schema + values, so:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -47,41 +46,11 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
     return deco
 
 
-_PYFILES_ZIP: str | None = None
-_PYFILES_SESSIONS: set[int] = set()
-
-
 def _ensure_pyfiles(spark: SparkSession) -> None:
-    """Ship this package to Python workers of any SparkSession.
+    """Back-compat alias; see deploy.ensure_worker_imports."""
+    from .deploy import ensure_worker_imports
 
-    The driver contract may hand us a session we didn't build; its
-    applyInPandas workers resolve our module via the session's pyFiles,
-    not the driver's sys.path. ``addPyFile`` of a package zip is the
-    runtime equivalent of ``spark-submit --py-files`` and also the
-    cluster deployment path.
-    """
-    global _PYFILES_ZIP
-    key = id(spark.sparkContext)
-    if key in _PYFILES_SESSIONS:
-        return
-    if _PYFILES_ZIP is None:
-        import tempfile
-        import zipfile
-
-        pkg_dir = os.path.dirname(os.path.abspath(__file__))
-        pkg_name = os.path.basename(pkg_dir)
-        fd, zpath = tempfile.mkstemp(suffix=".zip", prefix=f"{pkg_name}_")
-        os.close(fd)
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                        zf.write(full, rel)
-        _PYFILES_ZIP = zpath
-    spark.sparkContext.addPyFile(_PYFILES_ZIP)
-    _PYFILES_SESSIONS.add(key)
+    ensure_worker_imports(spark)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,90 @@
+"""S1/S2/S14: video-corpus enumeration sources.
+
+The reference globs a folder case-insensitively for
+``mp4 avi mov mkv`` (batchProcessVideos.py:93-106) or iterates a
+streaming dataset sample-by-sample (batchProcessVideos.py:111-124).
+Here a corpus is a DataFrame, one row per video, produced by the
+``binaryFile`` source — on a cluster this scans object storage in
+parallel and never pulls payloads to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VIDEO_EXTENSIONS = ("mp4", "avi", "mov", "mkv")  # batchProcessVideos.py:24
+
+
+def scan_video_folder(
+    spark: SparkSession,
+    folder: str,
+    extensions: Iterable[str] = VIDEO_EXTENSIONS,
+    with_content: bool = False,
+) -> DataFrame:
+    """S1: one row per video file under ``folder``.
+
+    Case-insensitive extension match like the reference's
+    ``ext.lower()/ext.upper()`` double glob (batchProcessVideos.py:96-100),
+    expressed as a glob character class per letter so ONE listing pass
+    covers both. ``with_content=False`` prunes the binary payload at
+    the scan (column pruning — only metadata is read).
+    """
+    frames = []
+    for ext in extensions:
+        cls = "".join(f"[{c.lower()}{c.upper()}]" for c in ext)
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", f"*.{cls}")
+            .load(folder)
+        )
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    cols = [
+        F.col("path"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.lower(F.element_at(F.split(F.col("path"), r"\."), -1)).alias("ext"),
+        F.col("length").alias("byte_len"),
+        F.col("modificationTime").alias("modified_at"),
+    ]
+    if with_content:
+        cols.append(F.col("content"))
+    return out.select(*cols).withColumn(
+        "video_id", F.regexp_replace("file_name", r"\.[^.]+$", "")
+    )
+
+
+def iter_dataset_source(
+    spark: SparkSession,
+    samples: Iterator[Mapping] | Iterable[Mapping],
+    schema: str = "video_id string, path string, byte_len long",
+    batch_size: int = 1000,
+) -> DataFrame:
+    """S2: adapt a sequential sample iterator (the reference's HF
+    streaming loop, batchProcessVideos.py:111-124) into a DataFrame.
+
+    The iterator is driver-side by nature (that is what 'streaming
+    dataset' means in the reference); rows are batched into
+    ``createDataFrame`` calls so one giant list is never materialized.
+    For true incremental processing use streaming.pipeline.readStream
+    on a drop-folder instead.
+    """
+    rows = list(samples)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    out = None
+    for i in range(0, len(rows), batch_size):
+        chunk = spark.createDataFrame(rows[i : i + batch_size], schema)
+        out = chunk if out is None else out.unionByName(chunk)
+    return out
+
+
+def write_if_absent(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S14: idempotent materialization — the reference's copy-if-absent
+    (batchProcessVideos.py:53-55 ``shutil.copy2`` skip) maps to Spark's
+    ``mode("ignore")`` (no-op when the target exists)."""
+    df.write.format(fmt).mode("ignore").save(path)

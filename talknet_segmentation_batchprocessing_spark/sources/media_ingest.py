@@ -1,0 +1,141 @@
+"""S3/S4/S5: media ingest shells — video normalize, audio extract,
+frame explode.
+
+The reference shells out to ffmpeg per video (demoTalkNet.py:485-508:
+transcode to 25 fps, 16 kHz mono pcm_s16le audio, one JPEG per frame).
+Here each step is a ``mapInPandas`` shell over video rows: the Spark
+side (schemas, partitioning, Arrow batch shape, time base) is real and
+tested; the codec call itself is pluggable because this container has
+no ffmpeg/PyAV/cv2 — ``decoder=None`` selects a deterministic fake
+that synthesizes frames/samples from the video bytes, so the plumbing
+and every downstream operator can run end-to-end.
+
+A production deployment passes ``decoder=pyav_decoder`` (or an ffmpeg
+subprocess wrapper) with the same signature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..schemas import FPS, SAMPLE_RATE
+
+# decoder signature: (video_id: str, content: bytes | None) ->
+#   (frames: list[bytes], height: int, width: int, samples: np.ndarray[int16])
+Decoder = Callable[[str, bytes | None], tuple[list[bytes], int, int, np.ndarray]]
+
+FRAMES_SCHEMA = (
+    "video_id string, frame_idx int, ts double, image binary, height int, width int"
+)
+AUDIO_SCHEMA = "video_id string, chunk_idx int, sr int, samples array<smallint>"
+
+
+def fake_decoder(n_frames: int = 50, height: int = 8, width: int = 8) -> Decoder:
+    """Deterministic stand-in for ffmpeg/PyAV: frame pixels and audio
+    samples are seeded from sha256(video_id), so every executor —
+    and every rerun — produces identical output for the same input."""
+
+    def decode(video_id: str, content: bytes | None):
+        seed = int.from_bytes(hashlib.sha256(video_id.encode()).digest()[:4], "big")
+        rng = np.random.RandomState(seed)
+        frames = [
+            rng.randint(0, 256, size=(height, width), dtype=np.uint8).tobytes()
+            for _ in range(n_frames)
+        ]
+        n_samples = int(n_frames / FPS * SAMPLE_RATE)
+        samples = rng.randint(-(2**15), 2**15, size=n_samples, dtype=np.int16)
+        return frames, height, width, samples
+
+    return decode
+
+
+def pyav_decoder() -> Decoder:
+    """Real decoder (requires the ``av`` package; not in this image).
+
+    Semantics to implement, from the reference: transcode to 25 fps
+    (demoTalkNet.py:489-493), grayscale frames, 16 kHz mono int16 audio
+    (demoTalkNet.py:497-502).
+    """
+    try:
+        import av  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env without PyAV
+        raise NotImplementedError(
+            "PyAV is not installed in this environment; pass a custom "
+            "decoder or use fake_decoder() for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire av.open(BytesIO(content)) here")
+
+
+def explode_frames(
+    videos: DataFrame,
+    decoder: Decoder | None = None,
+    fps: float = FPS,
+) -> DataFrame:
+    """S5: video rows -> frames table (one row per frame, ts=idx/fps).
+
+    One video decodes entirely inside one task (frames never transit
+    the driver); cross-video parallelism comes from the corpus
+    partitioning. Long videos are the skew case — repartition the
+    corpus by video_id first and let AQE split stragglers downstream.
+    """
+    from ..deploy import ensure_worker_imports
+
+    ensure_worker_imports(videos)
+    dec = decoder or fake_decoder()
+    has_content = "content" in videos.columns
+    cols = ["video_id"] + (["content"] if has_content else [])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = getattr(row, "content", None)
+                frames, h, w, _ = dec(row.video_id, content)
+                for i, img in enumerate(frames):
+                    out.append((row.video_id, i, i / fps, img, h, w))
+            yield pd.DataFrame(
+                out,
+                columns=["video_id", "frame_idx", "ts", "image", "height", "width"],
+            )
+
+    return videos.select(*cols).mapInPandas(fn, FRAMES_SCHEMA)
+
+
+def extract_audio(
+    videos: DataFrame,
+    decoder: Decoder | None = None,
+    sr: int = SAMPLE_RATE,
+    chunk_s: float = 1.0,
+) -> DataFrame:
+    """S4: video rows -> chunked 16 kHz mono int16 audio table.
+
+    Chunked (default 1 s per row) rather than one giant array per
+    video so a 3-hour video does not become a 100 MB single row —
+    downstream per-track slicing (A7/X6) regroups by time range.
+    """
+    from ..deploy import ensure_worker_imports
+
+    ensure_worker_imports(videos)
+    dec = decoder or fake_decoder()
+    has_content = "content" in videos.columns
+    cols = ["video_id"] + (["content"] if has_content else [])
+    chunk_n = int(sr * chunk_s)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = getattr(row, "content", None)
+                _, _, _, samples = dec(row.video_id, content)
+                for ci in range(0, max(len(samples), 1), chunk_n):
+                    out.append(
+                        (row.video_id, ci // chunk_n, sr, samples[ci : ci + chunk_n])
+                    )
+            yield pd.DataFrame(out, columns=["video_id", "chunk_idx", "sr", "samples"])
+
+    return videos.select(*cols).mapInPandas(fn, AUDIO_SCHEMA)

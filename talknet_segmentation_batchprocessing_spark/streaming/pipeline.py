@@ -1,0 +1,94 @@
+"""Streaming surface (SURVEY.md §2.9).
+
+The reference's only streaming source is a sequential iterator
+(batchProcessVideos.py:111-124) with no watermarks or event-time
+windows. Its segmentation (W1) is the batch analog of *session
+windows* (a gap of one below-threshold frame closes a session) and
+its clip batching (W9) of *tumbling windows*. This module exposes:
+
+- ``stream_scores``: file-source readStream over a scores drop-folder
+  (new parquet files appear as tracks finish scoring);
+- ``foreach_batch_segments``: the exact batch ``extract_segments``
+  operator applied per micro-batch via ``foreachBatch`` — one code
+  path for batch and streaming, the Spark-idiomatic way to reuse an
+  operator that needs full-track ordering;
+- ``session_window_segments``: the declared extension — incremental
+  event-time session windows with a watermark, for the true
+  low-latency path (segments emitted while the track is still
+  streaming, closed after ``gap_s`` of silence).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.segmentation import extract_segments
+from ..schemas import SCORES
+
+
+def stream_scores(spark: SparkSession, drop_folder: str) -> DataFrame:
+    """readStream on a parquet drop-folder of scores rows."""
+    return (
+        spark.readStream.schema(SCORES)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(drop_folder)
+    )
+
+
+def foreach_batch_segments(
+    stream: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    threshold: float = 0.0,
+    min_duration_s: float = 0.5,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Run the batch segmentation operator per micro-batch.
+
+    Correct when each track's scores arrive within one file (the
+    reference writes scores.pckl per video atomically — same contract);
+    cross-batch tracks need ``session_window_segments`` instead.
+    """
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        sink(extract_segments(batch_df, threshold, min_duration_s), batch_id)
+
+    w = stream.writeStream.foreachBatch(run).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def session_window_segments(
+    scored_events: DataFrame,
+    gap_s: float = 0.04,  # one 25fps frame of silence closes the run
+    watermark_s: float = 2.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Extension surface: incremental session windows over an
+    event-time score stream (event_time timestamp, video_id, track_id,
+    score). Speaking frames within ``gap_s`` of each other merge into
+    one session; the watermark bounds state for late data."""
+    speaking = scored_events.filter(F.col("score") > threshold)
+    return (
+        speaking.withWatermark("event_time", f"{watermark_s} seconds")
+        .groupBy(
+            "video_id",
+            "track_id",
+            F.session_window("event_time", f"{gap_s} seconds").alias("w"),
+        )
+        .agg(F.count("*").alias("n_frames"), F.avg("score").alias("mean_score"))
+        .select(
+            "video_id",
+            "track_id",
+            F.col("w.start").alias("start_time"),
+            F.col("w.end").alias("end_time"),
+            "n_frames",
+            "mean_score",
+        )
+    )

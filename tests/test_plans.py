@@ -1,0 +1,66 @@
+"""Physical-plan posture tests (SURVEY.md §4): predicates reach the
+scan, dimension joins broadcast, single-shuffle operators stay
+single-shuffle. These guard the 100 TB design, not just correctness."""
+
+from __future__ import annotations
+
+from talknet_segmentation_batchprocessing_spark import registry
+from talknet_segmentation_batchprocessing_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    count_exchanges,
+    plan_has,
+)
+
+from .conftest import SF_SMOKE
+
+registry._ensure_loaded()
+
+
+def q(name, spark):
+    return registry.REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_f1_filter_pushed_to_scan(spark):
+    assert_pushed_filter(q("f1_confidence_filter", spark), "GreaterThan(l_quantity")
+
+
+def test_f7_isin_pushed_to_scan(spark):
+    assert_pushed_filter(q("f7_isin_filter", spark), "In(event_type")
+
+
+def test_j1_dimension_join_broadcasts(spark):
+    assert_broadcast_join(q("j1_equijoin_ranked", spark))
+
+
+def test_j3_dimension_join_broadcasts(spark):
+    assert_broadcast_join(q("j3_surrogate_equijoin", spark))
+
+
+def test_w1_segmentation_single_shuffle_before_agg(spark):
+    """W1: the lag window, the cumsum window and the groupBy all share
+    the (user_id) hash partitioning — exactly 2 exchanges total: one
+    for the partitioned work, one for the final global seg_id window
+    ordering by start_ts (still per-user)."""
+    n = count_exchanges(q("w1_speaking_segments", spark))
+    assert n <= 2, f"expected <=2 exchanges, got {n}"
+
+
+def test_extract_segments_column_pruning(spark):
+    """Only the referenced columns reach the scan."""
+    checks = plan_has(q("w1_speaking_segments", spark), "ReadSchema")
+    assert checks["ReadSchema"]
+
+
+def test_codegen_covers_relational_core(spark):
+    from talknet_segmentation_batchprocessing_spark.plans.inspect import (
+        codegen_subtree_count,
+    )
+
+    # AQE wraps the whole plan until execution, hiding codegen subtrees
+    # from pre-execution explain — inspect with it off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert codegen_subtree_count(q("q1_pricing_summary", spark)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

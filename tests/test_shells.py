@@ -1,0 +1,201 @@
+"""Unit tests for the media/NN shells and sources (SURVEY.md §5: shells
+are seeded-unit-tested, not oracle-checked): deterministic fakes, real
+Spark plumbing — schemas, fan-out shape, partition behavior."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def videos_df(spark):
+    return spark.createDataFrame(
+        [("vidA", "/data/vidA.mp4"), ("vidB", "/data/vidB.mp4")],
+        "video_id string, path string",
+    )
+
+
+def test_explode_frames_shape_and_timebase(spark, videos_df):
+    from talknet_segmentation_batchprocessing_spark.sources.media_ingest import (
+        explode_frames,
+        fake_decoder,
+    )
+
+    frames = explode_frames(videos_df, decoder=fake_decoder(n_frames=10)).toPandas()
+    assert len(frames) == 20  # 2 videos x 10 frames
+    one = frames[frames.video_id == "vidA"].sort_values("frame_idx")
+    assert list(one.frame_idx) == list(range(10))
+    assert one.ts.tolist() == [i / 25.0 for i in range(10)]  # X10 time base
+    assert all(len(b) == 64 for b in one.image)  # 8x8 uint8 payload
+
+
+def test_explode_frames_deterministic(spark, videos_df):
+    from talknet_segmentation_batchprocessing_spark.sources.media_ingest import (
+        explode_frames,
+    )
+
+    a = explode_frames(videos_df).toPandas().sort_values(["video_id", "frame_idx"])
+    b = explode_frames(videos_df).toPandas().sort_values(["video_id", "frame_idx"])
+    assert a.image.tolist() == b.image.tolist()
+
+
+def test_extract_audio_chunking(spark, videos_df):
+    from talknet_segmentation_batchprocessing_spark.sources.media_ingest import (
+        extract_audio,
+        fake_decoder,
+    )
+
+    audio = extract_audio(videos_df, decoder=fake_decoder(n_frames=50)).toPandas()
+    one = audio[audio.video_id == "vidA"].sort_values("chunk_idx")
+    # 50 frames / 25 fps = 2 s -> 2 chunks of 16000 samples
+    assert list(one.chunk_idx) == [0, 1]
+    assert all(one.sr == 16000)
+    assert sum(len(s) for s in one.samples) == 32000
+
+
+def test_detect_faces_fanout_and_conf_filter(spark, videos_df):
+    from talknet_segmentation_batchprocessing_spark.operators.inference import (
+        detect_faces,
+    )
+    from talknet_segmentation_batchprocessing_spark.sources.media_ingest import (
+        explode_frames,
+        fake_decoder,
+    )
+
+    frames = explode_frames(videos_df, decoder=fake_decoder(n_frames=30))
+    dets = detect_faces(frames, conf_th=0.9).toPandas()
+    assert set(dets.columns) == {
+        "video_id", "frame_idx", "det_id", "x1", "y1", "x2", "y2", "conf"
+    }
+    assert (dets.conf > 0.9).all()  # F1 strict threshold inside the shell
+    assert (dets.x2 > dets.x1).all() and (dets.y2 > dets.y1).all()
+    # deterministic across reruns
+    dets2 = detect_faces(frames, conf_th=0.9).toPandas()
+    pd.testing.assert_frame_equal(
+        dets.sort_values(["video_id", "frame_idx", "det_id"]).reset_index(drop=True),
+        dets2.sort_values(["video_id", "frame_idx", "det_id"]).reset_index(drop=True),
+    )
+
+
+def test_score_tracks_ensemble(spark):
+    from talknet_segmentation_batchprocessing_spark.operators.inference import (
+        score_tracks,
+    )
+
+    feats = spark.createDataFrame(
+        [("v", t, f) for t in (0, 1) for f in range(60)],
+        "video_id string, track_id int, frame_idx int",
+    )
+    scores = score_tracks(feats).toPandas()
+    assert len(scores) == 120  # one score per (track, frame)
+    assert scores.score.between(-2.0, 2.0).all()
+    # X14: rounded to 1 decimal
+    assert (scores.score * 10 % 1 == 0).all()
+
+
+def test_segment_sink_manifest_and_summary(spark, tmp_path):
+    from talknet_segmentation_batchprocessing_spark.operators.segmentation import (
+        extract_segments,
+    )
+    from talknet_segmentation_batchprocessing_spark.sources.segment_sink import (
+        format_summary,
+        manifest_cutter,
+        summary_report,
+        write_segment_media,
+    )
+
+    scores = spark.createDataFrame(
+        [("v", 0, f, 1.0 if 5 <= f < 30 else -1.0) for f in range(50)],
+        "video_id string, track_id int, frame_idx int, score double",
+    )
+    segs = extract_segments(scores, threshold=0.0, min_duration_s=0.5)
+    seg_rows = segs.toPandas()
+    assert len(seg_rows) == 1
+    assert (seg_rows.start_frame[0], seg_rows.end_frame[0]) == (5, 30)  # end exclusive
+
+    out_dir = str(tmp_path / "cuts")
+    paths = spark.createDataFrame([("v", "/data/v.mp4")], "video_id string, path string")
+    write_segment_media(segs, paths, manifest_cutter(out_dir))
+    manifests = os.listdir(out_dir)
+    assert manifests == ["v_t00000_s00000.json"]
+
+    summary = summary_report(segs)
+    text = format_summary(summary.collect())
+    assert "video v track 0: 1 segment(s), 1.00s speaking" in text
+
+
+def test_scan_video_folder(spark, tmp_path):
+    from talknet_segmentation_batchprocessing_spark.sources.corpus import (
+        scan_video_folder,
+    )
+
+    for name in ("a.mp4", "b.MP4", "c.avi", "d.txt"):
+        (tmp_path / name).write_bytes(b"xx" + name.encode())
+    df = scan_video_folder(spark, str(tmp_path)).toPandas()
+    assert sorted(df.video_id) == ["a", "b", "c"]  # case-insensitive, txt excluded
+    assert set(df.ext) == {"mp4", "avi"}
+    assert "content" not in df.columns  # payload pruned by default
+
+
+def test_csv_roundtrip_predictions(spark, tmp_path):
+    from talknet_segmentation_batchprocessing_spark.sources.csv_io import (
+        write_predictions_csv,
+    )
+
+    preds = spark.createDataFrame(
+        [("v", 1.0, 0.7, 3, "i1")],
+        "video_id string, frame_timestamp double, score double, label_id int, instance_id string",
+    )
+    out = str(tmp_path / "preds")
+    write_predictions_csv(preds, out)
+    back = spark.read.csv(out, header=True).toPandas()
+    assert "label" in back.columns and back.label[0] == "SPEAKING_AUDIBLE"
+    assert "label_id" not in back.columns and "instance_id" not in back.columns
+
+
+def test_checkpoint_roundtrip(spark, tmp_path):
+    from talknet_segmentation_batchprocessing_spark.sources.checkpoints import (
+        checkpoint,
+        has_stage,
+        restore,
+    )
+
+    df = spark.createDataFrame(
+        [("v1", 1, 0.5), ("v2", 2, 0.7)], "video_id string, frame_idx int, score double"
+    )
+    root = str(tmp_path / "stages")
+    checkpoint(df, root, "scores")
+    assert has_stage(root, "scores")
+    back = restore(spark, root, "scores").toPandas().sort_values("frame_idx")
+    assert back.score.tolist() == [0.5, 0.7]
+
+
+def test_multimodal_features(spark):
+    from talknet_segmentation_batchprocessing_spark.operators.multimodal import (
+        attach_binary_meta,
+        extract_image_features,
+        fake_image_decoder,
+        sample_video_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, bytearray(b"imgpayload1")), (2, bytearray(b"imgpayload2"))],
+        "doc_id long, payload binary",
+    )
+    meta = attach_binary_meta(docs, "payload", "doc_id").toPandas()
+    assert meta.byte_len.tolist() == [11, 11]
+    assert meta.content_sha.nunique() == 2
+
+    feats = extract_image_features(
+        docs, "payload", "doc_id", decoder=fake_image_decoder(16, 16)
+    ).toPandas()
+    assert all(len(f) == 64 for f in feats.feature)  # 8x8 block means
+    assert all(0.0 <= x <= 1.0 for f in feats.feature for x in f)
+
+    frames = spark.range(100).select(F.col("id").cast("int").alias("frame_idx"))
+    sampled = sample_video_frames(frames, every_n=25).toPandas()
+    assert sampled.frame_idx.tolist() == [0, 25, 50, 75]
