@@ -30,6 +30,8 @@ HEADLINE = [
     "pipeline_scores_to_segments",
     "q1_pricing_summary",
     "a6_average_precision",
+    "ava_map_eval",
+    "columbia_f1_eval",
     "j1_equijoin_ranked",
     "j5_spatial_best_match",
     "w4_linear_interpolation",

@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
         return
     from .queries import (  # noqa: F401
         aggregates,
+        eval_arm,
         extensions,
         filters,
         joins,
