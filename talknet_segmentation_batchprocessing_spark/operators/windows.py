@@ -194,3 +194,54 @@ def pack_batches(
     w = Window.orderBy(*order)
     cum = F.sum(length_col).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(batch_col, F.floor((cum - F.lit(1)) / F.lit(batch_size)).cast("bigint"))
+
+
+def pack_batches_exact(
+    df: DataFrame,
+    length_col: str,
+    batch_size: int,
+    tiebreak_cols: Sequence[str] = (),
+    group_cols: Sequence[str] = (),
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """W7 exact semantics (dataLoader.py:96-104): after sorting by
+    length desc, each batch takes ``max(int(batch_size / first_row_len),
+    1)`` consecutive rows — the capacity is set by the batch's FIRST
+    (longest) row. A sequential recurrence (each batch boundary depends
+    on the previous), so it runs as a pandas kernel per ``group_cols``
+    group (one global group when empty — batching is per-epoch in the
+    reference, bounded input).
+    """
+    import pandas as pd
+
+    from ..deploy import ensure_worker_imports
+
+    ensure_worker_imports(df)
+    gc = list(group_cols)
+    sort_cols = [length_col, *tiebreak_cols]
+    ascending = [False] + [True] * len(tiebreak_cols)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        ids = []
+        bid = 0
+        i = 0
+        n = len(p)
+        lengths = p[length_col].to_numpy()
+        while i < n:
+            cap = max(int(batch_size / lengths[i]), 1)
+            ids.extend([bid] * min(cap, n - i))
+            i += cap
+            bid += 1
+        p[batch_col] = pd.Series(ids, index=p.index[: len(ids)]).astype("int64")
+        return p
+
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{batch_col} bigint"]
+    )
+    if gc:
+        return df.groupBy(*gc).applyInPandas(assign, schema)
+    return df.withColumn("_g", F.lit(0)).groupBy("_g").applyInPandas(
+        lambda pdf: assign(pdf.drop(columns=["_g"])), schema
+    )
