@@ -199,3 +199,31 @@ def test_multimodal_features(spark):
     frames = spark.range(100).select(F.col("id").cast("int").alias("frame_idx"))
     sampled = sample_video_frames(frames, every_n=25).toPandas()
     assert sampled.frame_idx.tolist() == [0, 25, 50, 75]
+
+
+def test_video_corpus_datasource(spark, tmp_path):
+    from talknet_segmentation_batchprocessing_spark.sources import datasource
+
+    for name in ("x.mp4", "y.mkv", "skip.txt"):
+        (tmp_path / name).write_bytes(name.encode() * 3)
+    datasource.register(spark)
+    df = (
+        spark.read.format("video_corpus")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    pdf = df.toPandas().sort_values("video_id")
+    assert pdf.video_id.tolist() == ["x", "y"]
+    assert "content" not in pdf.columns  # metadata-only by default
+    full = (
+        spark.read.format("video_corpus")
+        .option("path", str(tmp_path))
+        .option("with_content", "true")
+        .load()
+        .toPandas()
+        .sort_values("video_id")
+    )
+    assert full.content.iloc[0] == b"x.mp4" * 3
+    # composes with the relational surface (filter + projection)
+    n = df.filter("ext = 'mp4'").count()
+    assert n == 1
