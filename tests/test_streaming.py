@@ -60,3 +60,46 @@ def test_session_window_segments_batch_semantics(spark):
     one = session_window_segments(df, gap_s=0.1).toPandas()
     assert len(one) == 1
     assert one.n_frames[0] == 19  # frame 10 excluded by the threshold
+
+
+def test_stateful_segments_across_microbatches(spark, tmp_path):
+    """A speaking run spanning two micro-batch files must merge into one
+    segment — the case foreachBatch cannot handle."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.schemas import SCORES
+    from talknet_segmentation_batchprocessing_spark.streaming.stateful import (
+        stateful_segments,
+    )
+
+    drop = tmp_path / "scores"
+    drop.mkdir()
+    # batch file 1: frames 0-29, speaking 10..29 (run OPEN at the end)
+    b1 = [("v", 0, f, 1.0 if f >= 10 else -1.0) for f in range(30)]
+    # batch file 2: frames 30-59, speaking continues to 39, silent after
+    b2 = [("v", 0, f, 1.0 if f < 40 else -1.0) for f in range(30, 60)]
+    spark.createDataFrame(b1, SCORES).coalesce(1).write.parquet(str(drop / "f1"))
+    time.sleep(1.1)  # distinct mod times -> deterministic file order
+    spark.createDataFrame(b2, SCORES).coalesce(1).write.parquet(str(drop / "f2"))
+
+    stream = (
+        spark.readStream.schema(SCORES)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    segs = stateful_segments(stream, threshold=0.0, min_duration_s=0.5)
+    q = (
+        segs.writeStream.format("memory")
+        .queryName("segs_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from segs_out").toPandas()
+    # one merged segment 10..40 (exclusive), 30 frames, spanning batches
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.start_frame, row.end_frame, row.n_frames) == (10, 40, 30)
