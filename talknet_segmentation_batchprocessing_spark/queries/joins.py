@@ -240,18 +240,26 @@ SELECT p_partkey, donor_key, donor_size FROM (
     tags=("J8",),
 )
 def j8_length_constrained_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window form of the theta join (the oracle keeps the O(n^2) SQL):
+    # in (size, key) order, the smallest qualifying donor for a row is
+    # either its size-group's head (when that head is another row) or
+    # simply the next row in the global order (same size with larger
+    # key, or the next size group — both qualify). O(n log n) instead
+    # of the quadratic size>= self-join, which is the difference
+    # between a dim-table trick and a job that cannot finish at 100 TB.
     part = load(spark, sf_dir, "part").select("p_partkey", "p_size")
-    b = part.select(
-        F.col("p_partkey").alias("donor_key"), F.col("p_size").alias("donor_size")
-    )
-    j = part.join(
-        b,
-        (F.col("donor_size") >= F.col("p_size"))
-        & (F.col("donor_key") != F.col("p_partkey")),
-    )
-    w = Window.partitionBy("p_partkey").orderBy("donor_size", "donor_key")
+    head = F.min("p_partkey").over(Window.partitionBy("p_size"))
+    wg = Window.orderBy("p_size", "p_partkey")
+    next_key = F.lead("p_partkey").over(wg)
+    next_size = F.lead("p_size").over(wg)
+    is_head = F.col("p_partkey") == head
+    donor_key = F.when(~is_head, head).otherwise(next_key)
+    donor_size = F.when(~is_head, F.col("p_size")).otherwise(next_size)
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("p_partkey", "donor_key", "donor_size")
+        part.select(
+            "p_partkey",
+            donor_key.alias("donor_key"),
+            donor_size.alias("donor_size"),
+        )
+        .filter(F.col("donor_key").isNotNull())
     )
