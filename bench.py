@@ -38,6 +38,7 @@ HEADLINE = [
     "w3_windowed_median",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
     "text_quality_score",
 ]
 

@@ -480,6 +480,108 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 8       # coarse centroids = vectors with vec_id < K (deterministic)
+_IVF_NPROBE = 2  # centroid lists probed per query
+_COS_VC_DUCK = (
+    "list_sum(list_transform(range(1, 65), i -> v[i] * cv[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))))"
+)
+_COS_VC_SPARK = (
+    "aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    " / (sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"
+    " * sqrt(aggregate(transform(cv, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)))"
+)
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_IVF_K}),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c WHERE e.vec_id < 10
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+  FROM qprobe q JOIN assign a ON a.cent_id = q.cent_id
+  WHERE a.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> qe.v[i] * qe.v[i])))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> ne.v[i] * ne.v[i])))) AS cs
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, floor((cs) * 1e4 + 0.5) / 1e4 AS cos_sim,
+       CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+    doc="ANN scale path #2: IVF-Flat sketch — deterministic coarse "
+    "centroids (first K vectors), every vector assigned to its nearest "
+    "centroid list, queries probe nprobe lists and rank only within "
+    "probed lists. Candidate count ~ n*nprobe/K instead of n; at "
+    "100 TB the centroids come from sampled k-means and lists are "
+    "bucketed on disk",
+    tags=("similarity", "ext"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    pairs = emb.crossJoin(F.broadcast(cent)).withColumn("cc", F.expr(_COS_VC_SPARK))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(wv))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    qprobe = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= _IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    cand = (
+        qprobe.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("av"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"))
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .withColumn("cs", F.expr(_COS_EXPR_SPARK))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", stable_round("cs", 4).alias("cos_sim"), "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
