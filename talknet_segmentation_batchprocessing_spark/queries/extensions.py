@@ -203,24 +203,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification self-join) — persist once instead of recomputing the
     # shingle->vocab join per branch.
     ds = sh.join(vocab, "shingle").select("doc_id", "sid").persist()
-    params = spark.range(0, 8).select(
-        F.col("id").alias("j"),
-        (2 * F.col("id") + 3).alias("a"),
-        (5 * F.col("id") + 7).alias("b"),
+    # All 8 minhashes in ONE aggregation (8 min columns over the same
+    # rows), then bands by column slicing — no 8x row replication, no
+    # second groupBy, two fewer shuffles than the cross-join form. The
+    # oracle keeps the unnest/group form; identical band signatures.
+    mh = ds.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * j + 3) * F.col("sid") + F.lit(5 * j + 7)) % _MINHASH_P)
+            .cast("bigint")
+            .alias(f"h{j}")
+            for j in range(8)
+        ]
     )
-    mh = (
-        ds.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "j")
-        .agg(F.min((F.col("a") * F.col("sid") + F.col("b")) % _MINHASH_P).alias("minh"))
-    )
-    bands = mh.groupBy(
-        "doc_id", F.floor(F.col("j") / 4).cast("int").alias("band")
-    ).agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(j, minh))),"
-            " s -> cast(s.minh as string)), ',')"
-        ).alias("sig")
-    )
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.concat_ws(",", *[F.col(f"h{j}").cast("string") for j in range(4 * b, 4 * b + 4)]).alias("sig"),
+        )
+        for b in range(2)
+    ]
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cand = (

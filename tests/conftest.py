@@ -1,9 +1,13 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 TESTDATA = "/root/testdata"
-SF_SMOKE = f"{TESTDATA}/sf0.001"
+# SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 runs the parity suite at
+# the driver's correctness-gate scale instead of the fast smoke scale.
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", f"{TESTDATA}/sf0.001")
 SF_CORRECT = f"{TESTDATA}/sf0.01"
 
 TABLES = (
