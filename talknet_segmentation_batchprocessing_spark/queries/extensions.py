@@ -4,12 +4,11 @@ plumbing — each a first-class oracle-checked query over `documents` /
 `embeddings`.
 
 Determinism design: MinHash/SimHash normally hash raw tokens; Spark's
-xxhash64 and DuckDB's hash() differ, so these queries derive token ids
-from a sorted-vocabulary row_number and apply affine hash families to
-the ids — bit-identical on both engines. At 100 TB the vocab
-row_number (a global sort) would be replaced by xxhash64 directly
-(no oracle constraint in production); the band/bucket/join topology —
-the part that matters for scale — is identical.
+xxhash64 and DuckDB's hash() differ, but both engines implement md5()
+with identical output, so token/shingle ids are the first 12 hex
+digits of md5 parsed as bigint — bit-identical on both engines, fully
+parallel (no global sort, no vocabulary join), and exactly the
+production shape: a per-row hash feeding the affine minhash family.
 """
 
 from __future__ import annotations
@@ -145,11 +144,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_ORACLE = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-vocab AS (
-  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-  FROM (SELECT DISTINCT shingle FROM sh)
+ds AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS sid
+  FROM sh
 ),
-ds AS (SELECT s.doc_id, v.sid FROM sh s JOIN vocab v USING (shingle)),
 params AS (SELECT j, 2 * j + 3 AS a, 5 * j + 7 AS b FROM (SELECT unnest(range(0, 8)) AS j)),
 mh AS (
   SELECT doc_id, j, min((a * sid + b) % {_MINHASH_P}) AS minh
@@ -186,23 +184,22 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
 @query(
     "dedup_minhash_lsh",
     oracle=_MINHASH_ORACLE,
-    doc="MinHash+LSH near-dup: 3-shingles -> 8 affine minhashes over "
-    "sorted-vocab ids -> 2 bands x 4 rows -> band-bucket join -> "
+    doc="MinHash+LSH near-dup: 3-shingles -> md5-derived shingle ids -> "
+    "8 affine minhashes -> 2 bands x 4 rows -> band-bucket join -> "
     "candidate pairs verified with true Jaccard. The band join is the "
     "100 TB path: candidates ~ O(true dups), never all-pairs",
     tags=("dedup", "ext", "flagship"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
-    vocab = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("bigint"))
-    )
     # ds feeds four branches (minhashes, sizes, and both sides of the
-    # verification self-join) — persist once instead of recomputing the
-    # shingle->vocab join per branch.
-    ds = sh.join(vocab, "shingle").select("doc_id", "sid").persist()
+    # verification self-join) — persist once. Shingle ids come straight
+    # from md5 (identical in DuckDB): embarrassingly parallel, no
+    # vocabulary sort or join.
+    ds = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint").alias("sid"),
+    ).persist()
     # All 8 minhashes in ONE aggregation (8 min columns over the same
     # rows), then bands by column slicing — no 8x row replication, no
     # second groupBy, two fewer shuffles than the cross-join form. The
@@ -262,13 +259,9 @@ WITH toks AS (
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
   )
 ),
-vocab AS (
-  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT tok FROM toks)
-),
 dt AS (
-  SELECT t.doc_id, (v.tid * 2654435761) % 65536 AS h
-  FROM toks t JOIN vocab v USING (tok)
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 65536 AS h
+  FROM toks
 ),
 bits AS (
   SELECT doc_id, b,
@@ -287,8 +280,8 @@ FROM bits GROUP BY doc_id
     "dedup_simhash",
     oracle=_SIMHASH_ORACLE,
     doc="SimHash fingerprint: 16-bit signed-sum-of-token-hash-bits per "
-    "doc; identical fingerprints = near-dup candidates. One groupBy per "
-    "stage, no pairwise work until bucketing",
+    "doc (md5-derived token hashes); identical fingerprints = near-dup "
+    "candidates. One groupBy per stage, no pairwise work until bucketing",
     tags=("dedup", "ext"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,13 +291,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).distinct()
-    vocab = (
-        toks.select("tok")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("tok")).cast("bigint"))
-    )
-    dt = toks.join(vocab, "tok").select(
-        "doc_id", ((F.col("tid") * 2654435761) % 65536).alias("h")
+    dt = toks.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint") % 65536).alias("h"),
     )
     bvals = spark.range(0, 16).select(F.col("id").alias("b"))
     bit = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("bigint") % 2)
@@ -323,10 +312,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding similarity
 # ---------------------------------------------------------------------------
 
-_COS_EXPR_SPARK = (
+# Pair cosine with pre-computed norms: the dot is the only per-pair
+# lambda; |a|,|b| are computed once per *row* upstream. Same fold order
+# as the inline form, so the oracle (which folds inline) is bit-equal.
+_DOT_AB_SPARK = (
     "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
-    " / (sqrt(aggregate(transform(av, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))"
-    " * sqrt(aggregate(transform(bv, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)))"
+)
+_NORM_SPARK = (
+    "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))"
 )
 
 _COS_EXPR_DUCK = (
@@ -421,18 +414,22 @@ FROM (
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate side fans out across cores (single-file scan is one
-    # partition); the 10-vector query batch broadcasts to each.
+    # partition); the 10-vector query batch broadcasts to each. Norms
+    # are computed once per vector, not once per pair.
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("nrm", F.expr(_NORM_SPARK))
     )
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("av")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
     pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn("cs", F.expr(_COS_EXPR_SPARK))
+    scored = pairs.withColumn("cs", F.expr(_DOT_AB_SPARK) / (F.col("an") * F.col("bn")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -491,10 +488,8 @@ _COS_VC_DUCK = (
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))"
     " * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))))"
 )
-_COS_VC_SPARK = (
+_DOT_VC_SPARK = (
     "aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-    " / (sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"
-    " * sqrt(aggregate(transform(cv, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)))"
 )
 
 
@@ -553,30 +548,48 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("nrm", F.expr(_NORM_SPARK))
     )
     cent = emb.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
-    pairs = emb.crossJoin(F.broadcast(cent)).withColumn("cc", F.expr(_COS_VC_SPARK))
+    pairs = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cc", F.expr(_DOT_VC_SPARK) / (F.col("nrm") * F.col("cn"))
+    )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
-    ranked = pairs.withColumn("rn", F.row_number().over(wv))
+    # assign and qprobe both branch off this window — persist the (tiny,
+    # nprobe-capped) ranked frame so the scan+crossJoin+window runs once.
+    ranked = (
+        pairs.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= max(1, _IVF_NPROBE))
+        .select("vec_id", "cent_id", "rn")
+        .persist()
+    )
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     qprobe = (
         ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= _IVF_NPROBE))
         .select(F.col("vec_id").alias("query_id"), "cent_id")
     )
+    # Each vector lands in exactly one centroid list and each query probes
+    # distinct lists, so (query, neighbor) pairs are already unique — no
+    # dedup shuffle needed (the oracle's DISTINCT is a no-op there too).
     cand = (
-        qprobe.join(assign, "cent_id")
+        F.broadcast(qprobe).join(assign, "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
     )
-    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("av"))
-    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"))
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    # qe is 10 rows; at cluster scale ne stays a shuffle join on the
+    # probed-list partitions — broadcast only the query side.
     scored = (
         cand.join(F.broadcast(qe), "query_id")
         .join(ne, "neighbor_id")
-        .withColumn("cs", F.expr(_COS_EXPR_SPARK))
+        .withColumn("cs", F.expr(_DOT_AB_SPARK) / (F.col("an") * F.col("bn")))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
     return (
