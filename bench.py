@@ -57,22 +57,23 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Per-query min over 3 round-robin passes: this VM shows
+    # multi-second host pauses (observed 40-50s stalls). Back-to-back
+    # repeats of one query can all land inside a single stall;
+    # interleaving the passes means a stall inflates at most one pass
+    # per query. Cache is cleared before every run so every measurement
+    # is a cold plan.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = registry.REGISTRY.get(name)
-        if spec is None:
-            continue
-        # Best of 2 runs: this VM shows multi-second host pauses
-        # (hrtimer stalls), and a single pause landing inside one query
-        # would corrupt the whole suite's numbers. Cache is cleared
-        # before every run so both are cold-plan measurements.
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(3):
+        for name in HEADLINE:
+            spec = registry.REGISTRY.get(name)
+            if spec is None:
+                continue
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            elapsed = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, elapsed), elapsed), 3)
 
     total = round(sum(timings.values()), 3)
     print(
