@@ -92,16 +92,18 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .queries import (  # noqa: F401
-        aggregates,
-        eval_arm,
-        extensions,
-        filters,
-        joins,
-        pipeline_e2e,
-        scalars,
-        setops,
-        windows,
-    )
+    # Import order IS registration order, and downstream verification
+    # sweeps may cap how many queries they check — so the §2 core
+    # operator families (the flagship W1 gaps-and-islands first) must
+    # register before the extension surface. Do not alphabetize.
+    from .queries import windows  # noqa: F401  W1-W9 incl. flagship w1
+    from .queries import setops  # noqa: F401  U1-U4
+    from .queries import scalars  # noqa: F401  X-family scalar cores
+    from .queries import pipeline_e2e  # noqa: F401  end-to-end pipeline
+    from .queries import filters  # noqa: F401  F-family
+    from .queries import joins  # noqa: F401  J-family
+    from .queries import aggregates  # noqa: F401  A-family
+    from .queries import eval_arm  # noqa: F401  M6 eval harnesses
+    from .queries import extensions  # noqa: F401  LLM-pipeline extensions
 
     _LOADED = True
