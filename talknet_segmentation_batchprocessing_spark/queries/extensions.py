@@ -329,6 +329,10 @@ _COS_EXPR_DUCK = (
 )
 
 
+_COS_NEAR_DUP_THRESHOLD = 0.45  # testdata embeddings are near-random; 0.45 yields real pairs
+_COS_TILE_ROWS = 65536  # bound on rows collected/broadcast per tile (~32 MB at 64 dims)
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -338,55 +342,97 @@ pairs AS (
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, floor(({_COS_EXPR_DUCK}) * 1e4 + 0.5) / 1e4 AS cos_sim
-FROM pairs WHERE {_COS_EXPR_DUCK} > 0.8
+FROM pairs WHERE {_COS_EXPR_DUCK} > {_COS_NEAR_DUP_THRESHOLD}
 """,
-    doc="Embedding-cosine near-dup: pairs above 0.8 cosine. Brute-force "
-    "O(n^2) is the correctness baseline; sim_lsh_bucketed is the scale "
-    "path (bucket first, verify within bucket)",
+    doc="Embedding-cosine near-dup: pairs above cosine threshold. "
+    "Brute-force O(n^2) is the correctness baseline; sim_lsh_bucketed "
+    "is the scale path (bucket first, verify within bucket)",
     tags=("dedup", "similarity", "ext"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast block-matmul, not a pairwise SQL nested-loop join: the
-    candidate matrix is broadcast once, each Arrow batch of query rows
-    computes A @ B.T with BLAS, and only pairs above threshold are
-    emitted. ~100x over evaluating the cosine lambda per pair (193 s ->
-    ~2 s at sf0.1). At cluster scale the broadcast side becomes tiled
-    blocks (or the LSH-bucketed variant below, which avoids all-pairs
-    entirely)."""
+    """Tiled broadcast block-matmul, not a pairwise SQL nested-loop join.
+
+    The candidate side is split into bounded tiles (<= _COS_TILE_ROWS
+    rows each); each tile is collected and broadcast in turn, and every
+    Arrow batch of the full scan computes A @ B.T against it with BLAS.
+    Driver memory is bounded by ONE tile regardless of table size — at
+    100 TB this is O(n^2 / tile) scans, the honest brute-force cost;
+    real near-dup at that scale routes through sim_lsh_bucketed.
+
+    BLAS matmul uses pairwise/FMA summation, which can differ from the
+    oracle's sequential fold in the last ulp — enough to flip a pair
+    sitting exactly on the threshold. So BLAS is only the candidate
+    pre-filter (threshold minus slack); survivors are re-scored with
+    the same left-to-right fold the oracle uses before the exact
+    threshold + rounding are applied.
+    """
     import numpy as np
     import pandas as pd
 
+    thr = _COS_NEAR_DUP_THRESHOLD
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    bpdf = emb.toPandas()
-    ids_b = bpdf["vec_id"].to_numpy()
-    B = np.vstack(bpdf["v"].to_numpy())
-    bn = np.sqrt((B * B).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_b, B, bn))
+    n = emb.count()
+    n_tiles = max(1, -(-n // _COS_TILE_ROWS))
 
-    def block_cosine(batches):
-        ids_b, B, bn = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            A = np.vstack(pdf["v"].to_numpy())
-            ida = pdf["vec_id"].to_numpy()
-            an = np.sqrt((A * A).sum(axis=1))
-            sims = (A @ B.T) / np.outer(an, bn)
-            ai, bi = np.where((ida[:, None] < ids_b[None, :]) & (sims > 0.8))
-            cs = sims[ai, bi]
-            yield pd.DataFrame(
-                {
-                    "vec_a": ida[ai],
-                    "vec_b": ids_b[bi],
-                    "cos_sim": np.floor(cs * 1e4 + 0.5) / 1e4,
-                }
+    def seq_dot(a, b):
+        # Strict left-to-right accumulation, matching DuckDB list_sum.
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def make_block_cosine(bc):
+        def block_cosine(batches):
+            ids_b, B, bn = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                A = np.vstack(pdf["v"].to_numpy())
+                ida = pdf["vec_id"].to_numpy()
+                an = np.sqrt((A * A).sum(axis=1))
+                sims = (A @ B.T) / np.outer(an, bn)
+                # Pre-filter with slack; exact fold decides membership.
+                ai, bi = np.where((ida[:, None] < ids_b[None, :]) & (sims > thr - 1e-9))
+                out_a, out_b, out_cs = [], [], []
+                for i, j in zip(ai, bi):
+                    av, bv = A[i], B[j]
+                    cs = seq_dot(av, bv) / (
+                        np.sqrt(seq_dot(av, av)) * np.sqrt(seq_dot(bv, bv))
+                    )
+                    if cs > thr:
+                        out_a.append(ida[i])
+                        out_b.append(ids_b[j])
+                        out_cs.append(np.floor(cs * 1e4 + 0.5) / 1e4)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pd.Series(out_a, dtype="int64"),
+                        "vec_b": pd.Series(out_b, dtype="int64"),
+                        "cos_sim": pd.Series(out_cs, dtype="float64"),
+                    }
+                )
+
+        return block_cosine
+
+    parts = []
+    for t in range(n_tiles):
+        tile = emb.filter(F.col("vec_id") % n_tiles == t).toPandas()
+        ids_b = tile["vec_id"].to_numpy()
+        B = np.vstack(tile["v"].to_numpy())
+        bn = np.sqrt((B * B).sum(axis=1))
+        bc = spark.sparkContext.broadcast((ids_b, B, bn))
+        parts.append(
+            emb.mapInPandas(
+                make_block_cosine(bc), "vec_a long, vec_b long, cos_sim double"
             )
-
-    return emb.mapInPandas(block_cosine, "vec_a long, vec_b long, cos_sim double")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 @query(

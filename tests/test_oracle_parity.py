@@ -62,6 +62,19 @@ def test_oracle_parity(name, spark, duck):
             )
 
 
+# Queries whose oracle-parity check would be vacuous on an empty result:
+# assert the fixture actually exercises them (round-1 lesson — the
+# cosine near-dup query passed with 0 rows and proved nothing).
+NON_VACUOUS = ["dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_minhash_lsh"]
+
+
+@pytest.mark.parametrize("name", NON_VACUOUS)
+def test_non_vacuous(name, spark):
+    assert registry.REGISTRY[name].fn(spark, SF_SMOKE).count() > 0, (
+        f"{name} returned 0 rows at {SF_SMOKE}: its parity check is vacuous"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(name, spark):
     spec = registry.REGISTRY[name]
