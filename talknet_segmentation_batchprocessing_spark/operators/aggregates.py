@@ -106,8 +106,13 @@ def average_precision(
     up to tie handling, so determinism requires the explicit key).
     """
     part: list = list(group_cols)
+    lab = F.col(label_col).cast("int")
+    if not part:
+        return _average_precision_global(
+            df, score_col, lab, tiebreak_cols, out_col, ndigits
+        )
     order = [F.desc(score_col)] + [F.col(c) for c in tiebreak_cols]
-    w = Window.partitionBy(*part).orderBy(*order) if part else Window.orderBy(*order)
+    w = Window.partitionBy(*part).orderBy(*order)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # Suffix max expressed as a running max over the exact REVERSE total
@@ -115,14 +120,9 @@ def average_precision(
     # by WindowExec (O(n^2) per partition — 145 s at 100k rows), while
     # growing UNBOUNDED PRECEDING frames aggregate incrementally (O(n)).
     order_rev = [F.asc(score_col)] + [F.desc(c) for c in tiebreak_cols]
-    w_rev = (
-        Window.partitionBy(*part).orderBy(*order_rev)
-        if part
-        else Window.orderBy(*order_rev)
-    )
+    w_rev = Window.partitionBy(*part).orderBy(*order_rev)
     wsuffix = w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lab = F.col(label_col).cast("int")
     ranked = (
         df.withColumn("_rank", F.row_number().over(w))
         .withColumn("_tp", F.sum(lab).over(wcum))
@@ -135,7 +135,102 @@ def average_precision(
         "_dr", F.col("_rec") - F.coalesce(F.lag("_rec").over(w), F.lit(0.0))
     )
     agg = stable_round(F.sum(F.col("_dr") * F.col("_sprec")), ndigits).alias(out_col)
-    return sm.groupBy(*part).agg(agg) if part else sm.agg(agg)
+    return sm.groupBy(*part).agg(agg)
+
+
+def _average_precision_global(
+    df: DataFrame,
+    score_col: str,
+    lab: Column,
+    tiebreak_cols: Sequence[str],
+    out_col: str,
+    ndigits: int,
+) -> DataFrame:
+    """Ungrouped AP without any single-partition window (two-phase):
+
+    - range-bucket rows on score; ONE stats pass gives per-bucket row
+      counts and positive counts, so bucket-local ``row_number`` /
+      ``cumsum(label)`` lift to their global values via literal-map
+      offsets (and total P is known on the driver);
+    - the precision suffix-max splits into a bucket-local running max
+      over the reverse order plus a cross-bucket tail max, computed on
+      the tiny per-bucket-max frame (#buckets rows) and broadcast back;
+    - delta-recall needs only the bucket-LOCAL cumsum lag: the previous
+      global row's tp differs by exactly the bucket offset, which
+      cancels in the subtraction.
+    """
+    from ..plans.two_phase import (
+        _BUCKET,
+        _exclusive_prefix,
+        _offset_map,
+        with_range_bucket,
+    )
+
+    b = with_range_bucket(df, score_col, descending=True)
+    stats = (
+        b.groupBy(_BUCKET)
+        .agg(F.count("*").alias("cnt"), F.sum(lab).alias("np"))
+        .collect()
+    )
+    counts = {r[_BUCKET]: r["cnt"] for r in stats}
+    posb = {r[_BUCKET]: int(r["np"] or 0) for r in stats}
+    total_pos = sum(posb.values())
+    if total_pos == 0:
+        # No positives: AP undefined; preserve the x/0 => NULL semantics
+        # of the one-phase form (and of the SQL oracle).
+        return df.limit(1).agg(
+            F.lit(None).cast("double").alias(out_col)
+        )
+    rank_off = _offset_map(_exclusive_prefix(counts))
+    tp_off_raw = _exclusive_prefix(posb)
+    tp_off = _offset_map(tp_off_raw)
+    # Recall of the global row BEFORE each bucket's first row, computed
+    # with the same double division the engines use — keeps _dr
+    # bit-identical to the one-phase rec - lag(rec) form.
+    prev_rec_off = _offset_map(
+        {bid: v / total_pos for bid, v in tp_off_raw.items()}, default=0.0
+    )
+
+    order = [F.desc(score_col)] + [F.col(c) for c in tiebreak_cols]
+    order_rev = [F.asc(score_col)] + [F.desc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(_BUCKET).orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wsuffix = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(*order_rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    scored = (
+        b.withColumn("_ltp", F.sum(lab).over(wcum))
+        .withColumn("_rank", rank_off + F.row_number().over(w))
+        .withColumn("_tp", tp_off + F.col("_ltp"))
+        .withColumn("_prec", F.col("_tp") / F.col("_rank"))
+        .withColumn("_rec", F.col("_tp") / F.lit(total_pos))
+        .withColumn(
+            "_dr",
+            F.col("_rec") - F.coalesce(F.lag("_rec").over(w), prev_rec_off),
+        )
+        .withColumn("_lsuf", F.max("_prec").over(wsuffix))
+    )
+    # Cross-bucket tail max over the #buckets-row frame. A window here
+    # would constant-fold to Exchange SinglePartition, so use a theta
+    # self-join (#buckets^2 pairs — trivial) + grouped max instead:
+    # tail[b] = max(_bm over buckets AFTER b in the desc score order).
+    bm = scored.groupBy(_BUCKET).agg(F.max("_prec").alias("_bm"))
+    later = bm.select(F.col(_BUCKET).alias("_b2"), F.col("_bm").alias("_bm2"))
+    bmax = (
+        bm.join(F.broadcast(later), F.col("_b2") > F.col(_BUCKET), "left")
+        .groupBy(_BUCKET)
+        .agg(F.max("_bm2").alias("_tail"))
+    )
+    sm = scored.join(F.broadcast(bmax), _BUCKET).withColumn(
+        "_sprec",
+        F.greatest(F.col("_lsuf"), F.coalesce(F.col("_tail"), F.lit(float("-inf")))),
+    )
+    return sm.agg(
+        stable_round(F.sum(F.col("_dr") * F.col("_sprec")), ndigits).alias(out_col)
+    )
 
 
 def entity_clip_extent(ava: DataFrame) -> DataFrame:

@@ -189,11 +189,22 @@ def pack_batches(
     batch_size) over the sorted order — every batch's total length is
     ~batch_size, lengths sorted desc so batches are homogeneous.
     """
-    order = [F.col(length_col).desc() if order_desc else F.col(length_col).asc()]
-    order += [F.col(c) for c in tiebreak_cols]
-    w = Window.orderBy(*order)
-    cum = F.sum(length_col).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return df.withColumn(batch_col, F.floor((cum - F.lit(1)) / F.lit(batch_size)).cast("bigint"))
+    from ..plans.two_phase import global_cumsum
+
+    # Two-phase global running sum (bucket-local cumsum + per-bucket sum
+    # offsets) — the naive Window.orderBy form serializes every row
+    # through one partition.
+    cum = global_cumsum(
+        df,
+        length_col,
+        length_col,
+        tiebreak_cols=tuple(tiebreak_cols),
+        descending=order_desc,
+        out_col="_cum",
+    )
+    return cum.withColumn(
+        batch_col, F.floor((F.col("_cum") - F.lit(1)) / F.lit(batch_size)).cast("bigint")
+    ).drop("_cum")
 
 
 def pack_batches_exact(

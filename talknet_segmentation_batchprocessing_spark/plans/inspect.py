@@ -48,6 +48,39 @@ def assert_broadcast_join(df: DataFrame) -> None:
         raise AssertionError(f"expected a broadcast join; plan:\n{plan[:4000]}")
 
 
+def single_partition_sorts(df: DataFrame) -> int:
+    """Number of Sort nodes fed by an ``Exchange SinglePartition`` —
+    the physical signature of an unpartitioned global window/sort that
+    funnels EVERY row through one task. Scalar aggregates also use
+    SinglePartition exchanges (over tiny partials), so only the
+    Sort-over-Exchange shape counts as a violation."""
+    import re
+
+    plan = formatted_plan(df)
+    sp_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\n(?:[^\n]*\n)?Arguments: SinglePartition", plan
+        )
+    }
+    if not sp_ids:
+        return 0
+    tree = plan.split("\n\n")[0].splitlines()
+    hits = 0
+    for i, line in enumerate(tree):
+        m = re.search(r"Exchange \((\d+)\)", line)
+        if not m or m.group(1) not in sp_ids:
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        for prev in reversed(tree[:i]):
+            p_indent = len(prev) - len(prev.lstrip(" :+-"))
+            if p_indent < indent:
+                if re.search(r"\bSort \(", prev):
+                    hits += 1
+                break
+    return hits
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan — the
     scale currency. Operators documented as single-shuffle are tested

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.geometry import iou
 from ..operators.windows import top_per_group
 from ..functions.rounding import stable_round
+from ..plans.two_phase import global_lead, global_rank
 from ..registry import load, query
 
 # Synthetic boxes derived from lineitem rows: linenumber 1 rows are the
@@ -71,10 +72,16 @@ def j1_equijoin_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return j.select(
-        "o_orderkey", "c_name", "o_totalprice", F.row_number().over(w).alias("pos")
+    # Global rank without a single-partition window: range-bucket on the
+    # score + bucket-local row_number + broadcast count offsets.
+    ranked = global_rank(
+        j.select("o_orderkey", "c_name", "o_totalprice"),
+        "o_totalprice",
+        tiebreak_cols=("o_orderkey",),
+        descending=True,
+        out_col="pos",
     )
+    return ranked.select("o_orderkey", "c_name", "o_totalprice", "pos")
 
 
 @query(
@@ -247,16 +254,18 @@ def j8_length_constrained_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key, or the next size group — both qualify). O(n log n) instead
     # of the quadratic size>= self-join, which is the difference
     # between a dim-table trick and a job that cannot finish at 100 TB.
+    # The global lead itself is two-phase (bucket-local + next-bucket
+    # head patch) so no single-partition window remains.
     part = load(spark, sf_dir, "part").select("p_partkey", "p_size")
     head = F.min("p_partkey").over(Window.partitionBy("p_size"))
-    wg = Window.orderBy("p_size", "p_partkey")
-    next_key = F.lead("p_partkey").over(wg)
-    next_size = F.lead("p_size").over(wg)
+    led = global_lead(
+        part, "p_size", ("p_partkey",), lead_cols=("p_partkey", "p_size")
+    )
     is_head = F.col("p_partkey") == head
-    donor_key = F.when(~is_head, head).otherwise(next_key)
-    donor_size = F.when(~is_head, F.col("p_size")).otherwise(next_size)
+    donor_key = F.when(~is_head, head).otherwise(F.col("_next_p_partkey"))
+    donor_size = F.when(~is_head, F.col("p_size")).otherwise(F.col("_next_p_size"))
     return (
-        part.select(
+        led.select(
             "p_partkey",
             donor_key.alias("donor_key"),
             donor_size.alias("donor_size"),

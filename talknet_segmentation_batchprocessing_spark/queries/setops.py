@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.two_phase import global_rank
 from ..registry import load, query
 
 
@@ -46,11 +47,15 @@ SELECT event_id, event_type, split FROM (
 )
 def u2_union_modulo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    split = F.when(
-        ((F.row_number().over(w) - 1) % 100) < 90, F.lit("train")
-    ).otherwise(F.lit("val"))
-    return ev.select("event_id", "event_type", split.alias("split"))
+    # Two-phase global rank (bucket-local row_number + count offsets)
+    # instead of a single-partition ORDER BY window.
+    ranked = global_rank(
+        ev.select("event_id", "event_type"), "event_id", out_col="_rn"
+    )
+    split = F.when(((F.col("_rn") - 1) % 100) < 90, F.lit("train")).otherwise(
+        F.lit("val")
+    )
+    return ranked.select("event_id", "event_type", split.alias("split"))
 
 
 @query(

@@ -269,12 +269,15 @@ SELECT event_id, value, CAST(rn AS INTEGER) AS pos FROM (
     tags=("W8", "F9"),
 )
 def w8_global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy().limit() compiles to TakeOrderedAndProject: per-partition
+    # top-k + driver merge of k rows — no global sort, no full shuffle.
+    # Numbering happens AFTER the limit, over exactly 100 rows (the
+    # partitionBy(lit) keeps WindowExec off the unbounded-input path).
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy(F.desc("value"), "event_id")
-    return (
-        ev.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= 100)
-        .select("event_id", "value", "pos")
+    top = ev.orderBy(F.desc("value"), "event_id").limit(100)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("value"), "event_id")
+    return top.withColumn("pos", F.row_number().over(w)).select(
+        "event_id", "value", "pos"
     )
 
 

@@ -5,11 +5,14 @@ single-shuffle. These guard the 100 TB design, not just correctness."""
 from __future__ import annotations
 
 from talknet_segmentation_batchprocessing_spark import registry
+import pytest
+
 from talknet_segmentation_batchprocessing_spark.plans.inspect import (
     assert_broadcast_join,
     assert_pushed_filter,
     count_exchanges,
     plan_has,
+    single_partition_sorts,
 )
 
 from .conftest import SF_SMOKE
@@ -50,6 +53,38 @@ def test_extract_segments_column_pruning(spark):
     """Only the referenced columns reach the scan."""
     checks = plan_has(q("w1_speaking_segments", spark), "ReadSchema")
     assert checks["ReadSchema"]
+
+
+# Queries that previously funnelled all rows through one task via an
+# unpartitioned window; now two-phase (range-bucket + offsets) or
+# top-k (TakeOrderedAndProject). The guard fails on ANY Sort fed by an
+# Exchange SinglePartition — the physical signature of that hazard.
+TWO_PHASE_QUERIES = [
+    "j1_equijoin_ranked",
+    "j8_length_constrained_pick",
+    "w7_batch_packing",
+    "w8_global_sort_limit",
+    "u2_union_modulo_split",
+    "a6_average_precision",
+    "ava_map_eval",
+]
+
+
+@pytest.mark.parametrize("name", TWO_PHASE_QUERIES)
+def test_no_single_partition_sort(name, spark):
+    n = single_partition_sorts(q(name, spark))
+    assert n == 0, f"{name}: {n} Sort node(s) fed by Exchange SinglePartition"
+
+
+def test_single_partition_sort_detector_catches_bad_plan(spark):
+    """The detector itself must flag the anti-pattern, or the guard
+    above is vacuous."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = registry.load(spark, SF_SMOKE, "events")
+    bad = ev.withColumn("rn", F.row_number().over(Window.orderBy("event_id")))
+    assert single_partition_sorts(bad) >= 1
 
 
 def test_codegen_covers_relational_core(spark):
