@@ -81,6 +81,85 @@ def fake_face_detector(max_faces: int = 3, conf_th: float = 0.9):
     return detect
 
 
+def fake_s3fd_forward(input_size: tuple[int, int] = (270, 480)):
+    """Deterministic stand-in for ONLY the S3FD convolutional forward
+    (reference nets.py:28-174): emits (loc, conf) head tensors that
+    regress a few priors exactly onto the same temporally-coherent
+    drifting actor boxes as ``fake_face_detector`` — so the REAL
+    post-processing (priors, decode, two-stage NMS in s3fd_post.py)
+    runs end-to-end on them.
+    """
+    from .s3fd_post import encode, prior_boxes
+
+    h, w = input_size
+    priors = prior_boxes((h, w))
+    n_priors = priors.shape[0]
+
+    def forward(image, meta):
+        video_id, frame_idx = meta
+        vseed = int.from_bytes(hashlib.sha256(video_id.encode()).digest()[:4], "big")
+        vrng = np.random.RandomState(vseed)
+        n_actors = int(vrng.randint(1, 4))
+        loc = np.zeros((1, n_priors, 4))
+        conf = np.zeros((1, n_priors, 2))
+        conf[0, :, 0] = 1.0
+        for a in range(n_actors):
+            arng = np.random.RandomState(vseed + 7919 * (a + 1))
+            bx, by = arng.uniform(20, 150, size=2)
+            phase = arng.uniform(0, 2 * np.pi)
+            cx = bx + 10.0 * np.sin(frame_idx / 20.0 + phase)
+            cy = by + 10.0 * np.cos(frame_idx / 25.0 + phase)
+            box = np.array(
+                [[(cx - 15) / w, (cy - 15) / h, (cx + 15) / w, (cy + 15) / h]]
+            )
+            cseed = int.from_bytes(
+                hashlib.sha256(f"{video_id}:{frame_idx}:{a}".encode()).digest()[:4],
+                "big",
+            )
+            score = 0.85 + (cseed / 2**32) * 0.15
+            pi = int(arng.randint(0, n_priors))
+            loc[0, pi] = encode(box, priors[pi : pi + 1])
+            conf[0, pi, 1] = score
+            conf[0, pi, 0] = 1.0 - score
+        return loc, conf
+
+    return forward
+
+
+def s3fd_detector(
+    forward_fn: Callable = None,
+    input_size: tuple[int, int] = (270, 480),
+    conf_th: float = 0.8,
+):
+    """M1 detector with REAL post-processing: anchor priors, center-offset
+    box decode, per-class sorted NMS, conf_th walk, and the final
+    cross-scale greedy NMS (operators/s3fd_post.py, property-tested) —
+    semantically the reference's S3FD.detect_faces
+    (model/faceDetector/s3fd/__init__.py:32-66). Only the convolutional
+    forward itself is pluggable: a production deployment passes a
+    ``forward_fn(image, meta) -> (loc, conf)`` backed by torch weights;
+    the default is the deterministic fake head generator.
+
+    ``input_size`` is the net input (h, w) — the reference feeds the
+    facedetScale=0.25-downscaled frame (demoTalkNet.py:34,121).
+    """
+    from .s3fd_post import detect_faces_from_heads
+
+    fwd = forward_fn or fake_s3fd_forward(input_size)
+
+    def detect(video_id: str, frame_idx: int, image):
+        loc, conf = fwd(image, (video_id, frame_idx))
+        boxes = detect_faces_from_heads(
+            loc, conf, input_size, conf_th=conf_th
+        )  # (n, 5) [x1, y1, x2, y2, score], score-descending
+        return [
+            (d, float(b[0]), float(b[1]), float(b[2]), float(b[3]), float(b[4]))
+            for d, b in enumerate(boxes)
+        ]
+
+    return detect
+
+
 def detect_faces(
     frames: DataFrame,
     model_bc=None,

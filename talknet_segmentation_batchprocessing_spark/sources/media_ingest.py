@@ -54,21 +54,88 @@ def fake_decoder(n_frames: int = 50, height: int = 8, width: int = 8) -> Decoder
     return decode
 
 
-def pyav_decoder() -> Decoder:
-    """Real decoder (requires the ``av`` package; not in this image).
+def pyav_decoder(fps: float = FPS, sr: int = SAMPLE_RATE) -> Decoder:
+    """Real decoder via PyAV (requires the ``av`` package; not in this
+    image — the import is guarded and the body is exercised in tests
+    through a stub ``av`` module).
 
-    Semantics to implement, from the reference: transcode to 25 fps
-    (demoTalkNet.py:489-493), grayscale frames, 16 kHz mono int16 audio
-    (demoTalkNet.py:497-502).
+    Reference semantics (demoTalkNet.py:485-508):
+      - video transcoded to constant 25 fps (``-r 25`` CFR: nearest
+        source frame per grid tick, duplicating/dropping as needed),
+        grayscale;
+      - audio to 16 kHz mono ``pcm_s16le`` (demoTalkNet.py:497-502,
+        utils/tools.py:92-102).
     """
     try:
-        import av  # noqa: F401
+        import av
     except ImportError as e:  # pragma: no cover - env without PyAV
         raise NotImplementedError(
             "PyAV is not installed in this environment; pass a custom "
             "decoder or use fake_decoder() for plumbing tests"
         ) from e
-    raise NotImplementedError("wire av.open(BytesIO(content)) here")
+
+    from io import BytesIO
+
+    def decode(video_id: str, content: bytes | None):
+        if content is None:
+            raise ValueError(
+                f"pyav_decoder needs video bytes for {video_id!r}; "
+                "read the corpus with a 'content' column (binaryFile)"
+            )
+
+        # --- video pass: decode all frames with their pts, grayscale
+        raw: list[tuple[float, np.ndarray]] = []
+        with av.open(BytesIO(content)) as container:
+            if container.streams.video:
+                vstream = container.streams.video[0]
+                vstream.thread_type = "AUTO"
+                tb = float(vstream.time_base) if vstream.time_base else 0.0
+                for frame in container.decode(vstream):
+                    if frame.pts is None:
+                        continue
+                    raw.append((frame.pts * tb, frame.to_ndarray(format="gray")))
+
+        frames: list[bytes] = []
+        height = width = 0
+        if raw:
+            raw.sort(key=lambda x: x[0])
+            height, width = raw[0][1].shape
+            times = np.array([t for t, _ in raw])
+            # CFR resample onto the 25 fps grid: for each tick pick the
+            # nearest source frame (ffmpeg -r duplicates stills across
+            # gaps and drops bursts, which nearest-pts reproduces).
+            # Distances are compared in integer half-tick units so an
+            # equidistant tick resolves to the EARLIER frame exactly,
+            # never by float ulp; sub-half-tick pts detail only matters
+            # for sources faster than 2*fps, where either neighbor is
+            # a valid representative.
+            ht = np.round((times - times[0]) * fps * 2).astype(np.int64)
+            grid = np.arange(0, ht[-1] + 1, 2)  # ticks at even half-ticks
+            pos = np.clip(np.searchsorted(ht, grid), 1, len(ht) - 1)
+            left_closer = (grid - ht[pos - 1]) <= (ht[pos] - grid)
+            nearest = np.where(left_closer, pos - 1, pos)
+            frames = [raw[i][1].tobytes() for i in nearest]
+
+        # --- audio pass: resample to 16 kHz mono s16
+        chunks: list[np.ndarray] = []
+        with av.open(BytesIO(content)) as container:
+            if container.streams.audio:
+                astream = container.streams.audio[0]
+                resampler = av.AudioResampler(format="s16", layout="mono", rate=sr)
+                for aframe in container.decode(astream):
+                    for rframe in resampler.resample(aframe):
+                        chunks.append(
+                            rframe.to_ndarray().reshape(-1).astype(np.int16)
+                        )
+                # flush the resampler's internal buffer
+                for rframe in resampler.resample(None):
+                    chunks.append(rframe.to_ndarray().reshape(-1).astype(np.int16))
+        samples = (
+            np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int16)
+        )
+        return frames, height, width, samples
+
+    return decode
 
 
 def explode_frames(

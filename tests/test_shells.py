@@ -81,6 +81,39 @@ def test_detect_faces_fanout_and_conf_filter(spark, videos_df):
     )
 
 
+def test_detect_faces_with_real_s3fd_postprocessing(spark, videos_df):
+    """M1 through the Spark shell with the REAL post-processing path:
+    fake heads -> priors/decode/NMS (s3fd_post) -> detection rows."""
+    from talknet_segmentation_batchprocessing_spark.operators.inference import (
+        detect_faces,
+        s3fd_detector,
+    )
+    from talknet_segmentation_batchprocessing_spark.sources.media_ingest import (
+        explode_frames,
+        fake_decoder,
+    )
+
+    frames = explode_frames(videos_df, decoder=fake_decoder(n_frames=20))
+    dets = detect_faces(
+        frames, model_builder=lambda _state: s3fd_detector(), conf_th=0.9
+    ).toPandas()
+    assert len(dets) > 0
+    assert (dets.conf > 0.9).all()
+    assert (dets.x2 > dets.x1).all() and (dets.y2 > dets.y1).all()
+    # det_id is NMS rank: score-descending within each frame
+    by_frame = dets.sort_values(["video_id", "frame_idx", "det_id"])
+    for _, grp in by_frame.groupby(["video_id", "frame_idx"]):
+        assert (grp.conf.diff().dropna() <= 1e-12).all()
+    # deterministic across reruns
+    dets2 = detect_faces(
+        frames, model_builder=lambda _state: s3fd_detector(), conf_th=0.9
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        dets.sort_values(["video_id", "frame_idx", "det_id"]).reset_index(drop=True),
+        dets2.sort_values(["video_id", "frame_idx", "det_id"]).reset_index(drop=True),
+    )
+
+
 def test_score_tracks_ensemble(spark):
     from talknet_segmentation_batchprocessing_spark.operators.inference import (
         score_tracks,
