@@ -527,8 +527,87 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_K = 8       # coarse centroids = vectors with vec_id < K (deterministic)
-_IVF_NPROBE = 2  # centroid lists probed per query
+_IVF_K = 8        # number of coarse centroids
+_IVF_NPROBE = 2   # centroid lists probed per query
+_IVF_SAMPLE = 256  # k-means training sample: vectors with vec_id < SAMPLE
+_IVF_ITERS = 2    # Lloyd iterations (fixed, deterministic)
+
+# norm of a centroid array column `cv`
+_NORM_CV_SPARK = (
+    "sqrt(aggregate(transform(cv, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))"
+)
+
+
+def _ivf_kmeans_cte() -> str:
+    """DuckDB CTE chain for the deterministic sampled k-means:
+    c0 = first K vectors, then _IVF_ITERS rounds of (cosine assign ->
+    element-wise mean rounded to 1e-6). The 1e-6 rounding is what makes
+    cross-engine parity robust: Spark and DuckDB may sum the members in
+    different orders, but a ~1e-16 relative ulp difference cannot move
+    a value across a 1e-6 grid except with negligible probability."""
+    parts = [
+        f"samp AS (SELECT vec_id, v FROM e WHERE vec_id < {_IVF_SAMPLE}),",
+        "dims AS (SELECT unnest(generate_series(1, 64)) AS dim),",
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_IVF_K}),",
+    ]
+    for it in range(1, _IVF_ITERS + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, cent_id, v FROM (
+    SELECT s.vec_id, c.cent_id, s.v,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM samp s CROSS JOIN c{it - 1} c
+  ) WHERE rn = 1
+),
+c{it} AS (
+  SELECT cent_id, list(xa ORDER BY dim) AS cv FROM (
+    SELECT cent_id, dim, floor(avg(v[dim]) * 1e6 + 0.5) / 1e6 AS xa
+    FROM a{it} CROSS JOIN dims GROUP BY cent_id, dim
+  ) GROUP BY cent_id
+),"""
+        )
+    parts.append(f"cent AS (SELECT cent_id, cv FROM c{_IVF_ITERS}),")
+    return "\n".join(parts)
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Sampled k-means centroids (the honest IVF shape at 100 TB: train
+    on a bounded sample, broadcast the K centroids): deterministic init
+    from the first K vectors, _IVF_ITERS Lloyd rounds with cosine
+    assignment, element-wise means rounded to 1e-6 — the exact mirror
+    of ``_ivf_kmeans_cte``. Every intermediate here is tiny (<= sample
+    rows), so the crossJoin is broadcast-K and the mean is one small
+    shuffle per round."""
+    samp = emb.filter(F.col("vec_id") < _IVF_SAMPLE).select("vec_id", "v", "nrm")
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(_IVF_ITERS):
+        cent_n = cent.withColumn("cn", F.expr(_NORM_CV_SPARK))
+        wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+        assign = (
+            samp.crossJoin(F.broadcast(cent_n))
+            .withColumn("cc", F.expr(_DOT_VC_SPARK) / (F.col("nrm") * F.col("cn")))
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("cent_id", "v")
+        )
+        # element-wise mean: posexplode is 0-based where the oracle's
+        # dim is 1-based, but both enumerate the same positions in the
+        # same order, so the rebuilt arrays align element-for-element
+        dims = assign.select("cent_id", F.posexplode("v").alias("dim", "x"))
+        cent = (
+            dims.groupBy("cent_id", "dim")
+            .agg((F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6).alias("xa"))
+            .groupBy("cent_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, xa))), s -> s.xa)"
+                ).alias("cv")
+            )
+        )
+    return cent
 _COS_VC_DUCK = (
     "list_sum(list_transform(range(1, 65), i -> v[i] * cv[i]))"
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))"
@@ -543,7 +622,7 @@ _DOT_VC_SPARK = (
     "sim_ivf_topk",
     oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_IVF_K}),
+{_ivf_kmeans_cte()}
 assign AS (
   SELECT vec_id, cent_id FROM (
     SELECT e.vec_id, c.cent_id,
@@ -581,12 +660,12 @@ FROM (
   FROM scored
 ) WHERE rn <= 3
 """,
-    doc="ANN scale path #2: IVF-Flat sketch — deterministic coarse "
-    "centroids (first K vectors), every vector assigned to its nearest "
-    "centroid list, queries probe nprobe lists and rank only within "
-    "probed lists. Candidate count ~ n*nprobe/K instead of n; at "
-    "100 TB the centroids come from sampled k-means and lists are "
-    "bucketed on disk",
+    doc="ANN scale path #2: IVF-Flat — coarse centroids from "
+    "deterministic sampled k-means (bounded training sample, fixed "
+    "Lloyd rounds, broadcast-K assignment), every vector assigned to "
+    "its nearest centroid list, queries probe nprobe lists and rank "
+    "only within probed lists. Candidate count ~ n*nprobe/K instead "
+    "of n; at 100 TB the lists are additionally bucketed on disk",
     tags=("similarity", "ext"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,9 +675,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .withColumn("nrm", F.expr(_NORM_SPARK))
     )
-    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
+    cent = _ivf_centroids(emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
     pairs = emb.crossJoin(F.broadcast(cent)).withColumn(
         "cc", F.expr(_DOT_VC_SPARK) / (F.col("nrm") * F.col("cn"))
     )
