@@ -37,9 +37,15 @@ HEADLINE = [
     "w4_linear_interpolation",
     "w3_windowed_median",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "text_quality_score",
+    "u2_union_modulo_split",
+    "x3_crop_geometry",
+    "j6_greedy_tracking",
 ]
 
 

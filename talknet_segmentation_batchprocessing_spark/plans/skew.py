@@ -8,7 +8,7 @@ salting — partial aggregate on (key, salt), then final merge on key.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -25,25 +25,32 @@ def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> Data
 def salted_agg(
     df: DataFrame,
     group_cols: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, Callable[[str], Column]]],
     n_salts: int = 16,
 ) -> DataFrame:
-    """Two-phase skew-safe aggregation for algebraic aggregates
-    (sum/count/min/max): partial on (keys, salt), final on keys.
+    """Two-phase skew-safe aggregation for algebraic aggregates:
+    partial on (keys, salt), final merge on keys.
 
-    ``aggs`` maps output name -> aggregate over the INPUT columns; the
-    same aggregate must be re-applicable to its own partials (sum→sum,
-    count→sum, min→min, max→max) — pass ``final_aggs`` semantics via
-    these four; avg should be expressed as sum+count.
+    ``aggs`` maps output name -> (partial aggregate over the INPUT
+    columns, merge function applied to the partial column by name).
+    The merge is EXPLICIT — never inferred from the alias — because an
+    alias like ``max_count`` is ambiguous and a silent wrong merge
+    returns wrong totals:
+
+        salted_agg(df, ["k"], {
+            "total":   (F.sum("v"),   F.sum),
+            "n":       (F.count("*"), F.sum),   # count merges by sum
+            "largest": (F.max("v"),   F.max),
+        })
+
+    avg is not algebraic — express it as sum+count and divide after.
     """
     partial = df.transform(with_salt, n_salts).groupBy(*group_cols, "_salt").agg(
-        *[a.alias(n) for n, a in aggs.items()]
+        *[a.alias(n) for n, (a, _) in aggs.items()]
     )
-    remerge = {
-        n: (F.sum(n) if "count" in n or "sum" in n else F.max(n) if "max" in n else F.min(n) if "min" in n else F.sum(n))
-        for n in aggs
-    }
-    return partial.groupBy(*group_cols).agg(*[c.alias(n) for n, c in remerge.items()])
+    return partial.groupBy(*group_cols).agg(
+        *[merge(n).alias(n) for n, (_, merge) in aggs.items()]
+    )
 
 
 def salted_broadcast_join(

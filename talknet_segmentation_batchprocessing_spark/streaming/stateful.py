@@ -9,9 +9,17 @@ operator would, and closed segments are emitted as soon as the run
 closes. State is O(1) per track (a handful of ints), so a billion
 tracks cost gigabytes, not the stream.
 
+Semantics mirror the batch operator (operators/segmentation.py) row
+for row: an island is a maximal run of speaking ROWS — a jump in frame
+numbering does NOT split a run (batch ``lag`` is over rows, not
+frames) — and a closed run is kept iff its SPAN ``end - start =
+max_frame + 1 - min_frame`` is at least ``min_frames`` (the reference
+filters on span, extractSpeakingSegments.py:98-99, not row count).
+
 Frames must arrive in order within a track (the scorer emits them that
 way; out-of-order input would need a watermark + sort buffer stage in
-front).
+front). Rows at or before the last processed frame are dropped as
+duplicate deliveries.
 """
 
 from __future__ import annotations
@@ -25,7 +33,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "video_id string, track_id int, start_frame int, end_frame int, n_frames int"
 )
-STATE_SCHEMA = "open_start int, open_len int, last_frame int"
+# open_end is EXCLUSIVE (last speaking frame + 1), matching W1's
+# ``max(frame) + 1`` segment ends
+STATE_SCHEMA = "open_start int, open_end int, last_frame int"
 
 
 def _segment_batch(
@@ -37,18 +47,17 @@ def _segment_batch(
 ):
     video_id, track_id = key
     if state.exists:
-        open_start, open_len, last_frame = state.get
+        open_start, open_end, last_frame = state.get
     else:
-        open_start, open_len, last_frame = -1, 0, -1
+        open_start, open_end, last_frame = -1, -1, -1
     out = []
 
     def close_run():
-        nonlocal open_start, open_len
-        if open_start >= 0 and open_len >= min_frames:
-            out.append(
-                (video_id, track_id, open_start, open_start + open_len, open_len)
-            )
-        open_start, open_len = -1, 0
+        nonlocal open_start, open_end
+        span = open_end - open_start
+        if open_start >= 0 and span >= min_frames:
+            out.append((video_id, track_id, open_start, open_end, span))
+        open_start, open_end = -1, -1
 
     for pdf in pdfs:
         p = pdf.sort_values("frame_idx")
@@ -56,17 +65,16 @@ def _segment_batch(
             frame = int(frame)
             if frame <= last_frame:
                 continue  # duplicate delivery
-            speaking = score > threshold
-            if speaking:
-                if open_start >= 0 and frame == last_frame + 1:
-                    open_len += 1
-                else:
-                    close_run()
-                    open_start, open_len = frame, 1
+            if score > threshold:
+                # continue the open run across any frame-numbering gap,
+                # exactly like the batch row-wise islands
+                if open_start < 0:
+                    open_start = frame
+                open_end = frame + 1
             else:
                 close_run()
             last_frame = frame
-    state.update((open_start, open_len, last_frame))
+    state.update((open_start, open_end, last_frame))
     if out:
         yield pd.DataFrame(
             out,

@@ -103,3 +103,49 @@ def test_stateful_segments_across_microbatches(spark, tmp_path):
     assert len(out) == 1
     row = out.iloc[0]
     assert (row.start_frame, row.end_frame, row.n_frames) == (10, 40, 30)
+
+
+def test_stateful_segments_match_batch_on_sparse_frames(spark, tmp_path):
+    """Frame-numbering gaps must NOT split a run (batch islands are
+    row-wise) and the min-length filter is on SPAN, not row count —
+    the stateful operator must agree with extract_segments exactly."""
+    from talknet_segmentation_batchprocessing_spark.operators.segmentation import (
+        extract_segments,
+    )
+    from talknet_segmentation_batchprocessing_spark.schemas import SCORES
+    from talknet_segmentation_batchprocessing_spark.streaming.stateful import (
+        stateful_segments,
+    )
+
+    # speaking rows only at even frames 10..28 (10 rows, span 19), then a
+    # silent row at 29 closing the run; span 19 >= 12 keeps it even though
+    # a count-based filter with min_frames=12 would also keep 10 < 12 -> drop
+    rows = [("v", 0, f, 1.0) for f in range(10, 29, 2)] + [("v", 0, 29, -1.0)]
+    drop = tmp_path / "scores"
+    drop.mkdir()
+    spark.createDataFrame(rows, SCORES).coalesce(1).write.parquet(str(drop / "f1"))
+
+    batch = (
+        extract_segments(
+            spark.createDataFrame(rows, SCORES), threshold=0.0, min_duration_s=0.5
+        )
+        .select("start_frame", "end_frame")
+        .toPandas()
+    )
+    assert [tuple(r) for r in batch.itertuples(index=False)] == [(10, 29)]
+
+    stream = spark.readStream.schema(SCORES).parquet(str(drop / "*"))
+    q = (
+        stateful_segments(stream, threshold=0.0, min_duration_s=0.5)
+        .writeStream.format("memory")
+        .queryName("segs_sparse")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from segs_sparse").toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.start_frame, row.end_frame, row.n_frames) == (10, 29, 19)
