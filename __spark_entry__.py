@@ -20,6 +20,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     registry._ensure_loaded()
+    # release_persisted: repeated entry() calls in a long-lived session
+    # must not accumulate caches left by earlier queries
+    registry.release_persisted()
     return registry.REGISTRY["w1_speaking_segments"].fn(spark, SMOKE_SF_DIR)
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
-from ..registry import load, query
+from ..registry import load, query, track_persist
 
 # ---------------------------------------------------------------------------
 # shared text fragments
@@ -59,7 +59,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .select("doc_id", "shingle")
         .distinct()
     )
-    return sh.persist()
+    return track_persist(sh)
 
 
 _SQL_SHINGLES = """
@@ -196,10 +196,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification self-join) — persist once. Shingle ids come straight
     # from md5 (identical in DuckDB): embarrassingly parallel, no
     # vocabulary sort or join.
-    ds = sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint").alias("sid"),
-    ).persist()
+    ds = track_persist(
+        sh.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint").alias("sid"),
+        )
+    )
     # All 8 minhashes in ONE aggregation (8 min columns over the same
     # rows), then bands by column slicing — no 8x row replication, no
     # second groupBy, two fewer shuffles than the cross-join form. The
@@ -682,11 +684,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
     # assign and qprobe both branch off this window — persist the (tiny,
     # nprobe-capped) ranked frame so the scan+crossJoin+window runs once.
-    ranked = (
+    ranked = track_persist(
         pairs.withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") <= max(1, _IVF_NPROBE))
         .select("vec_id", "cent_id", "rn")
-        .persist()
     )
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     qprobe = (

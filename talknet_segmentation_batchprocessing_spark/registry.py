@@ -16,6 +16,7 @@ and hash-compares row count + schema + values, so:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -74,9 +75,42 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# DataFrames persist()ed inside query bodies (shingle sets, minhash
+# signatures, IVF rankings). persist is only a recompute hint — dropping
+# it never changes results — so the frames are released lazily: at the
+# START of the next registry query. By then the previous query's output
+# has been materialized by whoever called it (driver sweep, bench loop,
+# parity tests), so a 70-query sweep holds at most one query's caches
+# instead of accumulating all of them across a long-lived session.
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with sweep-scoped lifecycle tracking."""
+    _PERSISTED.append(df)
+    return df.persist()
+
+
+def release_persisted() -> None:
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _releasing(fn: Callable[[SparkSession, str], DataFrame]):
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_persisted()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return {n: s.fn for n, s in REGISTRY.items()}
+    return {n: _releasing(s.fn) for n, s in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:

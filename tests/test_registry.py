@@ -1,0 +1,36 @@
+"""Registry lifecycle: persisted frames from one query are released
+when the next registry query starts, so a long sweep (the driver's
+70-query correctness gate, repeated entry() calls) holds at most one
+query's caches instead of accumulating all of them."""
+
+from __future__ import annotations
+
+from talknet_segmentation_batchprocessing_spark import registry
+
+from .conftest import SF_SMOKE
+
+
+def test_sweep_releases_prior_query_caches(spark):
+    qs = registry.all_queries()
+
+    # minhash LSH persists its shingle + signature frames
+    qs["dedup_minhash_lsh"](spark, SF_SMOKE).count()
+    assert len(registry._PERSISTED) > 0
+
+    # the next wrapped query releases them before running; uid concat
+    # itself persists nothing, so the tracked list must drain to empty
+    qs["x12_uid_concat"](spark, SF_SMOKE).count()
+    assert registry._PERSISTED == []
+
+
+def test_entry_releases_prior_caches(spark, monkeypatch):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    qs = registry.all_queries()
+    qs["dedup_minhash_lsh"](spark, SF_SMOKE).count()
+    assert len(registry._PERSISTED) > 0
+    entrymod.entry(spark).count()
+    assert registry._PERSISTED == []
