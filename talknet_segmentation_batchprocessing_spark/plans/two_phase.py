@@ -22,6 +22,13 @@ the cluster instead of serializing on a single task.
 
 All keys must be non-null and numeric (castable to double with order
 preserved — fine below 2^53, which covers every key in this engine).
+
+Each helper persists its input before the quantile pass (tracked, so
+the registry sweep releases it): the three passes then share ONE
+materialization of the upstream plan — which for callers like the
+eval-arm AP is itself a join pipeline — instead of recomputing it per
+pass. That is also the 100 TB posture: two passes over cached narrow
+data beat three scans of the raw join.
 """
 
 from __future__ import annotations
@@ -30,6 +37,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..registry import track_persist
 
 _BUCKET = "_tp_bucket"
 
@@ -52,7 +61,12 @@ def with_range_bucket(
     ``approxQuantile`` (Greenwald–Khanna, deterministic, one pass) picks
     the boundaries; the id is ``size(filter(boundaries, b -> b beyond
     key))`` — a literal-array higher-order function, fully codegen'd.
+
+    The input is persisted (sweep-tracked) so the quantile pass, the
+    caller's offsets pass, and the main pass all read one
+    materialization of the upstream plan.
     """
+    df = track_persist(df)
     nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     probs = [i / nb for i in range(1, nb)]
     bnds = sorted(set(df.stat.approxQuantile(key_col, probs, 1.0 / (10 * nb))))

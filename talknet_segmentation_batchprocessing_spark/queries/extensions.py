@@ -575,41 +575,57 @@ c{it} AS (
 
 def _ivf_centroids(emb: DataFrame) -> DataFrame:
     """Sampled k-means centroids (the honest IVF shape at 100 TB: train
-    on a bounded sample, broadcast the K centroids): deterministic init
-    from the first K vectors, _IVF_ITERS Lloyd rounds with cosine
-    assignment, element-wise means rounded to 1e-6 — the exact mirror
-    of ``_ivf_kmeans_cte``. Every intermediate here is tiny (<= sample
-    rows), so the crossJoin is broadcast-K and the mean is one small
-    shuffle per round."""
-    samp = emb.filter(F.col("vec_id") < _IVF_SAMPLE).select("vec_id", "v", "nrm")
-    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
+    on a bounded DRIVER-COLLECTED sample, broadcast the K centroids):
+    deterministic init from the first K vectors, _IVF_ITERS Lloyd
+    rounds with cosine assignment (ties -> lowest cent_id), element-wise
+    means rounded to 1e-6 — the exact mirror of ``_ivf_kmeans_cte``.
+
+    The Lloyd rounds run on the driver: the sample is bounded
+    (_IVF_SAMPLE rows, one pruned scan to collect), so iterating in
+    local Python costs microseconds where the equivalent chain of tiny
+    crossJoin/window/groupBy stages costs ~15 Spark stage launches.
+    At 100 TB the sample stays bounded — only the ASSIGN/probe phase
+    over the full table is distributed, against broadcast centroids.
+    """
+    import math
+
+    rows = emb.filter(F.col("vec_id") < _IVF_SAMPLE).select("vec_id", "v").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    samp = [(int(r.vec_id), [float(x) for x in r.v]) for r in rows]
+    cent = {vid: v for vid, v in samp if vid < _IVF_K}
+
+    def dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
     for _ in range(_IVF_ITERS):
-        cent_n = cent.withColumn("cn", F.expr(_NORM_CV_SPARK))
-        wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
-        assign = (
-            samp.crossJoin(F.broadcast(cent_n))
-            .withColumn("cc", F.expr(_DOT_VC_SPARK) / (F.col("nrm") * F.col("cn")))
-            .withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("cent_id", "v")
-        )
-        # element-wise mean: posexplode is 0-based where the oracle's
-        # dim is 1-based, but both enumerate the same positions in the
-        # same order, so the rebuilt arrays align element-for-element
-        dims = assign.select("cent_id", F.posexplode("v").alias("dim", "x"))
-        cent = (
-            dims.groupBy("cent_id", "dim")
-            .agg((F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6).alias("xa"))
-            .groupBy("cent_id")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(dim, xa))), s -> s.xa)"
-                ).alias("cv")
-            )
-        )
-    return cent
+        cn = {cid: math.sqrt(dot(cv, cv)) for cid, cv in cent.items()}
+        members: dict[int, list[list[float]]] = {}
+        for vid, v in samp:
+            vn = math.sqrt(dot(v, v))
+            best_cid, best_cc = -1, None
+            # ascending cent_id + strict > == ORDER BY cc DESC, cent_id
+            for cid in sorted(cent):
+                cc = dot(v, cent[cid]) / (vn * cn[cid])
+                if best_cc is None or cc > best_cc:
+                    best_cid, best_cc = cid, cc
+            members.setdefault(best_cid, []).append(v)
+        # a centroid that loses every member drops out, exactly like the
+        # oracle's GROUP BY
+        cent = {}
+        for cid, vs in members.items():
+            cv = []
+            for d in range(len(vs[0])):
+                s = 0.0
+                for v in vs:
+                    s += v[d]
+                cv.append(math.floor(s / len(vs) * 1e6 + 0.5) / 1e6)
+            cent[cid] = cv
+    return emb.sparkSession.createDataFrame(
+        [(cid, cent[cid]) for cid in sorted(cent)], "cent_id bigint, cv array<double>"
+    )
 _COS_VC_DUCK = (
     "list_sum(list_transform(range(1, 65), i -> v[i] * cv[i]))"
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))"
