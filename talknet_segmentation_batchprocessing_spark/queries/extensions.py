@@ -310,6 +310,81 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_ORACLE = f"""
+WITH RECURSIVE
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p0 AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+jac AS (
+  SELECT p.doc_a, p.doc_b
+  FROM p0 p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jac
+),
+cc(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id
+)
+SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle=_CC_ORACLE,
+    doc="Near-dup CLUSTERING: connected components over the n-gram "
+    "Jaccard pair graph (>= 0.2) via hash-min label propagation — every "
+    "document labeled with the min doc_id of its component, singletons "
+    "labeled with themselves. Pairwise near-dup alone over-removes "
+    "(A~B, B~C but A!~C): canonical-per-component is what an actual "
+    "dedup pass keeps. Iterative joins with per-round localCheckpoint "
+    "(lineage cut); rounds = component diameter. At 100 TB the same "
+    "loop runs with the two-phase large-star/small-star variant to "
+    "bound skew on giant components",
+    tags=("dedup", "ext"),
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = track_persist(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    # Hash-min fixpoint: labels only ever decrease, so an unchanged
+    # label sum == convergence. Each round is one equi-join + one
+    # groupBy-min; localCheckpoint cuts the lineage so round N's plan
+    # does not re-run rounds 1..N-1.
+    prev_sum = None
+    while True:
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        labels = (
+            labels.unionAll(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
@@ -908,6 +983,154 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ").alias(
             "fingerprint"
         ),
+    )
+
+
+@query(
+    "text_vocab_topk",
+    oracle="""
+SELECT tok, cnt FROM (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  GROUP BY tok
+) ORDER BY cnt DESC, tok LIMIT 20
+""",
+    doc="Corpus vocabulary: global token frequencies, top-20. The "
+    "explode+groupBy is map-side-combined by Spark (partial counts per "
+    "partition before the shuffle) and the global top-k is orderBy+"
+    "limit = TakeOrderedAndProject (per-partition heads + driver merge, "
+    "never a full sort) — both survive 100 TB",
+    tags=("text", "ext"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+q AS (
+  SELECT vec_id, mn, mx,
+         list_transform(v, x -> CAST(floor((x - mn) / ((mx - mn) / 255.0) + 0.5) AS BIGINT)) AS qv
+  FROM m
+)
+SELECT vec_id,
+       floor(mn * 1e6 + 0.5) / 1e6 AS v_min,
+       floor(mx * 1e6 + 0.5) / 1e6 AS v_max,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(qv[1] AS BIGINT) AS q_first,
+       CAST(qv[32] AS BIGINT) AS q_mid
+FROM q
+""",
+    doc="Per-vector int8 quantization for ANN storage (min-max affine "
+    "to [0,255]): 4x smaller index, one scan, pure array expressions. "
+    "Verified via the full-array checksum q_sum plus spot dims — every "
+    "arithmetic step is the same IEEE op sequence on both engines, so "
+    "the quantized codes are exact, not approximate",
+    tags=("similarity", "ext"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = emb.select(
+        "vec_id", "v", F.array_min("v").alias("mn"), F.array_max("v").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    q = m.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.transform(
+            "v", lambda x: F.floor((x - F.col("mn")) / scale + F.lit(0.5)).cast("bigint")
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        stable_round("mn", 6).alias("v_min"),
+        stable_round("mx", 6).alias("v_max"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.element_at("qv", 1).alias("q_first"),
+        F.element_at("qv", 32).alias("q_mid"),
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+         CAST(list_max(list_transform(list_distinct(w),
+              x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_cnt,
+         list_sum(list_transform(w, x -> CAST(len(x) AS DOUBLE))) / len(w) AS mwl
+  FROM t
+)
+SELECT doc_id, n_words, n_unique,
+       floor((n_unique * 1.0 / n_words) * 1e6 + 0.5) / 1e6 AS uniq_ratio,
+       floor((top_cnt * 1.0 / n_words) * 1e6 + 0.5) / 1e6 AS top_frac,
+       floor(mwl * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       CAST(CASE WHEN n_words >= 20
+                  AND n_unique * 1.0 / n_words >= 0.45
+                  AND top_cnt * 1.0 / n_words <= 0.10
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM m
+""",
+    doc="Gopher-style repetition quality filter: word count bounds, "
+    "distinct-word ratio, most-frequent-word fraction, mean word "
+    "length; keep = all rules pass. Single scan, pure higher-order "
+    "array functions (the per-doc top-count is O(unique*words) inside "
+    "one row — no shuffle, no UDF). The keep/drop flags are exact "
+    "across engines: every ratio is one IEEE division of the same two "
+    "integers",
+    tags=("text", "ext"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    uniq = F.array_distinct("w")
+    m = t.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.size(uniq).cast("bigint").alias("n_unique"),
+        F.array_max(
+            F.transform(uniq, lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)))
+        )
+        .cast("bigint")
+        .alias("top_cnt"),
+        (
+            F.aggregate(
+                "w", F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+            )
+            / F.size("w")
+        ).alias("mwl"),
+    )
+    ur = F.col("n_unique") / F.col("n_words")
+    tf = F.col("top_cnt") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_unique",
+        stable_round(ur, 6).alias("uniq_ratio"),
+        stable_round(tf, 6).alias("top_frac"),
+        stable_round(F.col("mwl"), 6).alias("mean_word_len"),
+        F.when(
+            (F.col("n_words") >= 20) & (ur >= 0.45) & (tf <= 0.10), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
     )
 
 

@@ -15,7 +15,10 @@ its clip batching (W9) of *tumbling windows*. This module exposes:
 - ``session_window_segments``: the declared extension — incremental
   event-time session windows with a watermark, for the true
   low-latency path (segments emitted while the track is still
-  streaming, closed after ``gap_s`` of silence).
+  streaming, closed after ``gap_s`` of silence);
+- ``streaming_dedup``: watermark-bounded exact dedup of a document
+  stream — the streaming arm of ``dedup_exact`` for continuous
+  ingestion, with O(watermark-window) state instead of O(history).
 """
 
 from __future__ import annotations
@@ -62,6 +65,27 @@ def foreach_batch_segments(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def streaming_dedup(
+    doc_stream: DataFrame,
+    key_cols: tuple[str, ...] = ("content_hash",),
+    event_time_col: str = "event_time",
+    watermark_s: float = 3600.0,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key,
+    drop repeats that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` is the scale-honest form: state
+    holds only keys younger than the watermark (late duplicates beyond
+    it are already impossible by the watermark contract), so state is
+    bounded by the ingest rate x horizon, not by corpus history. Keys
+    should be a digest (e.g. ``xxhash64(text)``), never the full text —
+    state stores the key columns.
+    """
+    return doc_stream.withWatermark(
+        event_time_col, f"{int(watermark_s)} seconds"
+    ).dropDuplicatesWithinWatermark([*key_cols])
 
 
 def session_window_segments(

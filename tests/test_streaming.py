@@ -149,3 +149,50 @@ def test_stateful_segments_match_batch_on_sparse_frames(spark, tmp_path):
     assert len(out) == 1
     row = out.iloc[0]
     assert (row.start_frame, row.end_frame, row.n_frames) == (10, 29, 19)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """First arrival of each content hash survives; duplicates inside
+    the watermark horizon are dropped, across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from talknet_segmentation_batchprocessing_spark.streaming.pipeline import (
+        streaming_dedup,
+    )
+
+    schema = "doc_id long, text string, event_time timestamp"
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    b0 = [(0, "alpha", "2026-01-01 00:00:00"), (1, "beta", "2026-01-01 00:00:01")]
+    b1 = [
+        (2, "alpha", "2026-01-01 00:00:02"),  # duplicate content, new id
+        (3, "gamma", "2026-01-01 00:00:03"),
+        (1, "beta", "2026-01-01 00:00:04"),   # full duplicate row
+    ]
+    from datetime import datetime
+
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(
+            [(d, t, datetime.fromisoformat(ts)) for d, t, ts in rows], schema
+        ).coalesce(1).write.parquet(str(drop / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "*"))
+        .withColumn("content_hash", F.xxhash64("text"))
+    )
+    q = (
+        streaming_dedup(stream, watermark_s=3600)
+        .writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_docs").toPandas()
+    assert sorted(out.text.tolist()) == ["alpha", "beta", "gamma"]
+    # the FIRST arrival won: alpha kept doc_id 0, not 2
+    assert int(out.loc[out.text == "alpha", "doc_id"].iloc[0]) == 0
