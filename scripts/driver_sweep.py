@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate at the driver's scale.
+
+Runs the FIRST N (default 50) registered queries — the same
+registration-order window the driver checks — at sf0.01 (the driver's
+SF), comparing each Spark result against its DuckDB oracle on row
+count, sorted column names, and exact values. Prints one status line
+per query and a JSON summary; exits non-zero on any mismatch.
+
+Usage:
+    python scripts/driver_sweep.py            # first 50 at sf0.01
+    python scripts/driver_sweep.py --all      # every registered query
+    SWEEP_SF_DIR=/root/testdata/sf0.001 python scripts/driver_sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from talknet_segmentation_batchprocessing_spark import registry  # noqa: E402
+from talknet_segmentation_batchprocessing_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
+    limit = None if "--all" in sys.argv else 50
+
+    registry._ensure_loaded()
+    names = list(registry.REGISTRY)[:limit]
+
+    spark = get_spark(app_name="driver-sweep")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name in names:
+        spec = registry.REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            registry.release_persisted()
+            sdf = _canon(spec.fn(spark, sf_dir).toPandas())
+            if spec.oracle is None:
+                results[name] = {"status": "no_oracle", "spark_rows": len(sdf)}
+                print(f"  NO-ORACLE {name}: {len(sdf)} rows")
+                continue
+            odf = _canon(duck.execute(spec.oracle).df())
+            ok_cols = list(sdf.columns) == list(odf.columns)
+            ok_rows = len(sdf) == len(odf)
+            ok_vals = ok_cols and ok_rows
+            if ok_vals:
+                for c in sdf.columns:
+                    a, b = sdf[c], odf[c]
+                    eq = (a == b) | (a.isna() & b.isna())
+                    if not eq.all():
+                        ok_vals = False
+                        break
+            status = "PASS" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+            if status == "FAIL":
+                n_fail += 1
+            results[name] = {
+                "status": status,
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+                "cols": ok_cols,
+                "vals": ok_vals,
+            }
+            print(
+                f"  {status} {name}: {len(sdf)}/{len(odf)} rows"
+                f" cols={ok_cols} vals={ok_vals}"
+                f" ({time.perf_counter() - t0:.1f}s)"
+            )
+        except Exception as e:  # noqa: BLE001 — sweep must report, not die
+            n_fail += 1
+            results[name] = {"status": "ERROR", "err": str(e)[:300]}
+            print(f"  ERROR {name}: {str(e)[:200]}")
+
+    print(json.dumps({"checked": len(names), "failed": n_fail, "sf_dir": sf_dir}))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -298,7 +298,13 @@ GROUP BY 1, 2
 )
 def w9_tumbling_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    clip = tumbling_window_id(F.col("ts").cast("double"), 3600.0)
+    # events.ts arrives as TIMESTAMP_NTZ (plain timestamp[us] parquet);
+    # NTZ has no direct double cast, so hop through TIMESTAMP first —
+    # the session timezone is pinned to UTC (session.py), making the
+    # hop value-preserving and equal to DuckDB's epoch(ts).
+    clip = tumbling_window_id(
+        F.col("ts").cast("timestamp").cast("double"), 3600.0
+    )
     return (
         ev.withColumn("clip_id", clip)
         .groupBy("clip_id", "event_type")
