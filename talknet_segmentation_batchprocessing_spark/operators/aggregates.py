@@ -146,49 +146,34 @@ def _average_precision_global(
     out_col: str,
     ndigits: int,
 ) -> DataFrame:
-    """Ungrouped AP without any single-partition window (two-phase):
+    """Ungrouped AP without any single-partition window (two-phase) and
+    without any driver action — one fully lazy plan:
 
-    - range-bucket rows on score; ONE stats pass gives per-bucket row
-      counts and positive counts, so bucket-local ``row_number`` /
-      ``cumsum(label)`` lift to their global values via literal-map
-      offsets (and total P is known on the driver);
+    - range-bucket rows on score; ONE tiny stats aggregate gives
+      per-bucket row counts and positive counts, whose exclusive
+      prefixes (broadcast theta self-join) lift bucket-local
+      ``row_number`` / ``cumsum(label)`` to their global values; total
+      P is a broadcast 1-row aggregate (``x/0`` stays NULL, preserving
+      the no-positives semantics of the one-phase form and the oracle);
     - the precision suffix-max splits into a bucket-local running max
       over the reverse order plus a cross-bucket tail max, computed on
       the tiny per-bucket-max frame (#buckets rows) and broadcast back;
     - delta-recall needs only the bucket-LOCAL cumsum lag: the previous
       global row's tp differs by exactly the bucket offset, which
-      cancels in the subtraction.
+      cancels in the subtraction; each bucket's first row coalesces to
+      ``tp_offset/P`` — the same double division, bit-identical to the
+      one-phase ``rec - lag(rec)``.
     """
-    from ..plans.two_phase import (
-        _BUCKET,
-        _exclusive_prefix,
-        _offset_map,
-        with_range_bucket,
-    )
+    from ..plans.two_phase import _BUCKET, bucket_prefix, with_range_bucket
 
     b = with_range_bucket(df, score_col, descending=True)
-    stats = (
-        b.groupBy(_BUCKET)
-        .agg(F.count("*").alias("cnt"), F.sum(lab).alias("np"))
-        .collect()
+    stats = b.groupBy(_BUCKET).agg(
+        F.count("*").alias("_tp_cnt"), F.sum(lab).alias("_tp_np")
     )
-    counts = {r[_BUCKET]: r["cnt"] for r in stats}
-    posb = {r[_BUCKET]: int(r["np"] or 0) for r in stats}
-    total_pos = sum(posb.values())
-    if total_pos == 0:
-        # No positives: AP undefined; preserve the x/0 => NULL semantics
-        # of the one-phase form (and of the SQL oracle).
-        return df.limit(1).agg(
-            F.lit(None).cast("double").alias(out_col)
-        )
-    rank_off = _offset_map(_exclusive_prefix(counts))
-    tp_off_raw = _exclusive_prefix(posb)
-    tp_off = _offset_map(tp_off_raw)
-    # Recall of the global row BEFORE each bucket's first row, computed
-    # with the same double division the engines use — keeps _dr
-    # bit-identical to the one-phase rec - lag(rec) form.
-    prev_rec_off = _offset_map(
-        {bid: v / total_pos for bid, v in tp_off_raw.items()}, default=0.0
+    off = bucket_prefix(
+        stats,
+        {"_tp_cnt": "_tp_rank_off", "_tp_np": "_tp_tp_off"},
+        totals={"_tp_np": "_tp_total"},
     )
 
     order = [F.desc(score_col)] + [F.col(c) for c in tiebreak_cols]
@@ -202,14 +187,19 @@ def _average_precision_global(
     )
 
     scored = (
-        b.withColumn("_ltp", F.sum(lab).over(wcum))
-        .withColumn("_rank", rank_off + F.row_number().over(w))
-        .withColumn("_tp", tp_off + F.col("_ltp"))
+        b.join(F.broadcast(off), _BUCKET)
+        .withColumn("_ltp", F.sum(lab).over(wcum))
+        .withColumn("_rank", F.col("_tp_rank_off") + F.row_number().over(w))
+        .withColumn("_tp", F.col("_tp_tp_off") + F.col("_ltp"))
         .withColumn("_prec", F.col("_tp") / F.col("_rank"))
-        .withColumn("_rec", F.col("_tp") / F.lit(total_pos))
+        .withColumn("_rec", F.col("_tp") / F.col("_tp_total"))
         .withColumn(
             "_dr",
-            F.col("_rec") - F.coalesce(F.lag("_rec").over(w), prev_rec_off),
+            F.col("_rec")
+            - F.coalesce(
+                F.lag("_rec").over(w),
+                F.col("_tp_tp_off") / F.col("_tp_total"),
+            ),
         )
         .withColumn("_lsuf", F.max("_prec").over(wsuffix))
     )

@@ -235,6 +235,13 @@ def score_tracks(
     ensemble duration the track is scored in clips of duration*fps
     frames (W9), then per-frame scores are averaged over the ensemble
     and rounded to 1 decimal (A1, X14).
+
+    Scorers built with ``needs_features = True`` (the real numpy
+    TalkNet forward, operators/talknet_forward.py) additionally
+    receive the clip's feature tensors, assembled from the track's
+    ``mfcc`` (flattened [4,13] per frame — 100 Hz MFCC vs 25 fps, X5)
+    and ``face`` (flattened [112,112] grayscale crop, X4) columns —
+    the same per-clip A/V slicing as demoTalkNet.py:260-262.
     """
     from ..deploy import ensure_worker_imports
 
@@ -243,16 +250,34 @@ def score_tracks(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         model = _executor_model(model_bc, builder)
+        needs_features = getattr(model, "needs_features", False)
         video_id = pdf["video_id"].iloc[0]
         track_id = int(pdf["track_id"].iloc[0])
         p = pdf.sort_values("frame_idx")
         frames = p["frame_idx"].to_numpy()
+        if needs_features:
+            mfcc = np.vstack(
+                [np.asarray(v, dtype=np.float64).reshape(-1, 13) for v in p["mfcc"]]
+            )
+            faces = np.stack(
+                [np.asarray(v, dtype=np.float64).reshape(112, 112) for v in p["face"]]
+            )
         acc = np.zeros(len(frames), dtype=np.float64)
         for dur in durations:
             clip = max(int(dur * fps), 1)
             for s in range(0, len(frames), clip):  # W9 tumbling clips
                 idx = frames[s : s + clip]
-                acc[s : s + clip] += model(video_id, track_id, idx, dur)
+                if needs_features:
+                    acc[s : s + clip] += model(
+                        video_id,
+                        track_id,
+                        idx,
+                        dur,
+                        audio=mfcc[s * 4 : (s + clip) * 4],
+                        video=faces[s : s + clip],
+                    )
+                else:
+                    acc[s : s + clip] += model(video_id, track_id, idx, dur)
         mean = acc / len(durations)
         # reference: round(float(s), 1) — banker's (python round)
         scores = np.array([round(float(v), 1) for v in mean])

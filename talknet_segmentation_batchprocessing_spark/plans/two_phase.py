@@ -8,27 +8,33 @@ These helpers express the same total order in two phases, the classic
 distributed prefix pattern:
 
 1. **Range-bucket** the rows on the primary sort key: boundaries come
-   from one ``approxQuantile`` pass, the bucket id is a pure column
-   expression (ties always share a bucket, so bucket order extends to
-   a total order with any within-bucket tiebreak).
-2. **Per-bucket offsets** — counts / sums / maxes per bucket, a tiny
-   aggregate (#buckets rows) collected to the driver and re-emitted as
-   a literal map — turn each bucket-local ``row_number`` / running sum
-   into its global value.
+   from one ``percentile_approx`` aggregate (Greenwald–Khanna,
+   deterministic) broadcast back as a 1-row cross join; the bucket id
+   is a pure higher-order-function expression (ties always share a
+   bucket, so bucket order extends to a total order with any
+   within-bucket tiebreak).
+2. **Per-bucket offsets** — counts / sums / head rows per bucket, a
+   tiny aggregate (#buckets rows) whose exclusive prefix is computed
+   with a broadcast theta self-join (#buckets² pairs, trivial) and
+   broadcast-joined back — turn each bucket-local ``row_number`` /
+   running sum into its global value.
 
-Cost: two lightweight extra passes (quantiles + offsets) and ONE hash
-shuffle on the bucket id for the main pass, which parallelizes across
-the cluster instead of serializing on a single task.
+The whole computation is ONE lazy plan: no ``collect()``, no separate
+quantile job, no driver round trips — Spark runs the boundary and
+offset subplans as broadcast-exchange stages inside the single action
+that consumes the result. The main pass does ONE hash shuffle on the
+bucket id, which parallelizes across the cluster instead of
+serializing on a single task.
 
 All keys must be non-null and numeric (castable to double with order
 preserved — fine below 2^53, which covers every key in this engine).
 
-Each helper persists its input before the quantile pass (tracked, so
-the registry sweep releases it): the three passes then share ONE
+Each helper persists its input (tracked, so the registry sweep
+releases it): the boundary, offset, and main subplans then share ONE
 materialization of the upstream plan — which for callers like the
 eval-arm AP is itself a join pipeline — instead of recomputing it per
-pass. That is also the 100 TB posture: two passes over cached narrow
-data beat three scans of the raw join.
+subtree. That is also the 100 TB posture: cheap rescans of cached
+narrow data beat three scans of the raw join.
 """
 
 from __future__ import annotations
@@ -58,17 +64,20 @@ def with_range_bucket(
     """Attach a range-bucket id that is monotone non-decreasing along
     the (key_col, descending) sort order; equal keys share a bucket.
 
-    ``approxQuantile`` (Greenwald–Khanna, deterministic, one pass) picks
-    the boundaries; the id is ``size(filter(boundaries, b -> b beyond
-    key))`` — a literal-array higher-order function, fully codegen'd.
-
-    The input is persisted (sweep-tracked) so the quantile pass, the
-    caller's offsets pass, and the main pass all read one
-    materialization of the upstream plan.
+    ``percentile_approx`` picks the boundaries as a 1-row aggregate that
+    is broadcast-cross-joined back (no driver action); the id is
+    ``size(filter(boundaries, b -> b beyond key))`` — a higher-order
+    function over a ≤(n_buckets-1)-element array, fully codegen'd.
     """
     df = track_persist(df)
     nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     probs = [i / nb for i in range(1, nb)]
+    # ONE driver action: the quantile pass doubles as the cache
+    # materializer, so the offset/main subplans (which run as
+    # concurrent broadcast-exchange stages inside the caller's single
+    # action) all read the cache instead of racing to recompute the
+    # (often join-heavy) upstream plan. The boundaries become literals,
+    # which keeps the bucket id a pure codegen expression.
     bnds = sorted(set(df.stat.approxQuantile(key_col, probs, 1.0 / (10 * nb))))
     if not bnds:
         return df.withColumn(bucket_col, F.lit(0))
@@ -81,24 +90,35 @@ def with_range_bucket(
     return df.withColumn(bucket_col, bucket)
 
 
-def _offset_map(pairs: dict[int, float | int], default: float | int = 0) -> Column:
-    """bucket id -> offset as a literal map lookup (<= n_buckets
-    entries, no join needed)."""
-    if not pairs:
-        return F.lit(default)
-    flat: list[Column] = []
-    for k, v in pairs.items():
-        flat += [F.lit(k), F.lit(v)]
-    return F.coalesce(F.element_at(F.create_map(*flat), F.col(_BUCKET)), F.lit(default))
+def bucket_prefix(
+    stats: DataFrame,
+    cols: dict[str, str],
+    totals: dict[str, str] | None = None,
+) -> DataFrame:
+    """Exclusive prefix sums over a tiny per-bucket aggregate frame.
 
-
-def _exclusive_prefix(per_bucket: dict[int, float | int]) -> dict[int, float | int]:
-    out: dict[int, float | int] = {}
-    acc: float | int = 0
-    for b in sorted(per_bucket):
-        out[b] = acc
-        acc += per_bucket[b]
-    return out
+    ``stats`` has one row per bucket; for each ``value_col -> out_col``
+    in ``cols``, emit ``out_col = sum(value_col) over buckets with
+    strictly smaller id`` (0 when none); ``totals`` adds grand totals
+    as extra columns. Computed with ONE broadcast cross join of the
+    tiny frame with itself (#buckets² ≤ ~1k pairs) + conditional
+    aggregation — a constant-partition window would fold to Exchange
+    SinglePartition and re-trigger the very WindowExec warning this
+    module exists to remove.
+    """
+    earlier = stats.select(
+        F.col(_BUCKET).alias("_tp_b2"),
+        *[F.col(c).alias(f"_tp_e_{c}") for c in {*cols, *(totals or {})}],
+    )
+    joined = stats.select(_BUCKET).join(F.broadcast(earlier), how="cross")
+    before = F.col("_tp_b2") < F.col(_BUCKET)
+    aggs = [
+        F.coalesce(F.sum(F.when(before, F.col(f"_tp_e_{c}"))), F.lit(0)).alias(out)
+        for c, out in cols.items()
+    ]
+    for c, out in (totals or {}).items():
+        aggs.append(F.sum(f"_tp_e_{c}").alias(out))
+    return joined.groupBy(_BUCKET).agg(*aggs)
 
 
 def global_rank(
@@ -113,15 +133,14 @@ def global_rank(
     single-partition window: bucket-local row_number + per-bucket count
     offsets. Result column is int (same type as row_number)."""
     b = with_range_bucket(df, key_col, descending, n_buckets)
-    counts = {
-        r[_BUCKET]: r["cnt"]
-        for r in b.groupBy(_BUCKET).agg(F.count("*").alias("cnt")).collect()
-    }
-    off = _offset_map(_exclusive_prefix(counts))
+    stats = b.groupBy(_BUCKET).agg(F.count("*").alias("_tp_cnt"))
+    off = bucket_prefix(stats, {"_tp_cnt": "_tp_off"})
     w = Window.partitionBy(_BUCKET).orderBy(*_order(key_col, tiebreak_cols, descending))
-    return b.withColumn(
-        out_col, (off + F.row_number().over(w)).cast("int")
-    ).drop(_BUCKET)
+    return (
+        b.join(F.broadcast(off), _BUCKET)
+        .withColumn(out_col, (F.col("_tp_off") + F.row_number().over(w)).cast("int"))
+        .drop(_BUCKET, "_tp_off")
+    )
 
 
 def global_cumsum(
@@ -138,17 +157,18 @@ def global_cumsum(
     offsets."""
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     b = with_range_bucket(df, key_col, descending, n_buckets).withColumn("_tp_v", val)
-    sums = {
-        r[_BUCKET]: r["s"]
-        for r in b.groupBy(_BUCKET).agg(F.sum("_tp_v").alias("s")).collect()
-    }
-    off = _offset_map(_exclusive_prefix(sums))
+    stats = b.groupBy(_BUCKET).agg(F.sum("_tp_v").alias("_tp_s"))
+    off = bucket_prefix(stats, {"_tp_s": "_tp_off"})
     w = (
         Window.partitionBy(_BUCKET)
         .orderBy(*_order(key_col, tiebreak_cols, descending))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return b.withColumn(out_col, off + F.sum("_tp_v").over(w)).drop(_BUCKET, "_tp_v")
+    return (
+        b.join(F.broadcast(off), _BUCKET)
+        .withColumn(out_col, F.col("_tp_off") + F.sum("_tp_v").over(w))
+        .drop(_BUCKET, "_tp_v", "_tp_off")
+    )
 
 
 def global_lead(
@@ -162,27 +182,35 @@ def global_lead(
 ) -> DataFrame:
     """``lead(col) OVER (ORDER BY key, tiebreaks)`` for several columns:
     bucket-local lead, with each bucket's trailing row patched from the
-    next non-empty bucket's head row (a #buckets-sized driver pass)."""
+    next non-empty bucket's head row (min-by over the tiny heads frame,
+    broadcast back)."""
     b = with_range_bucket(df, key_col, descending, n_buckets)
     order = _order(key_col, list(tiebreak_cols), descending)
-    # Head row per bucket = min/max struct in sort order.
-    sort_struct = F.struct(key_col, *tiebreak_cols, *lead_cols)
-    agg = F.min(sort_struct) if not descending else F.max(sort_struct)
-    heads = {
-        r[_BUCKET]: r["h"] for r in b.groupBy(_BUCKET).agg(agg.alias("h")).collect()
-    }
-    # next_head[b] = head of the first non-empty bucket after b.
-    next_head: dict[int, object] = {}
-    pending: list[int] = []
-    for bid in sorted(heads):
-        for p in pending:
-            next_head[p] = heads[bid]
-        pending = [bid]
+    # Head row per bucket = first row in sort order. Encode the sort
+    # order directly in the struct (negated key for descending) so min()
+    # picks the true head even among tied keys.
+    key_sort = (-F.col(key_col)).alias("_tp_k") if descending else F.col(key_col).alias("_tp_k")
+    # Unique field aliases: a lead col may also be a tiebreak, and
+    # duplicate struct field names make `.field` access ambiguous.
+    sort_struct = F.struct(
+        key_sort,
+        *[F.col(t).alias(f"_tp_t{i}") for i, t in enumerate(tiebreak_cols)],
+        *[F.col(c).alias(f"_tp_l{i}") for i, c in enumerate(lead_cols)],
+    )
+    heads = b.groupBy(_BUCKET).agg(F.min(sort_struct).alias("_tp_h"))
+    # Next non-empty bucket's head via min_by over a broadcast theta
+    # self-join of the tiny heads frame (a constant-partition window
+    # would fold to Exchange SinglePartition + the WindowExec warning).
+    later = heads.select(F.col(_BUCKET).alias("_tp_b2"), F.col("_tp_h").alias("_tp_h2"))
+    nxt = (
+        heads.join(F.broadcast(later), F.col("_tp_b2") > F.col(_BUCKET), "left")
+        .groupBy(_BUCKET)
+        .agg(F.min_by("_tp_h2", "_tp_b2").alias("_tp_nh"))
+    )
     w = Window.partitionBy(_BUCKET).orderBy(*order)
-    out = b
-    for c in lead_cols:
-        patch = _offset_map({k: v[c] for k, v in next_head.items()}, default=None)
+    out = b.join(F.broadcast(nxt), _BUCKET, "left")
+    for i, c in enumerate(lead_cols):
         out = out.withColumn(
-            out_prefix + c, F.coalesce(F.lead(c).over(w), patch)
+            out_prefix + c, F.coalesce(F.lead(c).over(w), F.col(f"_tp_nh._tp_l{i}"))
         )
-    return out.drop(_BUCKET)
+    return out.drop(_BUCKET, "_tp_nh")
