@@ -43,6 +43,8 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "text_quality_score",
+    "contamination_ngram",
+    "sample_bernoulli_hash",
     "u2_union_modulo_split",
     "x3_crop_geometry",
     "j6_greedy_tracking",

@@ -1,0 +1,246 @@
+"""Training-data pipeline operations beyond the reference surface
+(SURVEY.md §7 phase 6): the curation ops a 100 TB pretraining corpus
+needs between raw scrape and tokenizer — contamination checks,
+deterministic sampling, domain mixture reweighting, corpus shape
+diagnostics. All pure DataFrame queries with DuckDB oracles.
+
+Determinism rule: anything "random" is hash-derived (md5 digits parsed
+as bigint — bit-identical in Spark and DuckDB), never rand(); a sample
+taken today reproduces byte-for-byte tomorrow, which is what a real
+data pipeline wants for auditability anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+from ..registry import load, query
+
+# md5-derived deterministic uniform hash in [0, 2^48) — identical
+# expression family as extensions.py's shingle ids.
+def _md5_bigint(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast("bigint")
+
+
+_SQL_MD5_BIGINT = "CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 5  # word 5-grams: the usual contamination shingle size
+_BENCH_DOCS = 25  # synthetic "benchmark": lowest doc_ids
+
+_CONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(w) - {_CONTAM_K - 2}),
+                   i -> array_to_string(w[i:i+{_CONTAM_K - 1}], ' '))) AS shingle
+    FROM toks WHERE len(w) >= {_CONTAM_K}
+  )
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_DOCS}),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id >= {_BENCH_DOCS}
+  GROUP BY s.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh WHERE doc_id >= {_BENCH_DOCS} GROUP BY doc_id)
+SELECT z.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       floor((coalesce(h.n_hits, 0) * 1.0 / z.n) * 1e6 + 0.5) / 1e6 AS overlap_frac,
+       (coalesce(h.n_hits, 0) * 1.0 / z.n) > 0.1 AS contaminated
+FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
+"""
+
+
+@query(
+    "contamination_ngram",
+    oracle=_CONTAM_ORACLE,
+    doc="Benchmark contamination check: fraction of each corpus doc's "
+    "distinct word-5-grams that appear in any benchmark doc "
+    "(here: lowest doc_ids stand in for the eval set). Shingle "
+    "equi-join against the (small) benchmark shingle set — at 100 TB "
+    "the benchmark side stays broadcast-sized (evals are ~1e6 n-grams) "
+    "so the corpus is scanned exactly once, no shuffle of corpus text",
+    tags=("dataset", "contamination", "ext"),
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _CONTAM_K
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    sh = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("shingle"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .filter("_full")
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") < _BENCH_DOCS).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") >= _BENCH_DOCS)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    frac = F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            stable_round(frac, 6).alias("overlap_frac"),
+            (frac > 0.1).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 20
+
+_STRAT_ORACLE = f"""
+SELECT lang, doc_id, CAST(rn AS INTEGER) AS sample_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_SQL_MD5_BIGINT.format(c="doc_id")}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_STRAT_K}
+"""
+
+
+@query(
+    "sample_stratified",
+    oracle=_STRAT_ORACLE,
+    doc="Stratified sample: top-K docs per language by md5-hash order — "
+    "equal representation per stratum regardless of stratum skew. "
+    "Partitioned window (per-lang), so it scales; the hash order makes "
+    "the sample deterministic AND uniform within each stratum",
+    tags=("dataset", "sampling", "ext"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_md5_bigint(F.col("doc_id")), "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _STRAT_K)
+        .select("lang", "doc_id", F.col("sample_rank").cast("int"))
+    )
+
+
+_BERN_RATE_PCT = 30  # keep ~30%
+
+_BERN_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_SQL_MD5_BIGINT.format(c="doc_id")} % 100 < {_BERN_RATE_PCT}
+"""
+
+
+@query(
+    "sample_bernoulli_hash",
+    oracle=_BERN_ORACLE,
+    doc="Hash-Bernoulli sample: keep doc iff md5(doc_id) mod 100 < rate. "
+    "A pure filter — no window, no shuffle, pushdown-friendly — THE "
+    "sampler shape for 100 TB scans (reproducible, mergeable across "
+    "runs, and each executor decides locally)",
+    tags=("dataset", "sampling", "ext"),
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(_md5_bigint(F.col("doc_id")) % 100 < _BERN_RATE_PCT).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mixture reweighting
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH stats AS (
+  SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_chars_total) AS total_chars, count(*) AS n_langs FROM stats)
+SELECT s.lang, s.n_docs, s.n_chars_total,
+       floor((s.n_chars_total * 1.0 / t.total_chars) * 1e6 + 0.5) / 1e6 AS actual_share,
+       floor(((1.0 / t.n_langs) / (s.n_chars_total * 1.0 / t.total_chars)) * 1e6 + 0.5) / 1e6
+         AS upsample_factor
+FROM stats s CROSS JOIN tot t
+"""
+
+
+@query(
+    "mix_domain_weights",
+    oracle=_MIX_ORACLE,
+    doc="Domain-mixture reweighting: per-language char share vs a "
+    "uniform target -> upsample factor per language (the weights a "
+    "data-mixing stage feeds into sampling). One aggregate + one "
+    "broadcast of a 1-row total — nothing here grows with corpus size",
+    tags=("dataset", "mixing", "ext"),
+)
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total")
+    )
+    tot = stats.agg(
+        F.sum("n_chars_total").alias("total_chars"), F.count("*").alias("n_langs")
+    )
+    share = F.col("n_chars_total") / F.col("total_chars")
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_chars_total",
+        stable_round(share, 6).alias("actual_share"),
+        stable_round((F.lit(1.0) / F.col("n_langs")) / share, 6).alias(
+            "upsample_factor"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus shape diagnostics
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+SELECT lang, CAST(floor(ln(n_chars) / ln(2)) AS BIGINT) AS log2_bucket,
+       count(*) AS n_docs, sum(n_chars) AS n_chars_total
+FROM documents GROUP BY 1, 2
+"""
+
+
+@query(
+    "doc_length_histogram",
+    oracle=_HIST_ORACLE,
+    doc="Per-language log2 length histogram — the standard corpus-shape "
+    "diagnostic before choosing packing lengths. Single scan, one "
+    "aggregation; bucket count is bounded (~40) so the result is tiny "
+    "at any corpus size",
+    tags=("dataset", "diagnostics", "ext"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.log(2.0, F.col("n_chars").cast("double"))).cast("bigint")
+    return docs.groupBy("lang", bucket.alias("log2_bucket")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total")
+    )

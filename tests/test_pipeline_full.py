@@ -106,3 +106,73 @@ def test_iter_dataset_source(spark):
     assert pdf.video_id.tolist() == [f"v{i}" for i in range(5)]
     empty = iter_dataset_source(spark, [])
     assert empty.count() == 0
+
+
+def test_full_pipeline_real_forward(spark, tmp_path):
+    """The media pipeline driving the REAL numpy TalkNet forward: fake
+    decode -> detect -> track -> featurize (face crops + per-track
+    MFCC, demoTalkNet.py:178-223) -> ensemble scoring -> segments.
+    Everything but the codec and the learned weights is the production
+    path."""
+    from talknet_segmentation_batchprocessing_spark.operators.featurize import (
+        featurize_tracks,
+    )
+    from talknet_segmentation_batchprocessing_spark.operators.inference import (
+        detect_faces,
+        score_tracks,
+    )
+    from talknet_segmentation_batchprocessing_spark.operators.scenes import detect_scenes
+    from talknet_segmentation_batchprocessing_spark.operators.segmentation import (
+        extract_segments,
+    )
+    from talknet_segmentation_batchprocessing_spark.operators.talknet_forward import (
+        talknet_scorer,
+    )
+    from talknet_segmentation_batchprocessing_spark.operators.tracking import track_faces
+    from talknet_segmentation_batchprocessing_spark.sources.corpus import (
+        scan_video_folder,
+    )
+    from talknet_segmentation_batchprocessing_spark.sources.media_ingest import (
+        explode_frames,
+        extract_audio,
+        fake_decoder,
+    )
+
+    folder = tmp_path / "corpus"
+    folder.mkdir()
+    (folder / "clipC.mp4").write_bytes(b"clipC" * 40)
+
+    videos = scan_video_folder(spark, str(folder))
+    dec = fake_decoder(n_frames=30)
+    frames = explode_frames(videos, decoder=dec)
+    audio = extract_audio(videos, decoder=dec)
+    scenes = detect_scenes(frames)
+    dets = detect_faces(frames)
+    with_scene = dets.join(
+        scenes,
+        on=[
+            dets.video_id == scenes.video_id,
+            (dets.frame_idx >= scenes.start_frame)
+            & (dets.frame_idx < scenes.end_frame),
+        ],
+    ).select(dets["*"], scenes.scene_id)
+    tracks = track_faces(with_scene, min_track=10)
+    feats = featurize_tracks(tracks, frames, audio)
+    fpdf = feats.toPandas()
+    assert len(fpdf) > 0
+    assert all(len(m) == 4 * 13 for m in fpdf.mfcc)
+    assert all(len(f) == 112 * 112 for f in fpdf.face)
+
+    scores = score_tracks(
+        feats,
+        model_builder=lambda _state: talknet_scorer(seed=11),
+        durations=[1],
+    )
+    spdf = scores.toPandas()
+    assert len(spdf) == len(fpdf)
+    assert np.isfinite(spdf.score).all()
+
+    segs = extract_segments(scores, threshold=float(spdf.score.median()),
+                            min_duration_s=0.12).toPandas()
+    # with a median threshold there is at least one above-threshold run
+    assert (segs.end_frame > segs.start_frame).all()
