@@ -211,3 +211,48 @@ def test_score_tracks_with_real_forward(spark):
         out.sort_values("frame_idx").reset_index(drop=True),
         out2.sort_values("frame_idx").reset_index(drop=True),
     )
+
+
+def test_broadcast_weights_roundtrip(spark):
+    """M4 with the real model: pickled state_dict broadcast once,
+    deserialized per executor (talkNet.py:130-147 checkpoint load ->
+    broadcast), scores identical to a locally-built scorer."""
+    import pickle
+
+    import pandas as pd
+
+    from talknet_segmentation_batchprocessing_spark.operators.inference import (
+        broadcast_weights,
+        score_tracks,
+    )
+    from talknet_segmentation_batchprocessing_spark.operators.talknet_forward import (
+        talknet_scorer,
+    )
+
+    rng = np.random.default_rng(21)
+    rows = [
+        {
+            "video_id": "v",
+            "track_id": 0,
+            "frame_idx": f,
+            "mfcc": rng.standard_normal(52).tolist(),
+            "face": rng.integers(0, 256, size=112 * 112).astype(float).tolist(),
+        }
+        for f in range(6)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    state = pickle.dumps(tf.init_weights(seed=5))
+    bc = broadcast_weights(spark, state)
+    via_bc = score_tracks(
+        df,
+        model_bc=bc,
+        model_builder=lambda s: talknet_scorer(weights=pickle.loads(s)),
+        durations=[1],
+    ).toPandas()
+    local = score_tracks(
+        df, model_builder=lambda _s: talknet_scorer(seed=5), durations=[1]
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        via_bc.sort_values("frame_idx").reset_index(drop=True),
+        local.sort_values("frame_idx").reset_index(drop=True),
+    )
