@@ -130,6 +130,7 @@ def s3fd_detector(
     forward_fn: Callable = None,
     input_size: tuple[int, int] = (270, 480),
     conf_th: float = 0.8,
+    forward_batch_fn: Callable = None,
 ):
     """M1 detector with REAL post-processing: anchor priors, center-offset
     box decode, per-class sorted NMS, conf_th walk, and the final
@@ -147,8 +148,7 @@ def s3fd_detector(
 
     fwd = forward_fn or fake_s3fd_forward(input_size)
 
-    def detect(video_id: str, frame_idx: int, image):
-        loc, conf = fwd(image, (video_id, frame_idx))
+    def _post(loc, conf):
         boxes = detect_faces_from_heads(
             loc, conf, input_size, conf_th=conf_th
         )  # (n, 5) [x1, y1, x2, y2, score], score-descending
@@ -157,6 +157,24 @@ def s3fd_detector(
             for d, b in enumerate(boxes)
         ]
 
+    def detect(video_id: str, frame_idx: int, image):
+        return _post(*fwd(image, (video_id, frame_idx)))
+
+    def detect_batch(video_ids, frame_idxs, images):
+        """One forward per ARROW BATCH, not per row: a torch-backed
+        ``forward_batch_fn(images, metas) -> (locs, confs)`` stacks the
+        whole batch into one tensor (the GPU-efficient shape); the
+        fallback maps the single-image forward."""
+        metas = list(zip(video_ids, frame_idxs))
+        if forward_batch_fn is not None:
+            locs, confs = forward_batch_fn(images, metas)
+        else:
+            locs, confs = zip(
+                *[fwd(im, m) for im, m in zip(images, metas)]
+            ) if metas else ((), ())
+        return [_post(lo, co) for lo, co in zip(locs, confs)]
+
+    detect.detect_batch = detect_batch
     return detect
 
 
@@ -179,14 +197,30 @@ def detect_faces(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _executor_model(model_bc, builder)
+        batch_call = getattr(model, "detect_batch", None)
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples(index=False):
-                image = getattr(r, "image", None)
-                for det in model(r.video_id, int(r.frame_idx), image):
-                    d, x1, y1, x2, y2, conf = det
-                    if conf > conf_th:
-                        rows.append((r.video_id, int(r.frame_idx), d, x1, y1, x2, y2, conf))
+            if batch_call is not None:
+                # one model invocation per Arrow batch — the real-NN
+                # shape (stack the batch into one tensor on GPU)
+                vids = pdf["video_id"].tolist()
+                fidx = [int(f) for f in pdf["frame_idx"]]
+                imgs = (
+                    pdf["image"].tolist()
+                    if "image" in pdf.columns
+                    else [None] * len(pdf)
+                )
+                for vid, f, dets in zip(vids, fidx, batch_call(vids, fidx, imgs)):
+                    for d, x1, y1, x2, y2, conf in dets:
+                        if conf > conf_th:
+                            rows.append((vid, f, d, x1, y1, x2, y2, conf))
+            else:
+                for r in pdf.itertuples(index=False):
+                    image = getattr(r, "image", None)
+                    for det in model(r.video_id, int(r.frame_idx), image):
+                        d, x1, y1, x2, y2, conf = det
+                        if conf > conf_th:
+                            rows.append((r.video_id, int(r.frame_idx), d, x1, y1, x2, y2, conf))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -244,3 +244,84 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", bucket.alias("log2_bucket")).agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics quality scoring
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n FROM vocab),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         list_sum(list_transform(array_agg(v.cnt ORDER BY t.pos),
+                                 c -> ln(c) / ln(2))) AS sum_log_cnt
+  FROM toks t JOIN vocab v USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       floor(((d.n_tokens * (ln(tot.n) / ln(2)) - d.sum_log_cnt) / d.n_tokens)
+             * 1e4 + 0.5) / 1e4 AS mean_neg_logprob
+FROM per_doc d CROSS JOIN tot
+"""
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=_LM_ORACLE,
+    doc="Corpus-LM quality score: mean per-token -log2 p(token) under "
+    "the corpus's own unigram distribution — the classic "
+    "perplexity-style filter. Two passes: vocabulary counts (one "
+    "aggregation), then a broadcast vocab join + ORDERED sequential "
+    "log fold per doc (position-sorted collect + aggregate()), so the "
+    "double summation order is pinned identically on both engines. "
+    "At 100 TB the vocab head (the only part that must broadcast) is "
+    "capped by zipf — a few GB for any natural corpus",
+    tags=("dataset", "text", "ext"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import track_persist
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = track_persist(
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+        )
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    ln2 = F.log(F.lit(2.0))
+    per_doc = (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cnt"))),
+                    lambda s: s["cnt"],
+                ),
+                F.lit(0.0),
+                lambda acc, c: acc + F.log(c.cast("double")) / ln2,
+            ).alias("sum_log_cnt"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        stable_round(
+            (F.col("n_tokens") * (F.log(F.col("n").cast("double")) / ln2)
+             - F.col("sum_log_cnt"))
+            / F.col("n_tokens"),
+            4,
+        ).alias("mean_neg_logprob"),
+    )
