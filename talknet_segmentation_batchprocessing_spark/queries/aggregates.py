@@ -320,3 +320,40 @@ def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.coalesce(F.col("view"), F.lit(0.0)), 2).alias("v_view"),
         stable_round(F.coalesce(F.col("purchase"), F.lit(0.0)), 2).alias("v_purchase"),
     )
+
+
+@query(
+    "agg_salted_hot_keys",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+""",
+    doc="Skew-safe aggregation (plans/skew.salted_agg): events has a "
+    "handful of hot event_type keys — the exact shape where one "
+    "reducer key drowns. Partial aggregate on (key, salt) spreads "
+    "each hot key over 16 subkeys; explicit merge functions "
+    "re-combine. Result identical to the direct GROUP BY (2dp "
+    "rounding pins the double summation order on both engines)",
+    tags=("A", "skew", "ext"),
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count("*"), F.sum),
+            "sum_value_raw": (F.sum("value"), F.sum),
+            "max_value": (F.max("value"), F.max),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        stable_round(F.col("sum_value_raw"), 2).alias("sum_value"),
+        "max_value",
+    )

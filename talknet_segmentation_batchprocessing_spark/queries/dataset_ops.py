@@ -325,3 +325,168 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_neg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces (16 dims each over the 64-dim embeddings)
+_PQ_K = 8  # codewords per subspace
+_PQ_ITERS = 2
+_PQ_SAMPLE = 256  # driver-collected training sample bound
+
+_PQ_L2 = (
+    "list_sum(list_transform(range(1, 17), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
+)
+
+
+def _pq_kmeans_cte() -> str:
+    """DuckDB CTE chain mirroring the driver-side per-subspace k-means:
+    init = first K vectors' subvectors, then L2 Lloyd rounds with
+    1e-6-rounded means (same cross-engine-parity trick as the IVF
+    oracle: a ~1e-16 ulp difference cannot move a mean across a 1e-6
+    grid except with negligible probability)."""
+    parts = [
+        f"samp AS (SELECT vec_id, v FROM e WHERE vec_id < {_PQ_SAMPLE}),",
+        f"ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),",
+        "dims AS (SELECT unnest(generate_series(1, 16)) AS dim),",
+        "subv AS (SELECT vec_id, m, list_transform(range(1, 17), i -> v[m*16 + i]) AS sv"
+        "  FROM samp CROSS JOIN ms),",
+        f"c0 AS (SELECT m, vec_id AS code_id, sv AS cv FROM subv WHERE vec_id < {_PQ_K}),",
+    ]
+    for it in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, m, code_id, sv FROM (
+    SELECT s.vec_id, s.m, c.code_id, s.sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_L2} ASC, c.code_id) AS rn
+    FROM subv s JOIN c{it - 1} c ON c.m = s.m
+  ) WHERE rn = 1
+),
+c{it} AS (
+  SELECT m, code_id, list(xa ORDER BY dim) AS cv FROM (
+    SELECT m, code_id, dim, floor(avg(sv[dim]) * 1e6 + 0.5) / 1e6 AS xa
+    FROM a{it} CROSS JOIN dims GROUP BY m, code_id, dim
+  ) GROUP BY m, code_id
+),"""
+        )
+    parts.append(f"cb AS (SELECT m, code_id, cv FROM c{_PQ_ITERS}),")
+    return "\n".join(parts)
+
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_pq_kmeans_cte()}
+allsub AS (
+  SELECT vec_id, m, list_transform(range(1, 17), i -> v[m*16 + i]) AS sv
+  FROM e CROSS JOIN ms
+),
+codes AS (
+  SELECT vec_id, m, code_id, d2 FROM (
+    SELECT s.vec_id, s.m, c.code_id, {_PQ_L2} AS d2,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_L2} ASC, c.code_id) AS rn
+    FROM allsub s JOIN cb c ON c.m = s.m
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN m = 0 THEN code_id END) AS BIGINT) AS code0,
+       CAST(max(CASE WHEN m = 1 THEN code_id END) AS BIGINT) AS code1,
+       CAST(max(CASE WHEN m = 2 THEN code_id END) AS BIGINT) AS code2,
+       CAST(max(CASE WHEN m = 3 THEN code_id END) AS BIGINT) AS code3,
+       floor((max(CASE WHEN m = 0 THEN d2 END)
+            + max(CASE WHEN m = 1 THEN d2 END)
+            + max(CASE WHEN m = 2 THEN d2 END)
+            + max(CASE WHEN m = 3 THEN d2 END)) * 1e6 + 0.5) / 1e6 AS recon_err
+FROM codes GROUP BY vec_id
+"""
+
+
+def _pq_codebooks(emb):
+    """Driver-side per-subspace Lloyd (exact mirror of _pq_kmeans_cte):
+    the training sample is bounded, so local iteration beats a chain of
+    tiny Spark stages; only the full-table ASSIGN phase is distributed
+    (against the broadcast codebooks) — the honest PQ shape at 100 TB."""
+    import math
+
+    rows = emb.filter(F.col("vec_id") < _PQ_SAMPLE).select("vec_id", "v").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    samp = [(int(r.vec_id), [float(x) for x in r.v]) for r in rows]
+    books = {}
+    for m in range(_PQ_M):
+        sub = [(vid, v[m * 16 : m * 16 + 16]) for vid, v in samp]
+        cb = {vid: sv for vid, sv in sub if vid < _PQ_K}
+        for _ in range(_PQ_ITERS):
+            members = {}
+            for vid, sv in sub:
+                best, best_d = -1, None
+                for cid in sorted(cb):
+                    cv = cb[cid]
+                    d = 0.0
+                    for x, y in zip(sv, cv):
+                        d += (x - y) * (x - y)
+                    if best_d is None or d < best_d:
+                        best, best_d = cid, d
+                members.setdefault(best, []).append(sv)
+            cb = {}
+            for cid, vs in members.items():
+                cb[cid] = [
+                    math.floor(sum(v[d] for v in vs) / len(vs) * 1e6 + 0.5) / 1e6
+                    for d in range(16)
+                ]
+        books[m] = cb
+    return [
+        (m, cid, books[m][cid]) for m in sorted(books) for cid in sorted(books[m])
+    ]
+
+
+@query(
+    "emb_pq_codes",
+    oracle=_PQ_ORACLE,
+    doc="Product quantization: 64-dim embeddings -> 4 subspaces x 8 "
+    "codewords (k-means per subspace, trained on a bounded driver "
+    "sample, broadcast back) -> 4 byte-sized codes + reconstruction "
+    "error per vector. 16x compression for ANN shortlists; the assign "
+    "phase is one scan against 32 broadcast codewords. Companion to "
+    "emb_quantize_int8 (scalar) and sim_ivf_topk (coarse quantizer)",
+    tags=("similarity", "quantization", "ext"),
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = spark.createDataFrame(
+        _pq_codebooks(emb), "m int, code_id bigint, cv array<double>"
+    )
+    ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    subv = emb.crossJoin(F.broadcast(ms)).select(
+        "vec_id",
+        "m",
+        F.expr("transform(sequence(1, 16), i -> element_at(v, int(m*16 + i)))").alias("sv"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    best = (
+        subv.join(F.broadcast(cb), "m")
+        .withColumn("_d2", d2)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("_d2"), F.col("code_id"))).alias("_b"))
+        .select("vec_id", "m", F.col("_b._d2").alias("d2"), F.col("_b.code_id").alias("code_id"))
+    )
+
+    def pick(m, col):
+        return F.max(F.when(F.col("m") == m, F.col(col)))
+
+    return best.groupBy("vec_id").agg(
+        pick(0, "code_id").alias("code0"),
+        pick(1, "code_id").alias("code1"),
+        pick(2, "code_id").alias("code2"),
+        pick(3, "code_id").alias("code3"),
+        stable_round(
+            pick(0, "d2") + pick(1, "d2") + pick(2, "d2") + pick(3, "d2"), 6
+        ).alias("recon_err"),
+    )

@@ -349,9 +349,8 @@ SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id
     "labeled with themselves. Pairwise near-dup alone over-removes "
     "(A~B, B~C but A!~C): canonical-per-component is what an actual "
     "dedup pass keeps. Iterative joins with per-round localCheckpoint "
-    "(lineage cut); rounds = component diameter. At 100 TB the same "
-    "loop runs with the two-phase large-star/small-star variant to "
-    "bound skew on giant components",
+    "(lineage cut); rounds = component diameter. The bounded-skew "
+    "100 TB variant is dedup_cc_star below",
     tags=("dedup", "ext"),
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,6 +382,26 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels
+
+
+@query(
+    "dedup_cc_star",
+    oracle=_CC_ORACLE,
+    doc="Same clustering as dedup_cc_clusters, computed with the "
+    "large-star/small-star algorithm (Kiveris et al. SoCC'14, "
+    "operators/graph.py): O(log n) rounds on ANY graph shape and every "
+    "aggregation key is a node — never a component label — so a giant "
+    "component cannot become a shuffle hot-spot. This is the 100 TB "
+    "CC; hash-min (above) is the low-diameter fast path",
+    tags=("dedup", "ext"),
+)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    out = connected_components_star(docs, pairs)
+    return out.select("doc_id", F.col("component").alias("cluster_id"))
 
 
 # ---------------------------------------------------------------------------

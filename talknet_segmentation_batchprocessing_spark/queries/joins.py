@@ -272,3 +272,71 @@ def j8_length_constrained_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("donor_key").isNotNull())
     )
+
+
+_J9_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, v.view_id AS prior_view_id,
+       floor((epoch(c.ts - v.ts)) * 1e3 + 0.5) / 1e3 AS gap_s
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts > v.ts
+"""
+
+
+@query(
+    "j9_asof_join",
+    oracle=_J9_ORACLE,
+    doc="AS-OF join: each click matched to the user's most recent "
+    "STRICTLY-prior view (the canonical event-attribution shape; the "
+    "reference's closest relative is the J2 nearest-in-time tolerance "
+    "check). Spark lacks a native ASOF: union both streams tagged, "
+    "then last(view, ignorenulls) over a per-user (ts, tag) order "
+    "with a rows-to-(-1) frame — one shuffle, linear per partition, "
+    "no range self-join blowup. Views are deduped to one per "
+    "(user, ts) so tie-handling is deterministic on both engines",
+    tags=("J9", "ext"),
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    c = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    # tag 0 = click, 1 = view: at equal ts the view sorts AFTER the
+    # click, and the window frame stops at -1 (strictly before the
+    # current row), giving the strict c.ts > v.ts semantics.
+    u = c.select(
+        "user_id", "ts", F.lit(0).alias("_tag"), "event_id",
+        F.lit(None).cast("long").alias("view_id"),
+    ).unionByName(
+        v.select(
+            "user_id", "ts", F.lit(1).alias("_tag"),
+            F.lit(None).cast("long").alias("event_id"), "view_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_d = F.col("ts").cast("timestamp").cast("double")
+    matched = (
+        u.withColumn("prior_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn(
+            "_view_ts_d",
+            F.last(F.when(F.col("_tag") == 1, ts_d), ignorenulls=True).over(w),
+        )
+        .filter(F.col("_tag") == 0)
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        "prior_view_id",
+        stable_round(ts_d - F.col("_view_ts_d"), 3).alias("gap_s"),
+    )

@@ -310,3 +310,61 @@ def w9_tumbling_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("clip_id", "event_type")
         .agg(F.count("*").alias("n"), stable_round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+_W10_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(sid - 1 AS INTEGER) AS session_id,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       count(*) AS n_events,
+       floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@query(
+    "w10_sessionize",
+    oracle=_W10_ORACLE,
+    doc="Batch sessionization: per-user sessions split on >30 min "
+    "inactivity gaps — the time-based sibling of the W1 islands "
+    "(extractSpeakingSegments.py:44-61 run-splitting, gap measured in "
+    "event time instead of frame count). Same partitioned two-window "
+    "shape; the batch analog of streaming/pipeline.py's "
+    "session_window extension",
+    tags=("W10", "ext"),
+)
+def w10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ts_d = F.col("ts").cast("timestamp").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "_new_s",
+        F.when(
+            F.lag(ts_d).over(w).isNull() | ((ts_d - F.lag(ts_d).over(w)) > 1800.0),
+            1,
+        ).otherwise(0),
+    ).withColumn("_sid", F.sum("_new_s").over(wcum))
+    return flagged.groupBy("user_id", "_sid").agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.count("*").alias("n_events"),
+        stable_round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        "user_id",
+        (F.col("_sid") - 1).cast("int").alias("session_id"),
+        "start_ts",
+        "end_ts",
+        "n_events",
+        "sum_value",
+    )
