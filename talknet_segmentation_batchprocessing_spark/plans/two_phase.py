@@ -81,12 +81,19 @@ def with_range_bucket(
     bnds = sorted(set(df.stat.approxQuantile(key_col, probs, 1.0 / (10 * nb))))
     if not bnds:
         return df.withColumn(bucket_col, F.lit(0))
-    arr = F.lit(bnds)
     key = F.col(key_col).cast("double")
-    if descending:
-        bucket = F.size(F.filter(arr, lambda b: b > key))
-    else:
-        bucket = F.size(F.filter(arr, lambda b: b < key))
+    # bucket id = #boundaries the key has passed, as a plain sum of
+    # comparisons against literals (NOT a filter() higher-order
+    # function: a lambda capturing an outer column trips a Catalyst
+    # column-pruning bug under the offsets self-join, losing the key
+    # attribute from one branch at execution time).
+    terms = [
+        ((key < F.lit(x)) if descending else (key > F.lit(x))).cast("int")
+        for x in bnds
+    ]
+    bucket = terms[0]
+    for t in terms[1:]:
+        bucket = bucket + t
     return df.withColumn(bucket_col, bucket)
 
 
