@@ -45,6 +45,9 @@ HEADLINE = [
     "text_quality_score",
     "contamination_ngram",
     "sample_bernoulli_hash",
+    "w10_sessionize",
+    "j9_asof_join",
+    "emb_pq_codes",
     "u2_union_modulo_split",
     "x3_crop_geometry",
     "j6_greedy_tracking",
