@@ -196,3 +196,59 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted(out.text.tolist()) == ["alpha", "beta", "gamma"]
     # the FIRST arrival won: alpha kept doc_id 0, not 2
     assert int(out.loc[out.text == "alpha", "doc_id"].iloc[0]) == 0
+
+
+def test_stateful_enrich_latest_across_batches(spark, tmp_path):
+    """Streaming as-of (streaming/enrich.py): a view in micro-batch 1
+    matches clicks in batch 2; same-ts view does NOT match (strict
+    priority); later view supersedes earlier one."""
+    from talknet_segmentation_batchprocessing_spark.streaming.enrich import (
+        stateful_enrich_latest,
+    )
+
+    schema = "user_id long, event_id long, event_type string, ts double"
+    drop = tmp_path / "events"
+    drop.mkdir()
+    b1 = [
+        (1, 10, "view", 100.0),
+        (1, 11, "click", 100.0),   # same ts as view 10 -> NOT prior
+        (1, 12, "click", 105.0),   # matches view 10
+        (2, 20, "click", 50.0),    # no view yet -> null
+    ]
+    b2 = [
+        (1, 13, "view", 110.0),
+        (1, 14, "click", 120.0),   # matches view 13 (supersedes 10)
+        (2, 21, "view", 60.0),
+        (2, 22, "click", 61.0),    # matches view 21 from same batch
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(drop / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(drop / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "*"))
+    )
+    q = (
+        stateful_enrich_latest(stream)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        int(r.event_id): (
+            None if r.prior_view_id is None else int(r.prior_view_id),
+            r.gap_s,
+        )
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == {
+        11: (None, None),
+        12: (10, 5.0),
+        20: (None, None),
+        14: (13, 10.0),
+        22: (21, 1.0),
+    }
