@@ -490,3 +490,74 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick(0, "d2") + pick(1, "d2") + pick(2, "d2") + pick(3, "d2"), 6
         ).alias("recon_err"),
     )
+
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, sum(cnt) AS n_toks FROM tf GROUP BY doc_id),
+df AS (SELECT tok, count(*) AS n_docs_with FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok,
+         (t.cnt * 1.0 / dl.n_toks) * ln(n.n_docs * 1.0 / df.n_docs_with) AS tfidf
+  FROM tf t
+  JOIN dlen dl USING (doc_id)
+  JOIN df USING (tok)
+  CROSS JOIN n
+)
+SELECT doc_id, tok, CAST(rn AS INTEGER) AS rank,
+       floor(tfidf * 1e6 + 0.5) / 1e6 AS tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, tok) AS rn
+  FROM scored
+) WHERE rn <= {_TFIDF_K}
+"""
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=_TFIDF_ORACLE,
+    doc="Per-document top-3 tf-idf terms — the keyword-extraction / "
+    "feature-selection staple. Two aggregations (term freq, doc freq) "
+    "+ a broadcast of the document-frequency table + a per-doc "
+    "(partitioned) ranking window. The idf side is vocabulary-sized "
+    "(zipf-capped), so at 100 TB it broadcasts while the corpus "
+    "streams through one scan",
+    tags=("dataset", "text", "ext"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_toks"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("n_docs_with"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            (F.col("cnt") / F.col("n_toks"))
+            * F.log(F.col("n_docs") / F.col("n_docs_with")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select(
+            "doc_id", "tok", F.col("rank").cast("int"),
+            stable_round("tfidf", 6).alias("tfidf"),
+        )
+    )
