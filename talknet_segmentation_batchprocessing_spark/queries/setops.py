@@ -95,3 +95,54 @@ def u4_explode_duration_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(d) for d in DURATION_SET])).alias("duration")
     )
     return durations.crossJoin(ev.select("event_type").distinct())
+
+
+@query(
+    "ext_semi_anti_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name, TRUE AS has_orders
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c.c_custkey, c.c_name, FALSE AS has_orders
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Semi + anti join (SURVEY §7 free built-ins): customers with / "
+    "without orders via leftsemi / leftanti — no row duplication, the "
+    "join stops at first match. Both halves share one scan pair",
+    tags=("ext", "join"),
+)
+def ext_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ok = load(spark, sf_dir, "orders").select("o_custkey")
+    semi = cust.join(ok, cust.c_custkey == ok.o_custkey, "leftsemi").withColumn(
+        "has_orders", F.lit(True)
+    )
+    anti = cust.join(ok, cust.c_custkey == ok.o_custkey, "leftanti").withColumn(
+        "has_orders", F.lit(False)
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "ext_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="GROUPING SETS (SURVEY §7 free built-ins; completes the "
+    "rollup/cube trio): per-status, per-priority, and grand totals in "
+    "one pass — Catalyst expands to a single Expand + hash aggregate, "
+    "not three scans",
+    tags=("ext",),
+)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)

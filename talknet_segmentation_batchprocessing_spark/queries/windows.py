@@ -368,3 +368,48 @@ def w10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+_W11_ORACLE = """
+WITH e AS (
+  SELECT event_type, value, CAST(floor(epoch(ts) / 1800) AS BIGINT) AS half_slot
+  FROM events
+), windows AS (
+  -- a 1h window sliding by 30min: each event belongs to 2 windows,
+  -- whose starts are the two half-hour slots covering it
+  SELECT event_type, value, (half_slot - k) * 1800 AS win_start
+  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k)
+)
+SELECT win_start, event_type, count(*) AS n,
+       floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
+FROM windows GROUP BY win_start, event_type
+"""
+
+
+@query(
+    "w11_sliding_window",
+    oracle=_W11_ORACLE,
+    doc="Time-based sliding window (1h size, 30min slide) over events "
+    "(SURVEY §7 free built-ins; completes tumbling w9 / session w10): "
+    "each event replicates into size/slide windows via a 2-element "
+    "explode, then one aggregation — the same expansion Spark's "
+    "window(ts, '1 hour', '30 minutes') performs",
+    tags=("W11", "ext"),
+)
+def w11_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    half_slot = F.floor(F.col("ts").cast("timestamp").cast("double") / 1800).cast(
+        "bigint"
+    )
+    win = ev.withColumn("half_slot", half_slot).select(
+        "event_type",
+        "value",
+        F.explode(
+            F.array(
+                (F.col("half_slot") - 0) * 1800, (F.col("half_slot") - 1) * 1800
+            )
+        ).alias("win_start"),
+    )
+    return win.groupBy("win_start", "event_type").agg(
+        F.count("*").alias("n"), stable_round(F.sum("value"), 2).alias("sum_value")
+    )
