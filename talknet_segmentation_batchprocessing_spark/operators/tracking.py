@@ -87,6 +87,10 @@ def greedy_track_scene(
             break
         if len(track) > min_track:
             tracks.append(track)
+        # drop exhausted frame lists between sweeps — pure speedup:
+        # an empty list can never contribute a face, and the sweep
+        # order of the remaining lists is unchanged
+        frame_lists = [fl for fl in frame_lists if fl]
     rows = [
         (video_id, scene_id, tid, frame, box[0], box[1], box[2], box[3])
         for tid, track in enumerate(tracks)

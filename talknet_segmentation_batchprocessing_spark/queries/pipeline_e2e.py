@@ -173,13 +173,70 @@ def j6_greedy_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_W6_NMS_ORACLE = """
+WITH RECURSIVE dets AS (
+  SELECT CAST(user_id % 5 AS VARCHAR) AS video_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS frame_idx,
+         CAST(user_id AS INTEGER) AS det_id,
+         fmod(value, 50) AS x1,
+         fmod(value * 0.7, 50) AS y1,
+         fmod(value, 50) + 30.0 AS x2,
+         fmod(value * 0.7, 50) + 30.0 AS y2,
+         fmod(value, 50) / 100.0 + 0.5 AS conf
+  FROM events
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY video_id, frame_idx
+                                 ORDER BY conf DESC, det_id) AS rn
+    FROM dets
+  ) WHERE rn <= 10
+),
+-- greedy suppression as per-group list recursion: each step keeps the
+-- head (highest conf) and filters the tail to IoU <= 0.3 against it —
+-- exactly the kernel's loop (operators/nms.py:34-47), one iteration
+-- per kept box (bounded by the top-10 pre-cap)
+nmsrec(video_id, frame_idx, boxes, kept) AS (
+  SELECT video_id, frame_idx,
+         list(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2,
+                          conf := conf, det_id := det_id)
+              ORDER BY conf DESC, det_id) AS boxes,
+         CAST([] AS STRUCT(x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE,
+                           conf DOUBLE, det_id INTEGER)[]) AS kept
+  FROM capped GROUP BY video_id, frame_idx
+  UNION ALL
+  SELECT video_id, frame_idx,
+         list_filter(boxes[2:], b ->
+           (greatest(0.0, least(b.x2, boxes[1].x2) - greatest(b.x1, boxes[1].x1))
+            * greatest(0.0, least(b.y2, boxes[1].y2) - greatest(b.y1, boxes[1].y1)))
+           / ((boxes[1].x2 - boxes[1].x1) * (boxes[1].y2 - boxes[1].y1)
+              + (b.x2 - b.x1) * (b.y2 - b.y1)
+              - (greatest(0.0, least(b.x2, boxes[1].x2) - greatest(b.x1, boxes[1].x1))
+                 * greatest(0.0, least(b.y2, boxes[1].y2) - greatest(b.y1, boxes[1].y1))))
+           <= 0.3) AS boxes,
+         list_append(kept, boxes[1]) AS kept
+  FROM nmsrec WHERE len(boxes) > 0
+),
+final AS (
+  SELECT video_id, frame_idx, unnest(kept) AS k
+  FROM nmsrec WHERE len(boxes) = 0
+)
+SELECT video_id, count(*) AS n_kept,
+       floor((sum(k.conf)) * 1e2 + 0.5) / 1e2 AS sum_conf
+FROM final GROUP BY video_id ORDER BY video_id
+"""
+
+
 @query(
     "w6_nms_greedy",
-    oracle=None,  # sequential suppression — not SQL-expressible
+    oracle=_W6_NMS_ORACLE,
     doc="W6 greedy NMS per (video_id, frame_idx) via applyInPandas with "
-    "relational top-k pre-cap (box_utils.py:7-38,129-140 parity); "
-    "rows-only check + property tests",
-    tags=("W6", "rows-only"),
+    "relational top-k pre-cap (box_utils.py:7-38,129-140 parity). The "
+    "sequential suppression IS oracle-checked: a per-group recursive "
+    "CTE carrying (remaining, kept) lists replays the exact greedy "
+    "loop in DuckDB — the kernel is deterministic, so the recursion "
+    "reproduces it bit-for-bit",
+    tags=("W6",),
 )
 def w6_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dets = _synthetic_detections(spark, sf_dir).withColumn(
