@@ -561,3 +561,44 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round("tfidf", 6).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset splitting
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_SQL_MD5_BIGINT.format(c="doc_id")} % 100 < 90 THEN 'train'
+              WHEN {_SQL_MD5_BIGINT.format(c="doc_id")} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM assigned GROUP BY split, lang
+"""
+
+
+@query(
+    "split_train_val_test",
+    oracle=_SPLIT_ORACLE,
+    doc="Deterministic 90/5/5 train/val/test split by md5(doc_id) "
+    "ranges — membership is a pure row-local expression (U2's modulo "
+    "split, hash-hardened), so the split is reproducible across runs, "
+    "engines, and corpus growth: a doc never migrates between splits "
+    "when new docs arrive. Output is the per-(split, lang) audit "
+    "table a pipeline checks before training",
+    tags=("dataset", "sampling", "ext"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = _md5_bigint(F.col("doc_id")) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )

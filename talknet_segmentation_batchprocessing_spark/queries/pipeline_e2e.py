@@ -249,3 +249,64 @@ def w6_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         stable_round(F.sum("conf"), 2).alias("sum_conf"),
     ).orderBy("video_id")
+
+
+_W1_UDTF_ORACLE = f"""
+WITH seqd AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos
+  FROM events
+), flagged AS (
+  SELECT *, (value > 50.0) AS speaking,
+         CASE WHEN (lag(value > 50.0) OVER (PARTITION BY user_id ORDER BY pos))
+                   IS DISTINCT FROM (value > 50.0) THEN 1 ELSE 0 END AS chg
+  FROM seqd
+), runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), segs AS (
+  SELECT user_id, island, min(pos) AS start_pos, max(pos) + 1 AS end_pos,
+         count(*) AS n_events
+  FROM runs WHERE speaking GROUP BY user_id, island
+  HAVING count(*) >= 3
+)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_pos) - 1 AS INTEGER) AS run_idx,
+       CAST(start_pos AS INTEGER) AS start_pos,
+       CAST(end_pos AS INTEGER) AS end_pos,
+       CAST(n_events AS INTEGER) AS n_events
+FROM segs
+"""
+
+
+@query(
+    "w1_udtf_runs",
+    oracle=_W1_UDTF_ORACLE,
+    doc="W1 through the Spark 4 Python UDTF API "
+    "(functions/runs_udtf.SpeakingRuns): per-user score arrays fan out "
+    "to run rows via LATERAL — the table-function formulation of the "
+    "flagship islands query, value-hash-matched against the same "
+    "windowed-SQL oracle. Array assembly is one sort-within-group "
+    "collect; the UDTF is a linear generator per row",
+    tags=("W1", "udtf", "ext"),
+)
+def w1_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.runs_udtf import SpeakingRuns
+
+    ev = load(spark, sf_dir, "events")
+    arrs = (
+        ev.select("user_id", F.struct("ts", "event_id", "value").alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["value"]
+            ).alias("vals")
+        )
+    )
+    spark.udtf.register("speaking_runs", SpeakingRuns)
+    arrs.createOrReplaceTempView("_udtf_arrs")
+    return spark.sql(
+        "SELECT a.user_id, r.run_idx, r.start_pos, r.end_pos, r.n_events "
+        "FROM _udtf_arrs a, LATERAL speaking_runs(a.vals, 50.0, 3) r"
+    )
