@@ -34,3 +34,18 @@ def test_entry_releases_prior_caches(spark, monkeypatch):
     assert len(registry._PERSISTED) > 0
     entrymod.entry(spark).count()
     assert registry._PERSISTED == []
+
+
+def test_driver_window_occupies_first_50_slots():
+    """The driver verifies the FIRST 50 registered queries; the curated
+    window must occupy exactly those slots, in order."""
+    from talknet_segmentation_batchprocessing_spark import registry
+
+    registry._ensure_loaded()
+    names = list(registry.REGISTRY)
+    assert len(registry._DRIVER_WINDOW) == 50
+    assert names[:50] == registry._DRIVER_WINDOW
+    # every registered query has an oracle except the one by-design
+    # sequential kernel
+    no_oracle = [n for n, s in registry.REGISTRY.items() if s.oracle is None]
+    assert no_oracle == ["j6_greedy_tracking"]
