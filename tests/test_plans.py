@@ -67,7 +67,28 @@ TWO_PHASE_QUERIES = [
     "u2_union_modulo_split",
     "a6_average_precision",
     "ava_map_eval",
+    # round-2 additions: partitioned windows / pure aggregations by
+    # construction — the guard keeps them that way
+    "w10_sessionize",
+    "w11_sliding_window",
+    "j9_asof_join",
+    "text_tfidf_topk",
+    "contamination_ngram",
+    "sample_stratified",
+    "text_unigram_logprob",
+    "dedup_cc_star",
+    "emb_pq_codes",
 ]
+
+
+def test_contamination_bench_side_broadcasts(spark):
+    """The benchmark shingle set must broadcast (the corpus side is the
+    100 TB scan; a shuffle of corpus shingles would be the hazard)."""
+    assert_broadcast_join(q("contamination_ngram", spark))
+
+
+def test_tfidf_idf_side_broadcasts(spark):
+    assert_broadcast_join(q("text_tfidf_topk", spark))
 
 
 @pytest.mark.parametrize("name", TWO_PHASE_QUERIES)
