@@ -146,8 +146,17 @@ def _average_precision_global(
     out_col: str,
     ndigits: int,
 ) -> DataFrame:
-    """Ungrouped AP without any single-partition window (two-phase) and
-    without any driver action — one fully lazy plan:
+    """Ungrouped AP without any single-partition window (two-phase).
+
+    Measured tradeoff (local[32], min of 3): the single-partition
+    one-phase form wins below ~1M rows (0.5s vs 3.2s at 60k — fixed
+    per-stage overhead dominates), the two-phase form wins 2x at 5M
+    (6.3s vs 11.7s) and the gap widens with scale: one-phase runs the
+    whole sort+window on ONE task of one executor (strictly serial),
+    two-phase keeps every pass parallel. The bench SF sits below the
+    crossover; the 100 TB target sits far above it.
+
+    Structure:
 
     - range-bucket rows on score; ONE tiny stats aggregate gives
       per-bucket row counts and positive counts, whose exclusive
