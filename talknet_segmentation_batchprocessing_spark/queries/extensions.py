@@ -1180,3 +1180,40 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(bin_col).alias("byte_len"),
         F.sha2(bin_col, 256).alias("content_sha"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH frames AS (
+  SELECT user_id AS video_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS frame_idx,
+         octet_length(CAST(props AS BLOB)) AS payload_len
+  FROM events
+)
+SELECT video_id, count(*) AS n_sampled, sum(payload_len) AS bytes_sampled
+FROM frames WHERE frame_idx % 25 = 0
+GROUP BY video_id
+""",
+    doc="Multimodal frame sampling (operators/multimodal."
+    "sample_video_frames): 1 fps from a 25 fps stream as a pure modulo "
+    "filter — at 100 TB the filter runs before any payload leaves the "
+    "scan, so 96% of frame bytes are never read past the row group. "
+    "Output audits what a feature-extraction pass would consume",
+    tags=("multimodal", "ext"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_video_frames
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frames = ev.select(
+        F.col("user_id").alias("video_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("frame_idx"),
+        F.octet_length(F.encode("props", "utf-8")).alias("payload_len"),
+    )
+    return sample_video_frames(frames, every_n=25).groupBy("video_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("payload_len").alias("bytes_sampled"),
+    )
