@@ -116,3 +116,34 @@ def session_window_segments(
             "mean_score",
         )
     )
+
+
+def sliding_window_counts(
+    event_stream: DataFrame,
+    ts_col: str = "event_time",
+    size_s: int = 3600,
+    slide_s: int = 1800,
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Watermarked sliding-window aggregation — the streaming twin of
+    the batch ``w11_sliding_window`` query (each event lands in
+    size/slide overlapping windows; late rows beyond the watermark are
+    dropped, closed windows emit once). With ``session_window_segments``
+    (session) and the ``foreachBatch`` tumbling clip path, all three
+    time-window families run on streams with the same semantics as
+    their batch queries."""
+    return (
+        event_stream.withWatermark(ts_col, f"{watermark_s} seconds")
+        .groupBy(
+            F.window(ts_col, f"{size_s} seconds", f"{slide_s} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -252,3 +252,66 @@ def test_stateful_enrich_latest_across_batches(spark, tmp_path):
         14: (13, 10.0),
         22: (21, 1.0),
     }
+
+
+def test_sliding_window_counts_matches_batch(spark, tmp_path):
+    """Streaming sliding windows agree with the batch w11 expansion on
+    a bounded input (availableNow drains everything, so no rows are
+    late and every window closes)."""
+    import datetime as dt
+
+    from talknet_segmentation_batchprocessing_spark.streaming.pipeline import (
+        sliding_window_counts,
+    )
+
+    schema = "event_time timestamp, event_type string, value double"
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(seconds=s), "click" if (s // 300) % 2 else "view", float(s))
+        for s in range(0, 7200, 300)
+    ]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(drop / "b0"))
+
+    stream = spark.readStream.schema(schema).parquet(str(drop / "*"))
+    # complete mode: append would emit only watermark-closed windows,
+    # and a single bounded drain never advances the watermark past the
+    # tail windows — complete shows every window for the comparison
+    q = (
+        sliding_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("slide")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT win_start, event_type, n, sum_value FROM slide"
+    ).toPandas()
+
+    # batch expansion: each event in the 2 windows covering it
+    import pandas as pd
+
+    recs = []
+    for t, et, v in rows:
+        slot = int(t.timestamp()) // 1800
+        for k in range(2):
+            recs.append(((slot - k) * 1800, et, v))
+    want = (
+        pd.DataFrame(recs, columns=["ws", "event_type", "value"])
+        .groupby(["ws", "event_type"])
+        .agg(n=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+    got["ws"] = got.win_start.map(lambda x: int(x.timestamp()))
+    merged = want.merge(
+        got[["ws", "event_type", "n", "sum_value"]],
+        on=["ws", "event_type"],
+        suffixes=("_want", "_got"),
+        how="outer",
+    )
+    assert len(merged) == len(want) == len(got)
+    assert (merged.n_want == merged.n_got).all()
+    assert (abs(merged.sum_value_want - merged.sum_value_got) < 1e-9).all()
