@@ -602,3 +602,47 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# text normalization
+# ---------------------------------------------------------------------------
+
+_NORM_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, n_chars,
+         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(norm) AS BIGINT) AS norm_len,
+       CAST(n_chars - length(norm) AS BIGINT) AS n_removed,
+       substr(md5(norm), 1, 16) AS norm_key
+FROM n
+"""
+
+
+@query(
+    "text_normalize",
+    oracle=_NORM_ORACLE,
+    doc="Canonical text normalization: lowercase, strip punctuation, "
+    "collapse whitespace runs, trim — emitting the normalized length, "
+    "removed-char count, and an md5 dedup key over the normal form "
+    "(what exact-dedup should hash instead of raw text). Single scan, "
+    "pure string expressions, no UDF",
+    tags=("dataset", "text", "ext"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[.,!?;:]", ""), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("norm_len"),
+        (F.col("n_chars") - F.length(norm)).cast("bigint").alias("n_removed"),
+        F.substring(F.md5(norm), 1, 16).alias("norm_key"),
+    )
