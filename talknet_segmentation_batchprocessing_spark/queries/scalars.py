@@ -226,3 +226,31 @@ def x7_wrap_pad_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("orig_len"),
         stable_round(F.element_at(padded, 100).cast("double"), 6).alias("sample_at_100"),
     )
+
+
+@query(
+    "x19_json_field_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    doc="JSON-path extraction over the events props column "
+    "(get_json_object '$.k' -> bigint) + grouped stats — the "
+    "semi-structured-column analog of X11's string-encoded array "
+    "parse (dataLoader.py:80-87). Stays in codegen: Spark's JSON path "
+    "evaluation is JVM-side, no UDF",
+    tags=("X19", "ext"),
+)
+def x19_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
