@@ -111,6 +111,20 @@ def average_precision(
         return _average_precision_global(
             df, score_col, lab, tiebreak_cols, out_col, ndigits
         )
+    return _ap_grouped(df, score_col, lab, tiebreak_cols, part, out_col, ndigits)
+
+
+def _ap_grouped(
+    df: DataFrame,
+    score_col: str,
+    lab: Column,
+    tiebreak_cols: Sequence[str],
+    part: Sequence[str],
+    out_col: str,
+    ndigits: int,
+) -> DataFrame:
+    """Grouped AP window pipeline — also the one-phase body for the
+    ungrouped form below the crossover (one opaque partition)."""
     order = [F.desc(score_col)] + [F.col(c) for c in tiebreak_cols]
     w = Window.partitionBy(*part).orderBy(*order)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -128,8 +142,10 @@ def average_precision(
         .withColumn("_tp", F.sum(lab).over(wcum))
         .withColumn("_pos", F.sum(lab).over(wall))
     )
+    # try_divide: a group with zero positives must yield a NULL AP (the
+    # DuckDB oracle's ``x/0``) rather than an ANSI DIVIDE_BY_ZERO error.
     pr = ranked.withColumn("_prec", F.col("_tp") / F.col("_rank")).withColumn(
-        "_rec", F.col("_tp") / F.col("_pos")
+        "_rec", F.try_divide(F.col("_tp"), F.col("_pos"))
     )
     sm = pr.withColumn("_sprec", F.max("_prec").over(wsuffix)).withColumn(
         "_dr", F.col("_rec") - F.coalesce(F.lag("_rec").over(w), F.lit(0.0))
@@ -146,17 +162,22 @@ def _average_precision_global(
     out_col: str,
     ndigits: int,
 ) -> DataFrame:
-    """Ungrouped AP without any single-partition window (two-phase).
+    """Ungrouped AP, adaptive one-/two-phase.
 
     Measured tradeoff (local[32], min of 3): the single-partition
     one-phase form wins below ~1M rows (0.5s vs 3.2s at 60k — fixed
     per-stage overhead dominates), the two-phase form wins 2x at 5M
     (6.3s vs 11.7s) and the gap widens with scale: one-phase runs the
     whole sort+window on ONE task of one executor (strictly serial),
-    two-phase keeps every pass parallel. The bench SF sits below the
-    crossover; the 100 TB target sits far above it.
+    two-phase keeps every pass parallel. The switch is measured, not
+    guessed: ``prepare_keyed``'s single driver action returns the row
+    count alongside the bucket boundaries, and below
+    ``two_phase.CROSSOVER_ROWS`` the grouped pipeline runs over one
+    opaque partition (``one_partition_col`` — a real partition spec,
+    no WindowExec hazard warning) at one-phase cost with zero scale
+    risk above the crossover.
 
-    Structure:
+    Two-phase structure:
 
     - range-bucket rows on score; ONE tiny stats aggregate gives
       per-bucket row counts and positive counts, whose exclusive
@@ -173,9 +194,26 @@ def _average_precision_global(
       ``tp_offset/P`` — the same double division, bit-identical to the
       one-phase ``rec - lag(rec)``.
     """
-    from ..plans.two_phase import _BUCKET, bucket_prefix, with_range_bucket
+    from ..plans.two_phase import (
+        _BUCKET,
+        CROSSOVER_ROWS,
+        attach_range_bucket,
+        bucket_prefix,
+        one_partition_col,
+        prepare_keyed,
+    )
 
-    b = with_range_bucket(df, score_col, descending=True)
+    df, n, bnds = prepare_keyed(df, score_col)
+    if n == 0:
+        # Ungrouped aggregate semantics: one NULL-AP row, like the
+        # oracle's SELECT ... on an empty input.
+        return df.agg(F.max(F.lit(None).cast("double")).alias(out_col))
+    if n <= CROSSOVER_ROWS or not bnds:
+        p = df.withColumn("_ap_p", one_partition_col())
+        return _ap_grouped(
+            p, score_col, lab, tiebreak_cols, ["_ap_p"], out_col, ndigits
+        ).drop("_ap_p")
+    b = attach_range_bucket(df, score_col, bnds, descending=True)
     stats = b.groupBy(_BUCKET).agg(
         F.count("*").alias("_tp_cnt"), F.sum(lab).alias("_tp_np")
     )
@@ -201,13 +239,16 @@ def _average_precision_global(
         .withColumn("_rank", F.col("_tp_rank_off") + F.row_number().over(w))
         .withColumn("_tp", F.col("_tp_tp_off") + F.col("_ltp"))
         .withColumn("_prec", F.col("_tp") / F.col("_rank"))
-        .withColumn("_rec", F.col("_tp") / F.col("_tp_total"))
+        # try_divide: with zero positives ``x/0`` must yield NULL (the
+        # one-phase form and the DuckDB oracle both produce a NULL AP),
+        # but ANSI mode (on by default in Spark 4) makes ``/`` throw.
+        .withColumn("_rec", F.try_divide(F.col("_tp"), F.col("_tp_total")))
         .withColumn(
             "_dr",
             F.col("_rec")
             - F.coalesce(
                 F.lag("_rec").over(w),
-                F.col("_tp_tp_off") / F.col("_tp_total"),
+                F.try_divide(F.col("_tp_tp_off"), F.col("_tp_total")),
             ),
         )
         .withColumn("_lsuf", F.max("_prec").over(wsuffix))

@@ -65,24 +65,35 @@ def connected_components_star(
 
     Each round is two groupBy-min + join passes over the shrinking
     edge list; ``localCheckpoint`` cuts lineage per round. Convergence
-    is detected with a cheap (count, sum) signature of the oriented
-    edge set — edges only ever re-point downward, so an unchanged
-    signature means a fixpoint.
+    is screened with a cheap (count, sum) signature of the oriented
+    edge set, then CONFIRMED exactly: equal signatures do not imply
+    equal edge sets ({(3,1),(4,2)} vs {(4,1),(3,2)} collide), so a
+    signature match triggers one ``exceptAll`` emptiness check against
+    the previous round's (checkpointed, so cheap) frame before
+    stopping. Exhausting ``max_rounds`` without a fixpoint raises —
+    silently returning unconverged labels would be a wrong answer.
     """
     e = edges.select(
         F.col(edges.columns[0]).cast("long").alias("u"),
         F.col(edges.columns[1]).cast("long").alias("v"),
     ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint()
         row = e.agg(
             F.count("*").alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
         ).collect()[0]
         sig = (row["n"], row["su"], row["sv"])
-        if sig == prev_sig:
+        if sig == prev_sig and e.exceptAll(prev_e).isEmpty():
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_rounds} rounds"
+        )
     node_col = nodes.columns[0]
     comp = e.select(F.col("u").alias(node_col), F.col("v").alias("component"))
     return (

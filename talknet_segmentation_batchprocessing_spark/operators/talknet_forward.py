@@ -324,13 +324,18 @@ def init_weights(seed: int = 7) -> dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _bn(w, name, x):
+def _bn(w, name, x, eps=1e-5):
+    # The visual frontend BNs (frontend3D BatchNorm3d and every
+    # ResNetLayer BatchNorm2d) are built with eps=0.001 in the reference
+    # (visualEncoder.py), unlike torch's 1e-5 default used everywhere
+    # else — eps must match or a real checkpoint's embeddings drift.
     return batchnorm(
         x,
         w[f"{name}.weight"],
         w[f"{name}.bias"],
         w[f"{name}.running_mean"],
         w[f"{name}.running_var"],
+        eps=eps,
     )
 
 
@@ -376,15 +381,15 @@ def forward_audio_frontend(w, mfcc):
 
 def _resnet_layer(w, base, x, stride):
     """visual ResNetLayer (visualEncoder.py:21-53)."""
-    batch = relu(_bn(w, f"{base}.bn1a", conv2d(x, w[f"{base}.conv1a.weight"], stride=stride, pad=1)))
+    batch = relu(_bn(w, f"{base}.bn1a", conv2d(x, w[f"{base}.conv1a.weight"], stride=stride, pad=1), eps=1e-3))
     batch = conv2d(batch, w[f"{base}.conv2a.weight"], stride=1, pad=1)
     residual = x if stride == 1 else conv2d(x, w[f"{base}.downsample.weight"], stride=stride)
     batch = batch + residual
     intermediate = batch
-    batch = relu(_bn(w, f"{base}.outbna", batch))
-    batch = relu(_bn(w, f"{base}.bn1b", conv2d(batch, w[f"{base}.conv1b.weight"], stride=1, pad=1)))
+    batch = relu(_bn(w, f"{base}.outbna", batch, eps=1e-3))
+    batch = relu(_bn(w, f"{base}.bn1b", conv2d(batch, w[f"{base}.conv1b.weight"], stride=1, pad=1), eps=1e-3))
     batch = conv2d(batch, w[f"{base}.conv2b.weight"], stride=1, pad=1)
-    return relu(_bn(w, f"{base}.outbnb", batch + intermediate))
+    return relu(_bn(w, f"{base}.outbnb", batch + intermediate, eps=1e-3))
 
 
 def forward_visual_frontend(w, frames):
@@ -395,7 +400,7 @@ def forward_visual_frontend(w, frames):
     x = (frames.astype(np.float64) / 255.0 - 0.4161) / 0.1688
     x = x[None, None, :, :, :]  # [1,1,T,112,112]
     x = conv3d(x, w["visualFrontend.frontend3D.0.weight"], stride=(1, 2, 2), pad=(2, 3, 3))
-    x = _bn(w, "visualFrontend.frontend3D.1", x)
+    x = _bn(w, "visualFrontend.frontend3D.1", x, eps=1e-3)
     x = relu(x)
     x = maxpool3d(x)  # [1,64,T,28,28]
     T = x.shape[2]

@@ -18,6 +18,7 @@ stage in front.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,9 +54,11 @@ def _enrich_batch(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
                     lv_id, lv_ts = int(r.event_id), ts
             elif r.event_type == "click":
                 if lv_ts is not None and lv_ts < ts:
-                    out.append(
-                        (user_id, int(r.event_id), ts, lv_id, round(ts - lv_ts, 3))
-                    )
+                    # stable_round semantics (floor(x*1e3+0.5)/1e3), NOT
+                    # Python round() (banker's) — must match the batch
+                    # twin j9_asof_join on half-way gaps like 0.0005 s.
+                    gap = math.floor((ts - lv_ts) * 1e3 + 0.5) / 1e3
+                    out.append((user_id, int(r.event_id), ts, lv_id, gap))
                 else:
                     out.append((user_id, int(r.event_id), ts, None, None))
     if lv_ts is not None:

@@ -1,9 +1,16 @@
 """plans/two_phase.py: randomized equivalence against the naive
 single-partition window forms — heavy ties (equal keys MUST share a
 bucket so any tiebreak stays within a partition-local window),
-negative keys, and both sort directions."""
+negative keys, and both sort directions.
+
+Every test runs BOTH adaptive paths: the default (800 rows sits below
+CROSSOVER_ROWS, so the one-phase opaque-partition window runs) and a
+forced two-phase pass with CROSSOVER_ROWS patched to 0.
+"""
 
 from __future__ import annotations
+
+import contextlib
 
 import numpy as np
 import pandas as pd
@@ -23,78 +30,142 @@ def _frame(spark, seed, n=800, n_keys=25):
     return spark.createDataFrame(pdf).repartition(8)
 
 
+@contextlib.contextmanager
+def _crossover(value):
+    from talknet_segmentation_batchprocessing_spark.plans import two_phase
+
+    old = two_phase.CROSSOVER_ROWS
+    two_phase.CROSSOVER_ROWS = value
+    try:
+        yield
+    finally:
+        two_phase.CROSSOVER_ROWS = old
+
+
+def _both_paths():
+    # (label, crossover): default exercises the one-phase branch at
+    # n=800; 0 forces the bucketed two-phase branch.
+    yield "one-phase", None
+    yield "two-phase", 0
+
+
 def test_global_rank_matches_naive(spark):
     from talknet_segmentation_batchprocessing_spark.plans.two_phase import global_rank
     from talknet_segmentation_batchprocessing_spark.registry import release_persisted
 
-    for desc in (False, True):
-        df = _frame(spark, seed=1)
-        got = (
-            global_rank(df, "key", ["id"], descending=desc, out_col="rn", n_buckets=7)
-            .select("id", "rn")
-            .toPandas()
-            .sort_values("id")
-        )
-        order = [F.desc("key") if desc else F.asc("key"), F.col("id")]
-        want = (
-            df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
-            .select("id", "rn")
-            .toPandas()
-            .sort_values("id")
-        )
-        pd.testing.assert_frame_equal(
-            got.reset_index(drop=True), want.reset_index(drop=True)
-        )
-        release_persisted()
+    for _label, xo in _both_paths():
+        with _crossover(xo) if xo is not None else contextlib.nullcontext():
+            for desc in (False, True):
+                df = _frame(spark, seed=1)
+                got = (
+                    global_rank(
+                        df, "key", ["id"], descending=desc, out_col="rn", n_buckets=7
+                    )
+                    .select("id", "rn")
+                    .toPandas()
+                    .sort_values("id")
+                )
+                order = [F.desc("key") if desc else F.asc("key"), F.col("id")]
+                want = (
+                    df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+                    .select("id", "rn")
+                    .toPandas()
+                    .sort_values("id")
+                )
+                pd.testing.assert_frame_equal(
+                    got.reset_index(drop=True), want.reset_index(drop=True)
+                )
+                release_persisted()
 
 
 def test_global_cumsum_matches_naive(spark):
     from talknet_segmentation_batchprocessing_spark.plans.two_phase import global_cumsum
     from talknet_segmentation_batchprocessing_spark.registry import release_persisted
 
-    df = _frame(spark, seed=2)
-    got = (
-        global_cumsum(df, "key", "val", ["id"], out_col="cum", n_buckets=7)
-        .select("id", "cum")
-        .toPandas()
-        .sort_values("id")
-    )
-    w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
-    want = (
-        df.withColumn("cum", F.sum("val").over(w))
-        .select("id", "cum")
-        .toPandas()
-        .sort_values("id")
-    )
-    np.testing.assert_allclose(
-        got.cum.to_numpy(), want.cum.to_numpy(), rtol=0, atol=1e-9
-    )
-    release_persisted()
+    for _label, xo in _both_paths():
+        with _crossover(xo) if xo is not None else contextlib.nullcontext():
+            df = _frame(spark, seed=2)
+            got = (
+                global_cumsum(df, "key", "val", ["id"], out_col="cum", n_buckets=7)
+                .select("id", "cum")
+                .toPandas()
+                .sort_values("id")
+            )
+            w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+            want = (
+                df.withColumn("cum", F.sum("val").over(w))
+                .select("id", "cum")
+                .toPandas()
+                .sort_values("id")
+            )
+            np.testing.assert_allclose(
+                got.cum.to_numpy(), want.cum.to_numpy(), rtol=0, atol=1e-9
+            )
+            release_persisted()
 
 
 def test_global_lead_matches_naive(spark):
     from talknet_segmentation_batchprocessing_spark.plans.two_phase import global_lead
     from talknet_segmentation_batchprocessing_spark.registry import release_persisted
 
-    for desc in (False, True):
-        df = _frame(spark, seed=3)
-        got = (
-            global_lead(df, "key", ["id"], ["val", "id"], descending=desc, n_buckets=7)
-            .select("id", "_next_val", "_next_id")
-            .toPandas()
-            .sort_values("id")
-        )
-        order = [F.desc("key") if desc else F.asc("key"), F.col("id")]
-        w = Window.orderBy(*order)
-        want = (
-            df.withColumn("_next_val", F.lead("val").over(w))
-            .withColumn("_next_id", F.lead("id").over(w))
-            .select("id", "_next_val", "_next_id")
-            .toPandas()
-            .sort_values("id")
-        )
-        pd.testing.assert_frame_equal(
-            got.reset_index(drop=True), want.reset_index(drop=True),
-            check_dtype=False,
-        )
-        release_persisted()
+    for _label, xo in _both_paths():
+        with _crossover(xo) if xo is not None else contextlib.nullcontext():
+            for desc in (False, True):
+                df = _frame(spark, seed=3)
+                got = (
+                    global_lead(
+                        df, "key", ["id"], ["val", "id"], descending=desc, n_buckets=7
+                    )
+                    .select("id", "_next_val", "_next_id")
+                    .toPandas()
+                    .sort_values("id")
+                )
+                order = [F.desc("key") if desc else F.asc("key"), F.col("id")]
+                w = Window.orderBy(*order)
+                want = (
+                    df.withColumn("_next_val", F.lead("val").over(w))
+                    .withColumn("_next_id", F.lead("id").over(w))
+                    .select("id", "_next_val", "_next_id")
+                    .toPandas()
+                    .sort_values("id")
+                )
+                pd.testing.assert_frame_equal(
+                    got.reset_index(drop=True),
+                    want.reset_index(drop=True),
+                    check_dtype=False,
+                )
+                release_persisted()
+
+
+def test_one_phase_keeps_real_partition_spec(spark):
+    """The one-phase path must NOT fold to an empty window partition
+    spec (the 'No Partition Defined' single-partition hazard): the
+    opaque partition column survives into the physical plan."""
+    from talknet_segmentation_batchprocessing_spark.plans.two_phase import global_rank
+    from talknet_segmentation_batchprocessing_spark.registry import release_persisted
+
+    df = _frame(spark, seed=4)
+    out = global_rank(df, "key", ["id"], out_col="rn")
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "_tp_p" in physical, physical
+    release_persisted()
+
+
+def test_ap_zero_positives_null(spark):
+    """ANSI guard: zero positives must yield a NULL AP (oracle x/0
+    semantics), not DIVIDE_BY_ZERO — on both adaptive paths."""
+    from talknet_segmentation_batchprocessing_spark.operators.aggregates import (
+        average_precision,
+    )
+    from talknet_segmentation_batchprocessing_spark.registry import release_persisted
+
+    pdf = pd.DataFrame(
+        {"uid": [f"u{i}" for i in range(20)], "score": np.linspace(0, 1, 20),
+         "is_positive": [0] * 20}
+    )
+    for _label, xo in _both_paths():
+        with _crossover(xo) if xo is not None else contextlib.nullcontext():
+            df = spark.createDataFrame(pdf)
+            rows = average_precision(df, "score", "is_positive").collect()
+            assert len(rows) == 1 and rows[0]["ap"] is None, (_label, rows)
+            release_persisted()
