@@ -51,6 +51,11 @@ HEADLINE = [
     "u2_union_modulo_split",
     "x3_crop_geometry",
     "j6_greedy_tracking",
+    "dedup_cc_star",
+    "text_tfidf_topk",
+    "split_train_val_test",
+    "multimodal_frame_sample",
+    "w11_sliding_window",
 ]
 
 

@@ -343,17 +343,33 @@ SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id
 @query(
     "dedup_cc_clusters",
     oracle=_CC_ORACLE,
-    doc="Near-dup CLUSTERING: connected components over the n-gram "
-    "Jaccard pair graph (>= 0.2) via hash-min label propagation — every "
-    "document labeled with the min doc_id of its component, singletons "
-    "labeled with themselves. Pairwise near-dup alone over-removes "
-    "(A~B, B~C but A!~C): canonical-per-component is what an actual "
-    "dedup pass keeps. Iterative joins with per-round localCheckpoint "
-    "(lineage cut); rounds = component diameter. The bounded-skew "
-    "100 TB variant is dedup_cc_star below",
+    doc="Near-dup CLUSTERING (DEFAULT): connected components over the "
+    "n-gram Jaccard pair graph (>= 0.2) — every document labeled with "
+    "the min doc_id of its component, singletons labeled with "
+    "themselves. Pairwise near-dup alone over-removes (A~B, B~C but "
+    "A!~C): canonical-per-component is what an actual dedup pass "
+    "keeps. Since round 3 the default name runs the 100 TB-safe "
+    "large-star/small-star algorithm (same as dedup_cc_star); the "
+    "hash-min label propagation it previously ran (driver-green r2) "
+    "is kept as dedup_cc_labelprop, the low-diameter fast path",
     tags=("dedup", "ext"),
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_cc_star(spark, sf_dir)
+
+
+@query(
+    "dedup_cc_labelprop",
+    oracle=_CC_ORACLE,
+    doc="Hash-min label propagation CC — the low-diameter FAST PATH "
+    "(was the dedup_cc_clusters default until round 3). Iterative "
+    "joins with per-round localCheckpoint (lineage cut); rounds = "
+    "component diameter, one driver convergence action per round. On "
+    "a giant/high-diameter component the hot label becomes a shuffle "
+    "hot-spot — use the default dedup_cc_clusters (star) there",
+    tags=("dedup", "ext"),
+)
+def dedup_cc_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = track_persist(
@@ -446,14 +462,19 @@ FROM pairs WHERE {_COS_EXPR_DUCK} > {_COS_NEAR_DUP_THRESHOLD}
     tags=("dedup", "similarity", "ext"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tiled broadcast block-matmul, not a pairwise SQL nested-loop join.
+    """Executor-side block self-join — the driver never touches data.
 
-    The candidate side is split into bounded tiles (<= _COS_TILE_ROWS
-    rows each); each tile is collected and broadcast in turn, and every
-    Arrow batch of the full scan computes A @ B.T against it with BLAS.
-    Driver memory is bounded by ONE tile regardless of table size — at
-    100 TB this is O(n^2 / tile) scans, the honest brute-force cost;
-    real near-dup at that scale routes through sim_lsh_bucketed.
+    All-pairs brute force is inherently O(n²) compute; the scalable
+    shape distributes it: split ids into G blocks of <= _COS_TILE_ROWS
+    rows, ``explode`` each row to its G block-pairs ``(min(g,h),
+    max(g,h))`` (G replicas per row — shuffle O(n·G), tiny at 64
+    dims), then one ``applyInPandas`` per block pair computes the
+    block×block similarity with ONE BLAS matmul. Every pair (a<b) is
+    produced by exactly one group: the off-diagonal pair group holds
+    both blocks, the diagonal group its upper triangle. Per-task
+    memory is bounded by two tiles (~67 MB); parallelism is
+    G(G+1)/2 groups. The only driver action is a count() to size G;
+    real near-dup at 100 TB routes through sim_lsh_bucketed.
 
     BLAS matmul uses pairwise/FMA summation, which can differ from the
     oracle's sequential fold in the last ulp — enough to flip a pair
@@ -465,14 +486,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from ..deploy import ensure_worker_imports
+
     thr = _COS_NEAR_DUP_THRESHOLD
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = emb.count()
-    n_tiles = max(1, -(-n // _COS_TILE_ROWS))
+    ensure_worker_imports(emb)
+    n = emb.count()  # one scalar action: sizes the block grid
+    n_blocks = max(1, -(-n // _COS_TILE_ROWS))
 
     def seq_dot(a, b):
         # Strict left-to-right accumulation, matching DuckDB list_sum.
@@ -481,54 +503,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += x * y
         return acc
 
-    def make_block_cosine(bc):
-        def block_cosine(batches):
-            ids_b, B, bn = bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                A = np.vstack(pdf["v"].to_numpy())
-                ida = pdf["vec_id"].to_numpy()
-                an = np.sqrt((A * A).sum(axis=1))
-                sims = (A @ B.T) / np.outer(an, bn)
-                # Pre-filter with slack; exact fold decides membership.
-                ai, bi = np.where((ida[:, None] < ids_b[None, :]) & (sims > thr - 1e-9))
-                out_a, out_b, out_cs = [], [], []
-                for i, j in zip(ai, bi):
-                    av, bv = A[i], B[j]
-                    cs = seq_dot(av, bv) / (
-                        np.sqrt(seq_dot(av, av)) * np.sqrt(seq_dot(bv, bv))
-                    )
-                    if cs > thr:
-                        out_a.append(ida[i])
-                        out_b.append(ids_b[j])
-                        out_cs.append(np.floor(cs * 1e4 + 0.5) / 1e4)
-                yield pd.DataFrame(
-                    {
-                        "vec_a": pd.Series(out_a, dtype="int64"),
-                        "vec_b": pd.Series(out_b, dtype="int64"),
-                        "cos_sim": pd.Series(out_cs, dtype="float64"),
-                    }
-                )
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cos_sim": pd.Series([], dtype="float64"),
+        }
+    )
 
-        return block_cosine
-
-    parts = []
-    for t in range(n_tiles):
-        tile = emb.filter(F.col("vec_id") % n_tiles == t).toPandas()
-        ids_b = tile["vec_id"].to_numpy()
-        B = np.vstack(tile["v"].to_numpy())
+    def block_pair_cosine(key, pdf):
+        gi, gj = key
+        side_i = pdf[pdf["g"] == gi]
+        if side_i.empty:
+            return empty
+        ida = side_i["vec_id"].to_numpy()
+        A = np.vstack(side_i["v"].to_numpy())
+        if gi == gj:
+            idb, B = ida, A
+        else:
+            side_j = pdf[pdf["g"] == gj]
+            if side_j.empty:
+                return empty
+            idb = side_j["vec_id"].to_numpy()
+            B = np.vstack(side_j["v"].to_numpy())
+        an = np.sqrt((A * A).sum(axis=1))
         bn = np.sqrt((B * B).sum(axis=1))
-        bc = spark.sparkContext.broadcast((ids_b, B, bn))
-        parts.append(
-            emb.mapInPandas(
-                make_block_cosine(bc), "vec_a long, vec_b long, cos_sim double"
+        sims = (A @ B.T) / np.outer(an, bn)
+        # Pre-filter with slack; the exact fold decides membership.
+        ai, bi = np.where((ida[:, None] < idb[None, :]) & (sims > thr - 1e-9))
+        out_a, out_b, out_cs = [], [], []
+        for i, j in zip(ai, bi):
+            av, bv = A[i], B[j]
+            cs = seq_dot(av, bv) / (
+                np.sqrt(seq_dot(av, av)) * np.sqrt(seq_dot(bv, bv))
             )
+            if cs > thr:
+                out_a.append(ida[i])
+                out_b.append(idb[j])
+                out_cs.append(np.floor(cs * 1e4 + 0.5) / 1e4)
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(out_a, dtype="int64"),
+                "vec_b": pd.Series(out_b, dtype="int64"),
+                "cos_sim": pd.Series(out_cs, dtype="float64"),
+            }
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+
+    blocked = emb.withColumn("g", (F.col("vec_id") % n_blocks).cast("int"))
+    replicated = (
+        blocked.withColumn(
+            "h", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .withColumn("pi", F.least("g", "h"))
+        .withColumn("pj", F.greatest("g", "h"))
+    )
+    return replicated.groupBy("pi", "pj").applyInPandas(
+        block_pair_cosine, "vec_a long, vec_b long, cos_sim double"
+    )
 
 
 @query(

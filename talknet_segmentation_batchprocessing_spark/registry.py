@@ -131,36 +131,40 @@ _LOADED = False
 # parity suite (tests/test_oracle_parity.py, all queries) — the
 # overflow is chosen to be queries that are either trivial projections
 # or already driver-green in round 1.
+# Round-3 rotation: with rounds 1+2 green, the window now covers the
+# 22 queries that have never had a driver row, the 11 r1-green cores
+# displaced by the round-2 rotation, and 17 never-rotated anchors
+# (flagships, the rows-only kernel, and every query whose plan changed
+# this round — the adaptive one-/two-phase switch and the
+# embedding-cosine/CC rewrites). With r1+r2+r3 together, every
+# registered query has at least one driver-green row.
 _DRIVER_WINDOW = [
-    # W: windows (flagship first)
-    "w1_speaking_segments", "w2_centered_smoothing", "w3_windowed_median",
-    "w4_linear_interpolation", "w5_top1_per_group", "w6_topk_candidates",
-    "w7_batch_packing", "w8_global_sort_limit", "w9_tumbling_clips",
-    # U: set ops
-    "u1_union_all", "u2_union_modulo_split", "u3_except", "u4_explode_duration_set",
-    # X: scalar cores
-    "x1_iou_arithmetic", "x2_box_center_size", "x6_av_length_align",
-    "x7_wrap_pad_array", "x10_frame_seconds", "x11_json_parse",
-    "x12_uid_concat", "x13_string_parsing",
-    # end-to-end + scenes
-    "pipeline_scores_to_segments", "m2_scene_change_islands",
-    # sequential kernels (rows-only checks)
+    # anchors: flagship + e2e + eval arm + kernels
+    "w1_speaking_segments", "pipeline_scores_to_segments",
+    "q1_pricing_summary", "ava_map_eval", "columbia_f1_eval",
     "j6_greedy_tracking", "w6_nms_greedy",
-    # F: representative filters (others are trivial predicates, r1-green)
-    "f1_confidence_filter", "f4_having_greatest_avg", "f9_ordered_limit",
-    "f10_least_cap",
-    # J: joins (j3 surrogate zip is the trivial one -> overflow)
-    "j1_equijoin_ranked", "j2_tolerance_check", "j4_group_collect",
-    "j5_spatial_best_match", "j7_anti_equality_pair", "j8_length_constrained_pick",
-    # A: aggregates
-    "a1_ensemble_round_avg", "q1_pricing_summary", "a4_conditional_count",
-    "a5_per_speaker_f1", "a6_average_precision", "a9_energy_db",
-    # M6 eval arm
-    "ava_map_eval", "columbia_f1_eval",
-    # LLM-pipeline flagships
-    "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",
-    "dedup_embedding_cosine", "sim_ivf_topk", "sim_lsh_bucketed",
-    "text_repetition_filter",
+    # anchors: plans changed this round (adaptive switch / rewrites)
+    "a6_average_precision", "j1_equijoin_ranked", "u2_union_modulo_split",
+    "w7_batch_packing", "j8_length_constrained_pick",
+    "dedup_embedding_cosine", "dedup_cc_clusters",
+    # anchors: LLM-pipeline flagships
+    "dedup_minhash_lsh", "sim_lsh_bucketed", "sim_ivf_topk",
+    # never driver-checked: windows / joins / scalars / ext relational
+    "w10_sessionize", "w11_sliding_window", "w1_udtf_runs", "j9_asof_join",
+    "x19_json_field_stats", "ext_semi_anti_join", "ext_grouping_sets",
+    "agg_salted_hot_keys",
+    # never driver-checked: dedup / embeddings
+    "dedup_cc_star", "emb_pq_codes", "emb_quantize_int8",
+    # never driver-checked: text / dataset curation
+    "text_normalize", "text_tfidf_topk", "text_vocab_topk",
+    "text_unigram_logprob", "contamination_ngram", "sample_stratified",
+    "sample_bernoulli_hash", "split_train_val_test", "mix_domain_weights",
+    "doc_length_histogram", "multimodal_frame_sample",
+    # r1-green cores displaced by the round-2 rotation
+    "f2_arithmetic_filter", "f3_having_count", "f7_isin_filter",
+    "f8_range_filter", "f11_project_rename", "j3_surrogate_equijoin",
+    "a3_counts", "a7_extent_minmax_first", "a8_distinct",
+    "x3_crop_geometry", "x15_softmax_argmax",
 ]
 
 
