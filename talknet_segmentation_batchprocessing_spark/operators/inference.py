@@ -136,10 +136,11 @@ def s3fd_detector(
     box decode, per-class sorted NMS, conf_th walk, and the final
     cross-scale greedy NMS (operators/s3fd_post.py, property-tested) —
     semantically the reference's S3FD.detect_faces
-    (model/faceDetector/s3fd/__init__.py:32-66). Only the convolutional
-    forward itself is pluggable: a production deployment passes a
-    ``forward_fn(image, meta) -> (loc, conf)`` backed by torch weights;
-    the default is the deterministic fake head generator.
+    (model/faceDetector/s3fd/__init__.py:32-66). The conv forward is
+    pluggable: ``s3fd_net.s3fd_forward_fn(weights)`` supplies the real
+    numpy VGG16 trunk (returns ``(loc, conf, feature_maps)`` so priors
+    follow the net's floor-pooled grids); the default remains the
+    deterministic fake head generator (no checkpoint in the image).
 
     ``input_size`` is the net input (h, w) — the reference feeds the
     facedetScale=0.25-downscaled frame (demoTalkNet.py:34,121).
@@ -148,9 +149,9 @@ def s3fd_detector(
 
     fwd = forward_fn or fake_s3fd_forward(input_size)
 
-    def _post(loc, conf):
+    def _post(loc, conf, feature_maps=None):
         boxes = detect_faces_from_heads(
-            loc, conf, input_size, conf_th=conf_th
+            loc, conf, input_size, conf_th=conf_th, feature_maps=feature_maps
         )  # (n, 5) [x1, y1, x2, y2, score], score-descending
         return [
             (d, float(b[0]), float(b[1]), float(b[2]), float(b[3]), float(b[4]))
@@ -158,6 +159,8 @@ def s3fd_detector(
         ]
 
     def detect(video_id: str, frame_idx: int, image):
+        # a real conv forward (s3fd_net.forward) returns a third
+        # element: the actual head grid sizes the priors follow
         return _post(*fwd(image, (video_id, frame_idx)))
 
     def detect_batch(video_ids, frame_idxs, images):
@@ -168,11 +171,8 @@ def s3fd_detector(
         metas = list(zip(video_ids, frame_idxs))
         if forward_batch_fn is not None:
             locs, confs = forward_batch_fn(images, metas)
-        else:
-            locs, confs = zip(
-                *[fwd(im, m) for im, m in zip(images, metas)]
-            ) if metas else ((), ())
-        return [_post(lo, co) for lo, co in zip(locs, confs)]
+            return [_post(lo, co) for lo, co in zip(locs, confs)]
+        return [_post(*fwd(im, m)) for im, m in zip(images, metas)]
 
     detect.detect_batch = detect_batch
     return detect

@@ -2,10 +2,11 @@
 columns with typed metadata (BASELINE.json extension surface).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape,
-UDF signatures — is real and tested; the pixel/codec work is pluggable
-because this image has no cv2/PIL/PyAV. Decoders raise
-``NotImplementedError`` unless a deterministic fake is requested, per
-the same pattern as sources.media_ingest.
+UDF signatures — is real and tested, and since round 3 the cv2/PIL
+decode bodies are real too, import-guarded because this image has no
+cv2/PIL/PyAV (stub-module tests exercise the bodies, the
+sources.media_ingest pattern). ``fake_image_decoder`` remains the
+deterministic in-image default.
 """
 
 from __future__ import annotations
@@ -47,14 +48,47 @@ def fake_image_decoder(height: int = 16, width: int = 16):
 
 
 def cv2_image_decoder():
-    """Real decoder (cv2.imdecode); not available in this image."""
+    """Real decoder: bytes -> grayscale uint8 HxW via ``cv2.imdecode``
+    (the reference reads frames with cv2 throughout, demoTalkNet.py).
+    The import is guarded — cv2 is not in this image — and the body is
+    exercised in tests through a stub ``cv2`` module, the same pattern
+    as sources.media_ingest.pyav_decoder."""
     try:
-        import cv2  # noqa: F401
-    except ImportError as e:  # pragma: no cover
+        import cv2
+    except ImportError as e:  # pragma: no cover - env without cv2
         raise NotImplementedError(
-            "cv2 is not installed; use fake_image_decoder() for plumbing tests"
+            "cv2 is not installed; use pil_image_decoder() or "
+            "fake_image_decoder() for plumbing tests"
         ) from e
-    raise NotImplementedError("wire cv2.imdecode(np.frombuffer(content)) here")
+
+    def decode(content: bytes) -> np.ndarray:
+        buf = np.frombuffer(content, dtype=np.uint8)
+        img = cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise ValueError("cv2.imdecode could not parse image bytes")
+        return np.asarray(img, dtype=np.uint8)
+
+    return decode
+
+
+def pil_image_decoder():
+    """Real decoder: bytes -> grayscale uint8 HxW via Pillow. Guarded
+    like :func:`cv2_image_decoder`; preferred when cv2 is absent."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env without Pillow
+        raise NotImplementedError(
+            "Pillow is not installed; use fake_image_decoder() for "
+            "plumbing tests"
+        ) from e
+
+    from io import BytesIO
+
+    def decode(content: bytes) -> np.ndarray:
+        with Image.open(BytesIO(content)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+
+    return decode
 
 
 def extract_image_features(

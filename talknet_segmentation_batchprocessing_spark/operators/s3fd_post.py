@@ -1,9 +1,10 @@
 """M1: S3FD post-processing — priors, box decode, two-stage NMS — as
 pure numpy, semantically matching the reference implementation
 (model/faceDetector/s3fd/box_utils.py:41-217 and __init__.py:32-66)
-without torch. Only the convolutional forward itself (nets.py:28-174)
-remains pluggable; everything after the network's (loc, conf) heads is
-real and property-tested.
+without torch. The convolutional trunk (nets.py:28-174) is real numpy
+too since round 3 (operators/s3fd_net.py — VGG16 + dilated fc6/fc7 +
+L2Norm + extras + maxout heads); everything after the network's
+(loc, conf) heads is real and property-tested here.
 
 Pipeline (reference __init__.py:detect_faces):
 
@@ -235,12 +236,16 @@ def detect_faces_from_heads(
     conf_data: np.ndarray,
     input_size: tuple[int, int],
     conf_th: float = 0.8,
+    feature_maps: Sequence[tuple[int, int]] | None = None,
     **detect_kwargs,
 ) -> np.ndarray:
     """End-to-end post-processing: network heads -> pixel-space boxes.
     ``input_size`` is (h, w) of the frame fed to the net (scales=[1]
-    path of __init__.py:38-64)."""
+    path of __init__.py:38-64). A real conv forward passes the ACTUAL
+    head grid sizes as ``feature_maps`` (nets.py:155-159) — torch floor
+    pooling diverges from ceil(side/step) on sizes not divisible by
+    128, and the prior count must follow the net."""
     h, w = input_size
-    priors = prior_boxes((h, w))
+    priors = prior_boxes((h, w), feature_maps=feature_maps)
     det = detect_post(loc_data, conf_data, priors, **detect_kwargs)
     return collect_detections(det, w, h, conf_th=conf_th)

@@ -43,21 +43,24 @@ def _pair(v):
     return (v, v) if np.isscalar(v) else tuple(v)
 
 
-def conv2d(x, w, stride=1, pad=0):
-    """x [B,C,H,W], w [O,C,kh,kw] -> [B,O,H',W'] via im2col."""
+def conv2d(x, w, stride=1, pad=0, dilation=1):
+    """x [B,C,H,W], w [O,C,kh,kw] -> [B,O,H',W'] via im2col.
+    ``dilation`` spaces the kernel taps (S3FD's fc6 uses 6)."""
     sh, sw = _pair(stride)
     ph, pw = _pair(pad)
+    dh, dw = _pair(dilation)
     B, C, H, W = x.shape
     O, _, kh, kw = w.shape
     if ph or pw:
         x = np.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
-    Ho = (x.shape[2] - kh) // sh + 1
-    Wo = (x.shape[3] - kw) // sw + 1
+    ekh, ekw = (kh - 1) * dh + 1, (kw - 1) * dw + 1
+    Ho = (x.shape[2] - ekh) // sh + 1
+    Wo = (x.shape[3] - ekw) // sw + 1
     s0, s1, s2, s3 = x.strides
     cols = np.lib.stride_tricks.as_strided(
         x,
         shape=(B, C, kh, kw, Ho, Wo),
-        strides=(s0, s1, s2, s3, s2 * sh, s3 * sw),
+        strides=(s0, s1, s2 * dh, s3 * dw, s2 * sh, s3 * sw),
         writeable=False,
     )
     cols = cols.reshape(B, C * kh * kw, Ho * Wo)
