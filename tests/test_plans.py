@@ -97,6 +97,24 @@ def test_no_single_partition_sort(name, spark):
     assert n == 0, f"{name}: {n} Sort node(s) fed by Exchange SinglePartition"
 
 
+@pytest.mark.parametrize("name", TWO_PHASE_QUERIES)
+def test_no_single_partition_sort_two_phase_forced(name, spark):
+    """The adaptive switch runs the one-phase form at test SF; force
+    the two-phase branch so ITS plan stays guarded too (the shape that
+    actually runs above the crossover)."""
+    from talknet_segmentation_batchprocessing_spark.plans import two_phase
+    from talknet_segmentation_batchprocessing_spark.registry import release_persisted
+
+    old = two_phase.CROSSOVER_ROWS
+    two_phase.CROSSOVER_ROWS = 0
+    try:
+        n = single_partition_sorts(q(name, spark))
+        assert n == 0, f"{name}: {n} Sort node(s) fed by Exchange SinglePartition"
+    finally:
+        two_phase.CROSSOVER_ROWS = old
+        release_persisted()
+
+
 def test_single_partition_sort_detector_catches_bad_plan(spark):
     """The detector itself must flag the anti-pattern, or the guard
     above is vacuous."""
