@@ -646,3 +646,154 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") - F.length(norm)).cast("bigint").alias("n_removed"),
         F.substring(F.md5(norm), 1, 16).alias("norm_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repeats, \b, \d only.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_DIGITS = r"\d{10,}"
+
+# The synthetic corpus has no organic PII, which would make the oracle
+# vacuous — deterministically inject it on BOTH sides (the same
+# fixture-shaping used by the eval arm's lineitem roles).
+_PII_SEED_DUCK = (
+    "text"
+    " || (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org' ELSE '' END)"
+    " || (CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END)"
+    " || (CASE WHEN doc_id % 13 = 0 THEN ' acct 9' || lpad(CAST(doc_id AS VARCHAR), 10, '0')"
+    " ELSE '' END)"
+)
+
+_PII_ORACLE = f"""
+WITH seeded AS (
+  SELECT doc_id, {_PII_SEED_DUCK} AS t0 FROM documents
+), s1 AS (
+  SELECT doc_id, t0, regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM seeded
+), s2 AS (
+  SELECT *, regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2 FROM s1
+), s3 AS (
+  SELECT *, regexp_replace(t2, '{_PII_DIGITS}', '<NUM>', 'g') AS t3 FROM s2
+)
+SELECT doc_id,
+       substr(md5(t3), 1, 16) AS clean_key,
+       CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t2, '{_PII_DIGITS}')) AS BIGINT) AS n_num,
+       CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(t1, '{_PII_IP}'))
+            + len(regexp_extract_all(t2, '{_PII_DIGITS}')) AS BIGINT) AS pii_total
+FROM s3
+"""
+
+
+@query(
+    "text_pii_scrub",
+    oracle=_PII_ORACLE,
+    doc="PII redaction pass: emails -> <EMAIL>, IPv4s -> <IP>, long "
+    "digit runs -> <NUM>, applied in that order (each stage counts on "
+    "the previous stage's output so an email's digits are never "
+    "double-counted), emitting per-kind counts and an md5 key of the "
+    "scrubbed text. Pure JVM regexp expressions in one scan — the "
+    "standard pre-tokenizer scrub of a pretraining corpus, trivially "
+    "parallel at 100 TB",
+    tags=("dataset", "text", "ext"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t0 = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(F.lit(" contact user"), d.cast("string"),
+                                    F.lit("@mail.example.org"))).otherwise(""),
+        F.when(d % 11 == 0, F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                                     F.lit("."), (d % 100).cast("string"))).otherwise(""),
+        F.when(d % 13 == 0, F.concat(F.lit(" acct 9"),
+                                     F.lpad(d.cast("string"), 10, "0"))).otherwise(""),
+    )
+    s = docs.select("doc_id", t0.alias("t0"))
+    s = s.withColumn("t1", F.regexp_replace("t0", _PII_EMAIL, "<EMAIL>"))
+    s = s.withColumn("t2", F.regexp_replace("t1", _PII_IP, "<IP>"))
+    s = s.withColumn("t3", F.regexp_replace("t2", _PII_DIGITS, "<NUM>"))
+    n_email = F.regexp_count("t0", F.lit(_PII_EMAIL)).cast("bigint")
+    n_ip = F.regexp_count("t1", F.lit(_PII_IP)).cast("bigint")
+    n_num = F.regexp_count("t2", F.lit(_PII_DIGITS)).cast("bigint")
+    return s.select(
+        "doc_id",
+        F.substring(F.md5("t3"), 1, 16).alias("clean_key"),
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_num.alias("n_num"),
+        (n_email + n_ip + n_num).alias("pii_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# character entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), totals AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM counts GROUP BY doc_id
+), probs AS (
+  SELECT c.doc_id, list(c.c * 1.0 / t.n ORDER BY c.ch) AS ps,
+         max(t.n) AS n, max(t.n_distinct) AS n_distinct
+  FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+  GROUP BY c.doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars_seen,
+       CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+       floor((-list_sum(list_transform(ps, p -> p * log2(p)))) * 1e6 + 0.5) / 1e6
+         AS char_entropy_bits
+FROM probs
+"""
+
+
+@query(
+    "doc_char_entropy",
+    oracle=_ENTROPY_ORACLE,
+    doc="Per-document Shannon entropy over characters (bits) — the "
+    "classic gibberish/boilerplate quality signal (near-zero entropy = "
+    "repeated filler, ~4.1 bits = natural English). The entropy fold "
+    "runs over the char-SORTED probability list on both engines "
+    "(sort_array + aggregate HOF vs list(... ORDER BY) + list_sum), so "
+    "float summation order is pinned and the hashes match bit-for-bit. "
+    "One explode + two grouped passes, all keyed by doc_id",
+    tags=("dataset", "text", "quality", "ext"),
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    chars = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all("text", F.lit(r"[\s\S]"), 0)).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sort_array(F.collect_list(F.struct("ch", "c"))).alias("cc"),
+    )
+    p = lambda s: s["c"].cast("double") / F.col("n")  # noqa: E731
+    entropy = -F.aggregate(
+        F.col("cc"),
+        F.lit(0.0),
+        lambda acc, s: acc + p(s) * F.log2(p(s)),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_seen"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct_chars"),
+        stable_round(entropy, 6).alias("char_entropy_bits"),
+    )
