@@ -165,12 +165,20 @@ def s3fd_detector(
 
     def detect_batch(video_ids, frame_idxs, images):
         """One forward per ARROW BATCH, not per row: a torch-backed
-        ``forward_batch_fn(images, metas) -> (locs, confs)`` stacks the
-        whole batch into one tensor (the GPU-efficient shape); the
-        fallback maps the single-image forward."""
+        ``forward_batch_fn(images, metas) -> (locs, confs)`` or
+        ``(locs, confs, fmaps)`` stacks the whole batch into one tensor
+        (the GPU-efficient shape); a 3rd element carries the per-image
+        head grids, same as the single-frame path. The fallback maps
+        the single-image forward."""
         metas = list(zip(video_ids, frame_idxs))
         if forward_batch_fn is not None:
-            locs, confs = forward_batch_fn(images, metas)
+            out = forward_batch_fn(images, metas)
+            if len(out) == 3:
+                locs, confs, fmaps = out
+                return [
+                    _post(lo, co, fm) for lo, co, fm in zip(locs, confs, fmaps)
+                ]
+            locs, confs = out
             return [_post(lo, co) for lo, co in zip(locs, confs)]
         return [_post(*fwd(im, m)) for im, m in zip(images, metas)]
 

@@ -143,19 +143,6 @@ def attach_range_bucket(
     return df.withColumn(bucket_col, bucket)
 
 
-def with_range_bucket(
-    df: DataFrame,
-    key_col: str,
-    descending: bool = False,
-    n_buckets: int | None = None,
-    bucket_col: str = _BUCKET,
-) -> DataFrame:
-    """:func:`prepare_keyed` + :func:`attach_range_bucket` for callers
-    that always want the bucketed form (no adaptive switch)."""
-    df, _n, bnds = prepare_keyed(df, key_col, n_buckets)
-    return attach_range_bucket(df, key_col, bnds, descending, bucket_col)
-
-
 def bucket_prefix(
     stats: DataFrame,
     cols: dict[str, str],

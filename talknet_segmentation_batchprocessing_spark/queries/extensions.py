@@ -442,7 +442,8 @@ _COS_EXPR_DUCK = (
 
 
 _COS_NEAR_DUP_THRESHOLD = 0.45  # testdata embeddings are near-random; 0.45 yields real pairs
-_COS_TILE_ROWS = 65536  # bound on rows collected/broadcast per tile (~32 MB at 64 dims)
+_COS_TILE_ROWS = 65536  # block granularity: two tiles of vectors per task (~67 MB)
+_COS_CHUNK = 256  # A-side slab: peak sims block = 256 x 65536 x 8 B ~ 134 MB
 
 
 @query(
@@ -469,12 +470,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, ``explode`` each row to its G block-pairs ``(min(g,h),
     max(g,h))`` (G replicas per row — shuffle O(n·G), tiny at 64
     dims), then one ``applyInPandas`` per block pair computes the
-    block×block similarity with ONE BLAS matmul. Every pair (a<b) is
-    produced by exactly one group: the off-diagonal pair group holds
-    both blocks, the diagonal group its upper triangle. Per-task
-    memory is bounded by two tiles (~67 MB); parallelism is
-    G(G+1)/2 groups. The only driver action is a count() to size G;
-    real near-dup at 100 TB routes through sim_lsh_bucketed.
+    block×block similarity with chunked BLAS matmuls. Every unordered
+    pair is produced by exactly one group: blocks are disjoint, so an
+    off-diagonal group enumerates ALL |A|x|B| combinations (ids
+    interleave across blocks — emit (min, max), do NOT orient by
+    side), and the diagonal group takes its upper triangle. The A side
+    is processed in _COS_CHUNK-row slabs so peak per-task memory is
+    one slab x tile similarity block (~134 MB) + two tiles of vectors,
+    NOT a tile x tile matrix. The only driver action is a count() to
+    size G; real near-dup at 100 TB routes through sim_lsh_bucketed.
 
     BLAS matmul uses pairwise/FMA summation, which can differ from the
     oracle's sequential fold in the last ulp — enough to flip a pair
@@ -518,7 +522,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             return empty
         ida = side_i["vec_id"].to_numpy()
         A = np.vstack(side_i["v"].to_numpy())
-        if gi == gj:
+        diagonal = gi == gj
+        if diagonal:
             idb, B = ida, A
         else:
             side_j = pdf[pdf["g"] == gj]
@@ -528,19 +533,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             B = np.vstack(side_j["v"].to_numpy())
         an = np.sqrt((A * A).sum(axis=1))
         bn = np.sqrt((B * B).sum(axis=1))
-        sims = (A @ B.T) / np.outer(an, bn)
-        # Pre-filter with slack; the exact fold decides membership.
-        ai, bi = np.where((ida[:, None] < idb[None, :]) & (sims > thr - 1e-9))
         out_a, out_b, out_cs = [], [], []
-        for i, j in zip(ai, bi):
-            av, bv = A[i], B[j]
-            cs = seq_dot(av, bv) / (
-                np.sqrt(seq_dot(av, av)) * np.sqrt(seq_dot(bv, bv))
-            )
-            if cs > thr:
-                out_a.append(ida[i])
-                out_b.append(idb[j])
-                out_cs.append(np.floor(cs * 1e4 + 0.5) / 1e4)
+        # Chunk the A side: one slab x |B| similarity block at a time.
+        for lo in range(0, len(ida), _COS_CHUNK):
+            hi = lo + _COS_CHUNK
+            sims = A[lo:hi] @ B.T
+            sims /= an[lo:hi, None]
+            sims /= bn[None, :]
+            if diagonal:
+                # upper triangle only: each within-block pair once
+                mask = ida[lo:hi, None] < idb[None, :]
+            else:
+                # disjoint blocks: EVERY (u, v) combination is a
+                # distinct unordered pair; id order is fixed at emit
+                mask = np.ones(sims.shape, dtype=bool)
+            ai, bi = np.where(mask & (sims > thr - 1e-9))
+            # Pre-filter with slack; the exact fold decides membership.
+            for i, j in zip(ai + lo, bi):
+                av, bv = A[i], B[j]
+                cs = seq_dot(av, bv) / (
+                    np.sqrt(seq_dot(av, av)) * np.sqrt(seq_dot(bv, bv))
+                )
+                if cs > thr:
+                    u, v = int(ida[i]), int(idb[j])
+                    out_a.append(min(u, v))
+                    out_b.append(max(u, v))
+                    out_cs.append(np.floor(cs * 1e4 + 0.5) / 1e4)
         return pd.DataFrame(
             {
                 "vec_a": pd.Series(out_a, dtype="int64"),

@@ -282,7 +282,7 @@ WITH v AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 )
 SELECT c.event_id, c.user_id, v.view_id AS prior_view_id,
-       floor((epoch(c.ts - v.ts)) * 1e3 + 0.5) / 1e3 AS gap_s
+       ((date_diff('microsecond', v.ts, c.ts) + 500) // 1000) / 1e3 AS gap_s
 FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts > v.ts
 """
 
@@ -325,18 +325,25 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "_tag", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ts_d = F.col("ts").cast("timestamp").cast("double")
+    # Gap in INTEGER microseconds, rounded to ms with integer div:
+    # double seconds lose the half-millisecond boundary (a 62039.2705s
+    # gap has no exact double, so floor(x*1e3+0.5) flips per engine's
+    # last ulp — observed at sf0.1), while (us+500) div 1000 is exact
+    # on both engines and the final /1e3 of an integer ms count is a
+    # correctly-rounded single operation.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     matched = (
         u.withColumn("prior_view_id", F.last("view_id", ignorenulls=True).over(w))
         .withColumn(
-            "_view_ts_d",
-            F.last(F.when(F.col("_tag") == 1, ts_d), ignorenulls=True).over(w),
+            "_view_ts_us",
+            F.last(F.when(F.col("_tag") == 1, ts_us), ignorenulls=True).over(w),
         )
         .filter(F.col("_tag") == 0)
     )
+    gap_ms = F.expr("(unix_micros(cast(ts as timestamp)) - _view_ts_us + 500) div 1000")
     return matched.select(
         "event_id",
         "user_id",
         "prior_view_id",
-        stable_round(ts_d - F.col("_view_ts_d"), 3).alias("gap_s"),
+        (gap_ms / F.lit(1e3)).alias("gap_s"),
     )

@@ -137,7 +137,11 @@ _LOADED = False
 # (flagships, the rows-only kernel, and every query whose plan changed
 # this round — the adaptive one-/two-phase switch and the
 # embedding-cosine/CC rewrites). With r1+r2+r3 together, every
-# registered query has at least one driver-green row.
+# registered query has at least one driver-green row EXCEPT the three
+# registered after this window was cut — rotate them in next round:
+# dedup_cc_labelprop (same code was driver-green in r2 under the
+# dedup_cc_clusters name), text_pii_scrub, doc_char_entropy (all
+# repo-parity green at sf0.01/sf0.001).
 _DRIVER_WINDOW = [
     # anchors: flagship + e2e + eval arm + kernels
     "w1_speaking_segments", "pipeline_scores_to_segments",
