@@ -453,10 +453,11 @@ def _pq_codebooks(emb):
     "emb_quantize_int8 (scalar) and sim_ivf_topk (coarse quantizer)",
     tags=("similarity", "quantization", "ext"),
 )
-def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+def _pq_assign_long(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Assign phase shared by emb_pq_codes and sim_pq_topk: every
+    vector x subspace -> nearest codeword, long form
+    (vec_id, m, code_id, d2). Codebooks are driver-trained on the
+    bounded sample and broadcast; the scan is the only big side."""
     cb = spark.createDataFrame(
         _pq_codebooks(emb), "m int, code_id bigint, cv array<double>"
     )
@@ -470,13 +471,20 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
         "cast(0.0 as double), (acc, x) -> acc + x)"
     )
-    best = (
+    return (
         subv.join(F.broadcast(cb), "m")
         .withColumn("_d2", d2)
         .groupBy("vec_id", "m")
         .agg(F.min(F.struct(F.col("_d2"), F.col("code_id"))).alias("_b"))
         .select("vec_id", "m", F.col("_b._d2").alias("d2"), F.col("_b.code_id").alias("code_id"))
     )
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    best = _pq_assign_long(spark, emb)
 
     def pick(m, col):
         return F.max(F.when(F.col("m") == m, F.col(col)))
@@ -796,4 +804,129 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_chars_seen"),
         F.col("n_distinct").cast("bigint").alias("n_distinct_chars"),
         stable_round(entropy, 6).alias("char_entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (the PQ codes' consumer)
+# ---------------------------------------------------------------------------
+
+_PQ_NQ = 10  # query batch, same convention as sim_topk_bruteforce
+_PQ_TOPK = 5
+
+_PQ_SEARCH_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{{cte}}
+allsub AS (
+  SELECT vec_id, m, list_transform(range(1, 17), i -> v[m*16 + i]) AS sv
+  FROM e CROSS JOIN ms
+),
+codes AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT s.vec_id, s.m, c.code_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {{l2}} ASC, c.code_id) AS rn
+    FROM allsub s JOIN cb c ON c.m = s.m
+  ) WHERE rn = 1
+),
+pcodes AS (
+  SELECT vec_id,
+         max(CASE WHEN m = 0 THEN code_id END) AS code0,
+         max(CASE WHEN m = 1 THEN code_id END) AS code1,
+         max(CASE WHEN m = 2 THEN code_id END) AS code2,
+         max(CASE WHEN m = 3 THEN code_id END) AS code3
+  FROM codes GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {_PQ_NQ}),
+lut AS (
+  SELECT q.query_id, c.m, c.code_id,
+         list_sum(list_transform(range(1, 17),
+           i -> (q.v[c.m*16 + i] - c.cv[i]) * (q.v[c.m*16 + i] - c.cv[i]))) AS d2
+  FROM q CROSS JOIN cb c
+),
+adc AS (
+  SELECT l0.query_id, p.vec_id AS neighbor_id,
+         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+  FROM pcodes p
+  JOIN lut l0 ON l0.m = 0 AND l0.code_id = p.code0
+  JOIN lut l1 ON l1.m = 1 AND l1.code_id = p.code1 AND l1.query_id = l0.query_id
+  JOIN lut l2 ON l2.m = 2 AND l2.code_id = p.code2 AND l2.query_id = l0.query_id
+  JOIN lut l3 ON l3.m = 3 AND l3.code_id = p.code3 AND l3.query_id = l0.query_id
+  WHERE p.vec_id <> l0.query_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+       floor(adc * 1e6 + 0.5) / 1e6 AS adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {_PQ_TOPK}
+"""
+
+
+@query(
+    "sim_pq_topk",
+    oracle=_PQ_SEARCH_ORACLE.format(cte=_pq_kmeans_cte(), l2=_PQ_L2),
+    doc="PQ asymmetric-distance search (ADC): top-5 neighbors per "
+    "query vector, scored as sum over subspaces of "
+    "L2(query_subvector, codeword[candidate_code]) — the consumer of "
+    "emb_pq_codes and the billion-scale ANN shape (a 16x-compressed "
+    "code table is scanned instead of raw vectors; the per-query "
+    "lookup table is queries x 32 entries, broadcast). ADC summed in "
+    "fixed m-order on both engines so ranking ties are impossible to "
+    "flip cross-engine; per-query ranking window is partitioned "
+    "(no global sort)",
+    tags=("similarity", "quantization", "ext"),
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    long_codes = _pq_assign_long(spark, emb)
+
+    def pick(m, col):
+        return F.max(F.when(F.col("m") == m, F.col(col)))
+
+    pcodes = long_codes.groupBy("vec_id").agg(
+        *[pick(m, "code_id").alias(f"code{m}") for m in range(_PQ_M)]
+    )
+    cb = spark.createDataFrame(
+        _pq_codebooks(emb), "m int, code_id bigint, cv array<double>"
+    )
+    q = emb.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    # zip_with fold == the oracle's list_sum over range(1,17): identical
+    # per-element arithmetic, identical left-to-right order.
+    lut_d2 = F.expr(
+        "aggregate(zip_with(transform(sequence(1, 16), i -> element_at(v, int(m*16 + i))), cv,"
+        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "m", "code_id", lut_d2.alias("d2")
+    )
+    base = pcodes.crossJoin(
+        F.broadcast(q.select("query_id"))
+    )
+    for m in range(_PQ_M):
+        lm = lut.filter(F.col("m") == m).select(
+            "query_id", F.col("code_id").alias(f"code{m}"), F.col("d2").alias(f"_d{m}")
+        )
+        base = base.join(F.broadcast(lm), ["query_id", f"code{m}"])
+    adc = (
+        F.col("_d0") + F.col("_d1") + F.col("_d2") + F.col("_d3")
+    )  # fixed m-order sum, matching the oracle's l0.d2 + l1.d2 + ...
+    scored = base.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            stable_round(F.col("adc"), 6).alias("adc_dist"),
+        )
     )
