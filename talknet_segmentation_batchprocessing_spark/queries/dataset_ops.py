@@ -442,17 +442,6 @@ def _pq_codebooks(emb):
     ]
 
 
-@query(
-    "emb_pq_codes",
-    oracle=_PQ_ORACLE,
-    doc="Product quantization: 64-dim embeddings -> 4 subspaces x 8 "
-    "codewords (k-means per subspace, trained on a bounded driver "
-    "sample, broadcast back) -> 4 byte-sized codes + reconstruction "
-    "error per vector. 16x compression for ANN shortlists; the assign "
-    "phase is one scan against 32 broadcast codewords. Companion to "
-    "emb_quantize_int8 (scalar) and sim_ivf_topk (coarse quantizer)",
-    tags=("similarity", "quantization", "ext"),
-)
 def _pq_assign_long(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """Assign phase shared by emb_pq_codes and sim_pq_topk: every
     vector x subspace -> nearest codeword, long form
@@ -480,6 +469,17 @@ def _pq_assign_long(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "emb_pq_codes",
+    oracle=_PQ_ORACLE,
+    doc="Product quantization: 64-dim embeddings -> 4 subspaces x 8 "
+    "codewords (k-means per subspace, trained on a bounded driver "
+    "sample, broadcast back) -> 4 byte-sized codes + reconstruction "
+    "error per vector. 16x compression for ANN shortlists; the assign "
+    "phase is one scan against 32 broadcast codewords. Companion to "
+    "emb_quantize_int8 (scalar) and sim_ivf_topk (coarse quantizer)",
+    tags=("similarity", "quantization", "ext"),
+)
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
