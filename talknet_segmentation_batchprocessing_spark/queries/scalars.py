@@ -254,3 +254,39 @@ def x19_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).cast("bigint").alias("min_k"),
         F.max(k).cast("bigint").alias("max_k"),
     )
+
+
+@query(
+    "x17_timecode",
+    oracle="""
+SELECT event_id AS frame_num,
+       lpad(CAST(event_id // 90000 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST((event_id // 1500) % 60 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST((event_id // 25) % 60 AS VARCHAR), 2, '0') || '.' ||
+       lpad(CAST((event_id % 25) * 40 AS VARCHAR), 3, '0') AS timecode,
+       CAST((event_id % 25) AS INTEGER) AS frame_in_second
+FROM events WHERE event_id < 5000
+""",
+    doc="X17: FrameTimecode arithmetic (scenedetect frame_num <-> "
+    "HH:MM:SS.mmm at 25 fps, demoTalkNet.py:103-106,521-522) as pure "
+    "integer expressions — 1 frame = exactly 40 ms so every field is "
+    "exact integer math, no floats anywhere. Closes the one §2 row "
+    "that had no registered query",
+    tags=("X17",),
+)
+def x17_timecode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    f = F.col("event_id")
+    pad = lambda c, n: F.lpad(c.cast("string"), n, "0")  # noqa: E731
+    tc = F.concat_ws(
+        "",
+        pad(F.expr("event_id div 90000"), 2), F.lit(":"),
+        pad(F.expr("(event_id div 1500) % 60"), 2), F.lit(":"),
+        pad(F.expr("(event_id div 25) % 60"), 2), F.lit("."),
+        pad((f % 25) * 40, 3),
+    )
+    return ev.select(
+        f.alias("frame_num"),
+        tc.alias("timecode"),
+        (f % 25).cast("int").alias("frame_in_second"),
+    )
