@@ -137,11 +137,12 @@ _LOADED = False
 # (flagships, the rows-only kernel, and every query whose plan changed
 # this round — the adaptive one-/two-phase switch and the
 # embedding-cosine/CC rewrites). With r1+r2+r3 together, every
-# registered query has at least one driver-green row EXCEPT the three
+# registered query has at least one driver-green row EXCEPT the five
 # registered after this window was cut — rotate them in next round:
 # dedup_cc_labelprop (same code was driver-green in r2 under the
-# dedup_cc_clusters name), text_pii_scrub, doc_char_entropy (all
-# repo-parity green at sf0.01/sf0.001).
+# dedup_cc_clusters name), text_pii_scrub, doc_char_entropy,
+# sim_pq_topk, x17_timecode (all repo-parity green at sf0.01 and in
+# the full local sweeps at sf0.001/sf0.1).
 _DRIVER_WINDOW = [
     # anchors: flagship + e2e + eval arm + kernels
     "w1_speaking_segments", "pipeline_scores_to_segments",
