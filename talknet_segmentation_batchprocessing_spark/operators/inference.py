@@ -175,6 +175,16 @@ def s3fd_detector(
             out = forward_batch_fn(images, metas)
             if len(out) == 3:
                 locs, confs, fmaps = out
+                # fmaps is either ONE per-scale grid list shared by the
+                # whole batch (what s3fd_net.forward returns — elements
+                # are (h, w) pairs) or one such list per image;
+                # normalize by inspecting the first element's shape.
+                fmaps = list(fmaps)
+                shared = bool(fmaps) and len(fmaps[0]) == 2 and not hasattr(
+                    fmaps[0][0], "__len__"
+                )
+                if shared:
+                    fmaps = [fmaps] * len(locs)
                 return [
                     _post(lo, co, fm) for lo, co, fm in zip(locs, confs, fmaps)
                 ]

@@ -442,14 +442,23 @@ def _pq_codebooks(emb):
     ]
 
 
-def _pq_assign_long(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _pq_cb(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Train-once codebook frame (m, code_id, cv) — one bounded driver
+    collect + local Lloyd; callers broadcast it."""
+    return spark.createDataFrame(
+        _pq_codebooks(emb), "m int, code_id bigint, cv array<double>"
+    )
+
+
+def _pq_assign_long(
+    spark: SparkSession, emb: DataFrame, cb: DataFrame | None = None
+) -> DataFrame:
     """Assign phase shared by emb_pq_codes and sim_pq_topk: every
     vector x subspace -> nearest codeword, long form
     (vec_id, m, code_id, d2). Codebooks are driver-trained on the
     bounded sample and broadcast; the scan is the only big side."""
-    cb = spark.createDataFrame(
-        _pq_codebooks(emb), "m int, code_id bigint, cv array<double>"
-    )
+    if cb is None:
+        cb = _pq_cb(spark, emb)
     ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
     subv = emb.crossJoin(F.broadcast(ms)).select(
         "vec_id",
@@ -469,6 +478,18 @@ def _pq_assign_long(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_pick(m: int, col: str):
+    return F.max(F.when(F.col("m") == m, F.col(col)))
+
+
+def _pq_wide_codes(long_codes: DataFrame) -> DataFrame:
+    """Long (vec_id, m, code_id) -> wide (vec_id, code0..code3) pivot
+    shared by emb_pq_codes and sim_pq_topk."""
+    return long_codes.groupBy("vec_id").agg(
+        *[_pq_pick(m, "code_id").alias(f"code{m}") for m in range(_PQ_M)]
+    )
+
+
 @query(
     "emb_pq_codes",
     oracle=_PQ_ORACLE,
@@ -485,17 +506,12 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     best = _pq_assign_long(spark, emb)
-
-    def pick(m, col):
-        return F.max(F.when(F.col("m") == m, F.col(col)))
-
     return best.groupBy("vec_id").agg(
-        pick(0, "code_id").alias("code0"),
-        pick(1, "code_id").alias("code1"),
-        pick(2, "code_id").alias("code2"),
-        pick(3, "code_id").alias("code3"),
+        *[_pq_pick(m, "code_id").alias(f"code{m}") for m in range(_PQ_M)],
         stable_round(
-            pick(0, "d2") + pick(1, "d2") + pick(2, "d2") + pick(3, "d2"), 6
+            _pq_pick(0, "d2") + _pq_pick(1, "d2") + _pq_pick(2, "d2")
+            + _pq_pick(3, "d2"),
+            6,
         ).alias("recon_err"),
     )
 
@@ -882,17 +898,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    long_codes = _pq_assign_long(spark, emb)
-
-    def pick(m, col):
-        return F.max(F.when(F.col("m") == m, F.col(col)))
-
-    pcodes = long_codes.groupBy("vec_id").agg(
-        *[pick(m, "code_id").alias(f"code{m}") for m in range(_PQ_M)]
-    )
-    cb = spark.createDataFrame(
-        _pq_codebooks(emb), "m int, code_id bigint, cv array<double>"
-    )
+    cb = _pq_cb(spark, emb)  # trained ONCE, shared by assign + LUT
+    pcodes = _pq_wide_codes(_pq_assign_long(spark, emb, cb))
     q = emb.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("query_id"), "v"
     )

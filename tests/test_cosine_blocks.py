@@ -32,18 +32,23 @@ def _run(spark, tile):
 
 
 def test_blocked_equals_single_block(spark):
+    from talknet_segmentation_batchprocessing_spark.registry import load
+
     single = _run(spark, 10**9)  # one block: the oracle-verified path
-    blocked = _run(spark, 64)  # 500 rows -> 8 blocks, 36 pair groups
+    blocked = _run(spark, 64)  # e.g. 500 rows -> 8 blocks, 36 groups
     assert len(single) > 0, "fixture became vacuous"
     pd.testing.assert_frame_equal(single, blocked)
     # cross-block pairs must exist for the test to mean anything, and
-    # both orientations of (vec_id % n_blocks) must appear
-    n_blocks = -(-500 // 64)
+    # BOTH orientations of (vec_id % n_blocks) must appear — the old
+    # bug dropped exactly the pairs whose smaller id sat in the higher
+    # block, so an 'or' here would be tautological.
+    n = load(spark, SF_SMOKE, "embeddings").count()
+    n_blocks = -(-n // 64)
     cross = blocked[
         blocked.vec_a % n_blocks != blocked.vec_b % n_blocks
     ]
     assert len(cross) > 0
-    assert (cross.vec_a % n_blocks > cross.vec_b % n_blocks).any() or (
+    assert (cross.vec_a % n_blocks > cross.vec_b % n_blocks).any() and (
         cross.vec_a % n_blocks < cross.vec_b % n_blocks
     ).any()
 

@@ -49,3 +49,20 @@ def test_driver_window_occupies_first_50_slots():
     # sequential kernel
     no_oracle = [n for n, s in registry.REGISTRY.items() if s.oracle is None]
     assert no_oracle == ["j6_greedy_tracking"]
+
+
+def test_registered_fn_names_match_query_names():
+    """Guard against the decorator-slip class of bug: inserting a
+    helper between @query(...) and its intended function silently
+    registers the helper (which then receives (spark, sf_dir) and
+    explodes at run time). Every registered fn must be the function
+    the name says it is."""
+    from talknet_segmentation_batchprocessing_spark import registry
+
+    registry._ensure_loaded()
+    mismatched = {
+        name: spec.fn.__name__
+        for name, spec in registry.REGISTRY.items()
+        if spec.fn.__name__ != name
+    }
+    assert not mismatched, f"@query decorator attached to the wrong def: {mismatched}"
