@@ -317,8 +317,12 @@ def init_weights(seed: int = 7) -> dict[str, np.ndarray]:
     _add_attention(w, rng, "crossV2A", 128)
     _add_attention(w, rng, "selfAV", 256)
 
-    # --- lossAV head (loss.py:8)
+    # --- loss heads (loss.py:8,29,40) — lossA/lossV are train-time
+    # auxiliary heads (talkNet.py:64-67), present so the dict mirrors
+    # the full torch state_dict and talknet_train can step them
     _add_linear(w, rng, "lossAV.FC", 256, 2)
+    _add_linear(w, rng, "lossA.FC", 128, 2)
+    _add_linear(w, rng, "lossV.FC", 128, 2)
     return w
 
 

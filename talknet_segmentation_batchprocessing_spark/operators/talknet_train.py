@@ -1,0 +1,139 @@
+"""M5: TalkNet loss-head training as a Spark-native data-parallel
+step (reference talkNet.py:44-86 train_network + loss.py lossAV/
+lossA/lossV).
+
+Scope, stated honestly: the reference backpropagates through the full
+audio/visual trunks with torch autograd; a full-network numpy autograd
+adds nothing Spark-relevant, and production fine-tuning of the trunks
+rides TorchDistributor (SURVEY §2.8 note). What IS Spark-shaped — and
+implemented for real here — is the data-parallel step for the three
+classifier heads on frozen-trunk embeddings (the standard last-layer
+fine-tune): closed-form cross-entropy gradients computed executor-side
+per Arrow batch, summed with ONE tiny aggregation (the allreduce), and
+applied on the driver. Because the mean-CE gradient is linear in
+samples, the distributed epoch equals the local full-batch step
+EXACTLY (up to float summation order) — pinned by tests.
+
+Heads (loss.py): lossAV = FC(256,2), lossA = FC(128,2),
+lossV = FC(128,2); combined loss = AV + 0.4*A + 0.4*V
+(talkNet.py:67). Weight keys match the torch state_dict
+(``lossAV.FC.weight`` etc.), shared with talknet_forward.init_weights.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .talknet_forward import softmax
+
+HEADS = (("lossAV.FC", 256, 1.0), ("lossA.FC", 128, 0.4), ("lossV.FC", 128, 0.4))
+
+
+def _head_loss_grads(w, prefix, X, y, scale):
+    """Mean cross-entropy + closed-form grads for one linear head:
+    Z = X W^T + b, p = softmax(Z), dZ = (p - onehot)/n,
+    dW = dZ^T X, db = sum(dZ). Returns (scaled loss, dW, db)."""
+    W, b = w[f"{prefix}.weight"], w[f"{prefix}.bias"]
+    n = len(y)
+    Z = X @ W.T + b
+    p = softmax(Z, axis=-1)
+    # log-sum-exp form for the loss (stable, matches torch CE)
+    zmax = Z.max(axis=1, keepdims=True)
+    lse = zmax[:, 0] + np.log(np.exp(Z - zmax).sum(axis=1))
+    loss = float((lse - Z[np.arange(n), y]).mean())
+    dZ = p.copy()
+    dZ[np.arange(n), y] -= 1.0
+    dZ /= n
+    return scale * loss, scale * (dZ.T @ X), scale * dZ.sum(axis=0)
+
+
+def loss_and_grads(w, X_av, X_a, X_v, y):
+    """Combined loss AV + 0.4*A + 0.4*V (talkNet.py:67) and gradients
+    for all six head parameters. Returns (loss, {param: grad})."""
+    total = 0.0
+    grads = {}
+    for (prefix, _dim, scale), X in zip(HEADS, (X_av, X_a, X_v)):
+        li, dW, db = _head_loss_grads(w, prefix, X, y, scale)
+        total += li
+        grads[f"{prefix}.weight"] = dW
+        grads[f"{prefix}.bias"] = db
+    return total, grads
+
+
+def _flatten(grads):
+    return np.concatenate([grads[k].ravel() for k in _PARAM_KEYS])
+
+
+_PARAM_KEYS = [f"{p}.{s}" for p, _d, _s in HEADS for s in ("weight", "bias")]
+_PARAM_SHAPES = {
+    f"{p}.weight": (2, d) for p, d, _s in HEADS
+} | {f"{p}.bias": (2,) for p, _d, _s in HEADS}
+_FLAT_DIM = sum(int(np.prod(_PARAM_SHAPES[k])) for k in _PARAM_KEYS)
+
+
+def _unflatten(flat):
+    out, off = {}, 0
+    for k in _PARAM_KEYS:
+        size = int(np.prod(_PARAM_SHAPES[k]))
+        out[k] = flat[off : off + size].reshape(_PARAM_SHAPES[k])
+        off += size
+    return out
+
+
+def train_heads_epoch(feats: DataFrame, w: dict, lr: float = 1e-4):
+    """One exact full-batch SGD step, distributed.
+
+    ``feats`` columns: ``av`` array<double>[256], ``a`` / ``v``
+    array<double>[128], ``label`` int (0/1). Executors emit ONE row
+    per Arrow batch — (n, n*loss, n*flat_grad) — so the shuffle is
+    #batches rows of ~1 KB regardless of corpus size; a single
+    posexplode+groupBy aggregation sums them (the allreduce) and the
+    driver applies ``w - lr * grad``. Mean-CE is linear in samples, so
+    this equals the local full-batch step exactly.
+
+    Returns (new_weights, mean_loss, n_samples). The reference's Adam
+    + per-epoch lr decay (talkNet.py:29-33) are driver-side scalar
+    state on top of the same aggregated gradient; plain SGD keeps the
+    demonstration exact.
+    """
+    from ..deploy import ensure_worker_imports
+
+    ensure_worker_imports(feats)
+    wb = {k: np.asarray(v, dtype=np.float64) for k, v in w.items()
+          if k in _PARAM_SHAPES}
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X_av = np.vstack(pdf["av"].to_numpy())
+            X_a = np.vstack(pdf["a"].to_numpy())
+            X_v = np.vstack(pdf["v"].to_numpy())
+            y = pdf["label"].to_numpy(dtype=np.int64)
+            loss, grads = loss_and_grads(wb, X_av, X_a, X_v, y)
+            n = len(y)
+            payload = np.concatenate([[float(n), n * loss], n * _flatten(grads)])
+            yield pd.DataFrame({"idx": range(len(payload)), "val": payload})
+
+    parts = feats.select("av", "a", "v", "label").mapInPandas(
+        fn, "idx int, val double"
+    )
+    # the allreduce: elementwise sum over per-batch payload vectors
+    summed = parts.groupBy("idx").agg(F.sum("val").alias("s")).collect()
+    acc = np.zeros(2 + _FLAT_DIM)
+    for r in summed:
+        acc[r["idx"]] = r["s"]
+    n_total = acc[0]
+    if n_total == 0:
+        return dict(w), float("nan"), 0
+    mean_loss = acc[1] / n_total
+    grad = _unflatten(acc[2:] / n_total)
+    new_w = dict(w)
+    for k in _PARAM_KEYS:
+        new_w[k] = wb[k] - lr * grad[k]
+    return new_w, float(mean_loss), int(n_total)
