@@ -52,6 +52,7 @@ HEADLINE = [
     "x3_crop_geometry",
     "j6_greedy_tracking",
     "dedup_cc_star",
+    "sim_pq_topk",
     "text_tfidf_topk",
     "split_train_val_test",
     "multimodal_frame_sample",
