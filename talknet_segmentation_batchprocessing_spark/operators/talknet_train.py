@@ -89,12 +89,14 @@ def train_heads_epoch(feats: DataFrame, w: dict, lr: float = 1e-4):
     """One exact full-batch SGD step, distributed.
 
     ``feats`` columns: ``av`` array<double>[256], ``a`` / ``v``
-    array<double>[128], ``label`` int (0/1). Executors emit ONE row
-    per Arrow batch — (n, n*loss, n*flat_grad) — so the shuffle is
-    #batches rows of ~1 KB regardless of corpus size; a single
-    posexplode+groupBy aggregation sums them (the allreduce) and the
-    driver applies ``w - lr * grad``. Mean-CE is linear in samples, so
-    this equals the local full-batch step exactly.
+    array<double>[128], ``label`` int (0/1; validated). Executors emit
+    one (n, n*loss, n*flat_grad) payload VECTOR per Arrow batch as
+    2+_FLAT_DIM=1032 (idx, val) rows, so the shuffle is
+    #batches x 1032 tiny rows (~8 KB per batch) regardless of corpus
+    size; one groupBy(idx).sum aggregation sums the payloads (the
+    allreduce) and the driver applies ``w - lr * grad``. Mean-CE is
+    linear in samples, so this equals the local full-batch step
+    exactly.
 
     Returns (new_weights, mean_loss, n_samples). The reference's Adam
     + per-epoch lr decay (talkNet.py:29-33) are driver-side scalar
@@ -104,8 +106,12 @@ def train_heads_epoch(feats: DataFrame, w: dict, lr: float = 1e-4):
     from ..deploy import ensure_worker_imports
 
     ensure_worker_imports(feats)
-    wb = {k: np.asarray(v, dtype=np.float64) for k, v in w.items()
-          if k in _PARAM_SHAPES}
+    missing = [k for k in _PARAM_KEYS if k not in w]
+    if missing:
+        # fail fast on the driver, not as a KeyError inside a task: a
+        # stripped inference checkpoint commonly lacks lossA/lossV
+        raise KeyError(f"weights dict is missing head params: {missing}")
+    wb = {k: np.asarray(w[k], dtype=np.float64) for k in _PARAM_KEYS}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,6 +121,14 @@ def train_heads_epoch(feats: DataFrame, w: dict, lr: float = 1e-4):
             X_a = np.vstack(pdf["a"].to_numpy())
             X_v = np.vstack(pdf["v"].to_numpy())
             y = pdf["label"].to_numpy(dtype=np.int64)
+            if ((y < 0) | (y > 1)).any():
+                # -1 'ambiguous' labels would silently wrap to class 1
+                # via negative indexing — reject instead
+                bad = np.unique(y[(y < 0) | (y > 1)])
+                raise ValueError(
+                    f"labels must be 0/1; got {bad.tolist()} — filter "
+                    "ambiguous (-1) rows before training"
+                )
             loss, grads = loss_and_grads(wb, X_av, X_a, X_v, y)
             n = len(y)
             payload = np.concatenate([[float(n), n * loss], n * _flatten(grads)])

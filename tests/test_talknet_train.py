@@ -95,3 +95,27 @@ def test_loss_decreases_on_separable_data(spark, w):
         losses.append(loss)
     assert losses == sorted(losses, reverse=True), losses
     assert losses[-1] < losses[0] * 0.9
+
+
+def test_invalid_labels_rejected(spark, w):
+    rng = np.random.default_rng(4)
+    X_av, X_a, X_v, _y = _data(rng, 8)
+    pdf = pd.DataFrame(
+        {"av": list(X_av), "a": list(X_a), "v": list(X_v),
+         "label": [0, 1, -1, 0, 1, 0, 1, 0]}
+    )
+    feats = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="labels must be 0/1"):
+        train_heads_epoch(feats, w, lr=0.1)
+
+
+def test_missing_head_params_fail_fast(spark, w):
+    stripped = {k: v for k, v in w.items() if not k.startswith("lossA.")}
+    rng = np.random.default_rng(5)
+    X_av, X_a, X_v, y = _data(rng, 4)
+    pdf = pd.DataFrame(
+        {"av": list(X_av), "a": list(X_a), "v": list(X_v), "label": y.astype(int)}
+    )
+    feats = spark.createDataFrame(pdf)
+    with pytest.raises(KeyError, match="missing head params"):
+        train_heads_epoch(feats, stripped, lr=0.1)
