@@ -34,6 +34,25 @@ TABLES = [
 ]
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class — the granularity at which the driver's value
+    hash splits (e.g. a DuckDB HUGEINT lands in pandas as float64 while
+    Spark returns int64: values equal, hash different)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
+def _dtype_map(df: pd.DataFrame) -> dict[str, str]:
+    return {c: _dtype_class(df[c]) for c in df.columns}
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -67,12 +86,21 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             registry.release_persisted()
-            sdf = _canon(spec.fn(spark, sf_dir).toPandas())
+            sdf_raw = spec.fn(spark, sf_dir).toPandas()
+            sdf = _canon(sdf_raw)
             if spec.oracle is None:
                 results[name] = {"status": "no_oracle", "spark_rows": len(sdf)}
                 print(f"  NO-ORACLE {name}: {len(sdf)} rows")
                 continue
-            odf = _canon(duck.execute(spec.oracle).df())
+            odf_raw = duck.execute(spec.oracle).df()
+            odf = _canon(odf_raw)
+            # dtype honesty: compare coarse dtype classes BEFORE _canon
+            # coerces them away — this is what splits the driver's hash
+            # even when every value is equal (VERDICT r3 #1/#2).
+            smap, omap = _dtype_map(sdf_raw), _dtype_map(odf_raw)
+            ok_dtypes = all(
+                smap.get(c) == omap.get(c) for c in set(smap) | set(omap)
+            )
             ok_cols = list(sdf.columns) == list(odf.columns)
             ok_rows = len(sdf) == len(odf)
             ok_vals = ok_cols and ok_rows
@@ -83,7 +111,9 @@ def main() -> int:
                     if not eq.all():
                         ok_vals = False
                         break
-            status = "PASS" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+            status = (
+                "PASS" if (ok_cols and ok_rows and ok_vals and ok_dtypes) else "FAIL"
+            )
             if status == "FAIL":
                 n_fail += 1
             results[name] = {
@@ -92,10 +122,19 @@ def main() -> int:
                 "oracle_rows": len(odf),
                 "cols": ok_cols,
                 "vals": ok_vals,
+                "dtypes": ok_dtypes,
             }
+            detail = ""
+            if not ok_dtypes:
+                diff = {
+                    c: (smap.get(c), omap.get(c))
+                    for c in sorted(set(smap) | set(omap))
+                    if smap.get(c) != omap.get(c)
+                }
+                detail = f" dtype_diff={diff}"
             print(
                 f"  {status} {name}: {len(sdf)}/{len(odf)} rows"
-                f" cols={ok_cols} vals={ok_vals}"
+                f" cols={ok_cols} vals={ok_vals} dtypes={ok_dtypes}{detail}"
                 f" ({time.perf_counter() - t0:.1f}s)"
             )
         except Exception as e:  # noqa: BLE001 — sweep must report, not die

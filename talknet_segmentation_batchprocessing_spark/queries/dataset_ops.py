@@ -177,10 +177,12 @@ def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_ORACLE = """
 WITH stats AS (
-  SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total
   FROM documents GROUP BY lang
 ),
-tot AS (SELECT sum(n_chars_total) AS total_chars, count(*) AS n_langs FROM stats)
+tot AS (SELECT CAST(sum(n_chars_total) AS BIGINT) AS total_chars,
+               count(*) AS n_langs FROM stats)
 SELECT s.lang, s.n_docs, s.n_chars_total,
        floor((s.n_chars_total * 1.0 / t.total_chars) * 1e6 + 0.5) / 1e6 AS actual_share,
        floor(((1.0 / t.n_langs) / (s.n_chars_total * 1.0 / t.total_chars)) * 1e6 + 0.5) / 1e6
@@ -224,7 +226,7 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HIST_ORACLE = """
 SELECT lang, CAST(floor(ln(n_chars) / ln(2)) AS BIGINT) AS log2_bucket,
-       count(*) AS n_docs, sum(n_chars) AS n_chars_total
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
 FROM documents GROUP BY 1, 2
 """
 

@@ -1241,7 +1241,8 @@ WITH frames AS (
          octet_length(CAST(props AS BLOB)) AS payload_len
   FROM events
 )
-SELECT video_id, count(*) AS n_sampled, sum(payload_len) AS bytes_sampled
+SELECT video_id, count(*) AS n_sampled,
+       CAST(sum(payload_len) AS BIGINT) AS bytes_sampled
 FROM frames WHERE frame_idx % 25 = 0
 GROUP BY video_id
 """,

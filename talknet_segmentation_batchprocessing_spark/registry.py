@@ -131,45 +131,44 @@ _LOADED = False
 # parity suite (tests/test_oracle_parity.py, all queries) — the
 # overflow is chosen to be queries that are either trivial projections
 # or already driver-green in round 1.
-# Round-3 rotation: with rounds 1+2 green, the window now covers the
-# 22 queries that have never had a driver row, the 11 r1-green cores
-# displaced by the round-2 rotation, and 17 never-rotated anchors
-# (flagships, the rows-only kernel, and every query whose plan changed
-# this round — the adaptive one-/two-phase switch and the
-# embedding-cosine/CC rewrites). With r1+r2+r3 together, every
-# registered query has at least one driver-green row EXCEPT the five
-# registered after this window was cut — rotate them in next round:
-# dedup_cc_labelprop (same code was driver-green in r2 under the
-# dedup_cc_clusters name), text_pii_scrub, doc_char_entropy,
-# sim_pq_topk, x17_timecode (all repo-parity green at sf0.01 and in
-# the full local sweeps at sf0.001/sf0.1).
+# Round-4 rotation: the five queries registered after the r3 window was
+# cut get their first driver rows (sim_pq_topk, text_pii_scrub,
+# doc_char_entropy, dedup_cc_labelprop, x17_timecode), and the three
+# round-3 hash failures stay in-window to prove the HUGEINT oracle fix
+# (mix_domain_weights, doc_length_histogram, multimodal_frame_sample —
+# root cause: uncast DuckDB sum() output columns, now CAST AS BIGINT
+# and linted forever by tests/test_oracle_parity.py::
+# test_oracle_no_hugeint_outputs). Anchors whose plans change this
+# round stay in: dedup_cc_star / dedup_cc_clusters (per-round overhead
+# trim), a6 / ava / j1 (one-phase persist skip). Displaced to make
+# room: f2/f3/f7/f8/f11 (trivial filter cores, driver-green in BOTH r1
+# and r3 with unchanged code since r1). With r1-r4 together, every
+# registered query has at least one driver-green row.
 _DRIVER_WINDOW = [
     # anchors: flagship + e2e + eval arm + kernels
     "w1_speaking_segments", "pipeline_scores_to_segments",
     "q1_pricing_summary", "ava_map_eval", "columbia_f1_eval",
     "j6_greedy_tracking", "w6_nms_greedy",
-    # anchors: plans changed this round (adaptive switch / rewrites)
+    # anchors: plans changed this round (persist-skip / CC round trim)
     "a6_average_precision", "j1_equijoin_ranked", "u2_union_modulo_split",
     "w7_batch_packing", "j8_length_constrained_pick",
-    "dedup_embedding_cosine", "dedup_cc_clusters",
+    "dedup_embedding_cosine", "dedup_cc_clusters", "dedup_cc_star",
     # anchors: LLM-pipeline flagships
     "dedup_minhash_lsh", "sim_lsh_bucketed", "sim_ivf_topk",
-    # never driver-checked: windows / joins / scalars / ext relational
+    # first driver rows: registered after the r3 window was cut
+    "sim_pq_topk", "text_pii_scrub", "doc_char_entropy",
+    "dedup_cc_labelprop", "x17_timecode",
+    # round-3 hash failures — HUGEINT oracle fix must go green
+    "mix_domain_weights", "doc_length_histogram", "multimodal_frame_sample",
+    # re-confirm r3-green rows (code unchanged)
     "w10_sessionize", "w11_sliding_window", "w1_udtf_runs", "j9_asof_join",
     "x19_json_field_stats", "ext_semi_anti_join", "ext_grouping_sets",
-    "agg_salted_hot_keys",
-    # never driver-checked: dedup / embeddings
-    "dedup_cc_star", "emb_pq_codes", "emb_quantize_int8",
-    # never driver-checked: text / dataset curation
+    "agg_salted_hot_keys", "emb_pq_codes", "emb_quantize_int8",
     "text_normalize", "text_tfidf_topk", "text_vocab_topk",
     "text_unigram_logprob", "contamination_ngram", "sample_stratified",
-    "sample_bernoulli_hash", "split_train_val_test", "mix_domain_weights",
-    "doc_length_histogram", "multimodal_frame_sample",
-    # r1-green cores displaced by the round-2 rotation
-    "f2_arithmetic_filter", "f3_having_count", "f7_isin_filter",
-    "f8_range_filter", "f11_project_rename", "j3_surrogate_equijoin",
-    "a3_counts", "a7_extent_minmax_first", "a8_distinct",
-    "x3_crop_geometry", "x15_softmax_argmax",
+    "sample_bernoulli_hash", "split_train_val_test",
+    "j3_surrogate_equijoin", "a3_counts", "a7_extent_minmax_first",
+    "a8_distinct", "x3_crop_geometry", "x15_softmax_argmax",
 ]
 
 

@@ -35,11 +35,39 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class — the granularity at which the driver's value
+    hash splits. A DuckDB HUGEINT materializes in pandas as float64
+    while Spark returns int64: values equal, driver hash different
+    (round-3 failure mode). Compare BEFORE _canon coerces."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(name, spark, duck):
     spec = registry.REGISTRY[name]
-    sdf = _canon(spec.fn(spark, SF_SMOKE).toPandas())
-    odf = _canon(duck.execute(spec.oracle).df())
+    sdf_raw = spec.fn(spark, SF_SMOKE).toPandas()
+    odf_raw = duck.execute(spec.oracle).df()
+    sdf = _canon(sdf_raw)
+    odf = _canon(odf_raw)
+    dtype_diff = {
+        c: (_dtype_class(sdf_raw[c]), _dtype_class(odf_raw[c]))
+        for c in sdf_raw.columns
+        if c in odf_raw.columns
+        and _dtype_class(sdf_raw[c]) != _dtype_class(odf_raw[c])
+    }
+    assert not dtype_diff, (
+        f"{name}: dtype class mismatch (splits the driver hash even when "
+        f"values are equal): {dtype_diff}"
+    )
     assert list(sdf.columns) == list(odf.columns), (
         f"{name}: column mismatch {list(sdf.columns)} vs {list(odf.columns)}"
     )
@@ -60,6 +88,31 @@ def test_oracle_parity(name, spark, duck):
                 f"{name}.{c}: {int((~eq).sum())} mismatching rows, first at "
                 f"{(~eq).idxmax()}: {a[(~eq)].head(3).tolist()} vs {b[(~eq)].head(3).tolist()}"
             )
+
+
+# DuckDB integer sum()/product() widen to HUGEINT (int128), which pandas
+# can only materialize as float64 — so an uncast HUGEINT output column
+# hash-splits at the driver even when every value matches (round-3
+# failure: mix_domain_weights, doc_length_histogram,
+# multimodal_frame_sample). Lint every oracle's output schema so the
+# class can never recur: any HUGEINT/UHUGEINT output column must be
+# CAST(... AS BIGINT) in the oracle SQL.
+_WIDE_INT_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_no_hugeint_outputs(name, duck):
+    rel = duck.sql(registry.REGISTRY[name].oracle)
+    bad = {
+        col: str(t)
+        for col, t in zip(rel.columns, rel.types)
+        if str(t).upper() in _WIDE_INT_TYPES
+    }
+    assert not bad, (
+        f"{name}: oracle output columns {bad} are 128-bit/unsigned ints — "
+        f"pandas will coerce to float64 and split the driver hash; add "
+        f"CAST(... AS BIGINT)"
+    )
 
 
 # Queries whose oracle-parity check would be vacuous on an empty result:
