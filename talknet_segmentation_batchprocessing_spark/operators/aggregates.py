@@ -91,6 +91,8 @@ def average_precision(
     group_cols: Sequence[str] = (),
     out_col: str = "ap",
     ndigits: int = 6,
+    n_upper: int | None = None,
+    extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:
     """A6: VOC average precision as a pure window pipeline
     (utils/get_ava_active_speaker_performance.py:23-67,151-177).
@@ -109,7 +111,8 @@ def average_precision(
     lab = F.col(label_col).cast("int")
     if not part:
         return _average_precision_global(
-            df, score_col, lab, tiebreak_cols, out_col, ndigits
+            df, score_col, lab, tiebreak_cols, out_col, ndigits, n_upper,
+            extra_aggs,
         )
     return _ap_grouped(df, score_col, lab, tiebreak_cols, part, out_col, ndigits)
 
@@ -122,6 +125,8 @@ def _ap_grouped(
     part: Sequence[str],
     out_col: str,
     ndigits: int,
+    final_ungrouped: bool = False,
+    extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:
     """Grouped AP window pipeline — also the one-phase body for the
     ungrouped form below the crossover (one opaque partition)."""
@@ -147,10 +152,24 @@ def _ap_grouped(
     pr = ranked.withColumn("_prec", F.col("_tp") / F.col("_rank")).withColumn(
         "_rec", F.try_divide(F.col("_tp"), F.col("_pos"))
     )
-    sm = pr.withColumn("_sprec", F.max("_prec").over(wsuffix)).withColumn(
+    # _dr (lag over w) BEFORE _sprec (running max over the reverse
+    # order): the lag's WindowExec reuses the sort the rank/cumsum pass
+    # already established, so the partition is sorted twice total
+    # (forward, reverse) instead of three times (forward, reverse,
+    # forward again) — WindowExec re-sorts whenever the required order
+    # differs from the child's, and sort dominates the one-phase cost.
+    sm = pr.withColumn(
         "_dr", F.col("_rec") - F.coalesce(F.lag("_rec").over(w), F.lit(0.0))
-    )
+    ).withColumn("_sprec", F.max("_prec").over(wsuffix))
     agg = stable_round(F.sum(F.col("_dr") * F.col("_sprec")), ndigits).alias(out_col)
+    if final_ungrouped:
+        # Ungrouped final aggregate: exactly one output row even on an
+        # empty input (NULL AP — the oracle's semantics), while the
+        # windows above still carry the opaque single-partition spec.
+        # ``extra_aggs`` (e.g. the eval arm's validation counts) ride
+        # the same aggregate, so callers need no second scan of the
+        # input and no crossJoin of 1-row frames.
+        return sm.agg(agg, *extra_aggs)
     return sm.groupBy(*part).agg(agg)
 
 
@@ -161,6 +180,8 @@ def _average_precision_global(
     tiebreak_cols: Sequence[str],
     out_col: str,
     ndigits: int,
+    n_upper: int | None = None,
+    extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:
     """Ungrouped AP, adaptive one-/two-phase.
 
@@ -203,16 +224,16 @@ def _average_precision_global(
         prepare_keyed,
     )
 
-    df, n, bnds = prepare_keyed(df, score_col)
-    if n == 0:
-        # Ungrouped aggregate semantics: one NULL-AP row, like the
-        # oracle's SELECT ... on an empty input.
-        return df.agg(F.max(F.lit(None).cast("double")).alias(out_col))
+    df, n, bnds = prepare_keyed(df, score_col, n_upper=n_upper)
     if n <= CROSSOVER_ROWS or not bnds:
+        # final_ungrouped: one NULL-AP row even on an empty input (the
+        # oracle's ungrouped-aggregate semantics) — which also lets the
+        # n_upper fast path skip the exact count entirely.
         p = df.withColumn("_ap_p", one_partition_col())
         return _ap_grouped(
-            p, score_col, lab, tiebreak_cols, ["_ap_p"], out_col, ndigits
-        ).drop("_ap_p")
+            p, score_col, lab, tiebreak_cols, ["_ap_p"], out_col, ndigits,
+            final_ungrouped=True, extra_aggs=extra_aggs,
+        )
     b = attach_range_bucket(df, score_col, bnds, descending=True)
     stats = b.groupBy(_BUCKET).agg(
         F.count("*").alias("_tp_cnt"), F.sum(lab).alias("_tp_np")
@@ -269,7 +290,8 @@ def _average_precision_global(
         F.greatest(F.col("_lsuf"), F.coalesce(F.col("_tail"), F.lit(float("-inf")))),
     )
     return sm.agg(
-        stable_round(F.sum(F.col("_dr") * F.col("_sprec")), ndigits).alias(out_col)
+        stable_round(F.sum(F.col("_dr") * F.col("_sprec")), ndigits).alias(out_col),
+        *extra_aggs,
     )
 
 

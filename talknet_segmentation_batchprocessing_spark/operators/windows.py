@@ -173,6 +173,7 @@ def pack_batches(
     order_desc: bool = True,
     tiebreak_cols: Sequence[str] = (),
     batch_col: str = "batch_id",
+    n_upper: int | None = None,
 ) -> DataFrame:
     """W7: length-sorted dynamic batch packing (reference
     dataLoader.py:89-108): sort by length desc, walk rows packing while
@@ -201,6 +202,7 @@ def pack_batches(
         tiebreak_cols=tuple(tiebreak_cols),
         descending=order_desc,
         out_col="_cum",
+        n_upper=n_upper,
     )
     return cum.withColumn(
         batch_col, F.floor((F.col("_cum") - F.lit(1)) / F.lit(batch_size)).cast("bigint")

@@ -52,6 +52,7 @@ narrow data beat three scans of the raw join.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -64,6 +65,42 @@ _BUCKET = "_tp_bucket"
 # Measured one-/two-phase crossover (module docstring). Tests force the
 # two-phase path by patching this to 0.
 CROSSOVER_ROWS = 1_000_000
+
+
+def parquet_rows(sf_dir: str, *tables: str) -> int | None:
+    """Driver-side parquet-footer row-count sum over ``tables`` — an
+    O(#files) metadata read, NO Spark job.
+
+    Callers whose input provably never exceeds the scanned tables' row
+    count (filters, projections, broadcast FK joins against a
+    unique-key dimension, grouped rollups of a scan) pass this as
+    ``n_upper`` to skip the eager count action entirely when the bound
+    is below the one-/two-phase crossover. This is the same trick
+    Catalyst's stats use for broadcast decisions: footers are already
+    read during planning, so the bound is free at any scale — and when
+    the bound EXCEEDS the crossover the helpers fall back to the exact
+    measured count, so an over-estimate costs nothing but the old
+    action.
+
+    Returns None (caller falls back to the measured count) when any
+    path is missing or unreadable.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for t in tables:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.isdir(path):
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            total += pq.read_metadata(os.path.join(root, f)).num_rows
+            else:
+                total += pq.read_metadata(path).num_rows
+        return total
+    except Exception:
+        return None
 
 
 def _order(key_col: str, tiebreak_cols: Sequence[str], descending: bool) -> list[Column]:
@@ -83,7 +120,10 @@ def one_partition_col() -> Column:
 
 
 def prepare_keyed(
-    df: DataFrame, key_col: str, n_buckets: int | None = None
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int | None = None,
+    n_upper: int | None = None,
 ) -> tuple[DataFrame, int, list[float]]:
     """Persist ``df`` and run the ONE eager driver action: a combined
     ``count(*)`` + ``percentile_approx`` aggregate over ``key_col``.
@@ -95,8 +135,20 @@ def prepare_keyed(
     count drives the one-/two-phase switch; the boundaries become
     literals, keeping the bucket id a pure codegen expression.
 
-    Returns ``(persisted_df, n_rows, sorted_unique_boundaries)``.
+    ``n_upper`` — a caller-proved upper bound on the row count (e.g.
+    :func:`parquet_rows` footer metadata when the plan is
+    non-expanding). When it is at or below ``CROSSOVER_ROWS`` the
+    one-phase decision is already optimal, so BOTH the persist and the
+    eager action are skipped: the one-phase window consumes its input
+    exactly once, making the cache pure overhead and the count's only
+    purpose (the phase switch) already answered. Above the crossover
+    — or when None — the bound proves nothing and the exact measured
+    path runs unchanged.
+
+    Returns ``(df, n_rows_or_bound, sorted_unique_boundaries)``.
     """
+    if n_upper is not None and n_upper <= CROSSOVER_ROWS:
+        return df, n_upper, []
     df = track_persist(df)
     nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     probs = [i / nb for i in range(1, nb)]
@@ -181,12 +233,13 @@ def global_rank(
     descending: bool = False,
     out_col: str = "rn",
     n_buckets: int | None = None,
+    n_upper: int | None = None,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY key [DESC], tiebreaks)``: adaptive
     one-phase window below CROSSOVER_ROWS, else bucket-local row_number
     + per-bucket count offsets. Result column is int (same type as
     row_number)."""
-    df, n, bnds = prepare_keyed(df, key_col, n_buckets)
+    df, n, bnds = prepare_keyed(df, key_col, n_buckets, n_upper)
     if n <= CROSSOVER_ROWS or not bnds:
         w = Window.partitionBy("_tp_p").orderBy(
             *_order(key_col, list(tiebreak_cols), descending)
@@ -215,13 +268,14 @@ def global_cumsum(
     descending: bool = False,
     out_col: str = "cum",
     n_buckets: int | None = None,
+    n_upper: int | None = None,
 ) -> DataFrame:
     """Running ``sum(value) OVER (ORDER BY key [DESC], tiebreaks ROWS
     UNBOUNDED PRECEDING)``: adaptive one-phase window below
     CROSSOVER_ROWS, else bucket-local running sum + per-bucket sum
     offsets."""
     val = F.col(value_col) if isinstance(value_col, str) else value_col
-    df, n, bnds = prepare_keyed(df, key_col, n_buckets)
+    df, n, bnds = prepare_keyed(df, key_col, n_buckets, n_upper)
     if n <= CROSSOVER_ROWS or not bnds:
         w = (
             Window.partitionBy("_tp_p")
@@ -256,13 +310,14 @@ def global_lead(
     descending: bool = False,
     out_prefix: str = "_next_",
     n_buckets: int | None = None,
+    n_upper: int | None = None,
 ) -> DataFrame:
     """``lead(col) OVER (ORDER BY key, tiebreaks)`` for several columns:
     adaptive one-phase window below CROSSOVER_ROWS, else bucket-local
     lead with each bucket's trailing row patched from the next
     non-empty bucket's head row (min-by over the tiny heads frame,
     broadcast back)."""
-    df, n, bnds = prepare_keyed(df, key_col, n_buckets)
+    df, n, bnds = prepare_keyed(df, key_col, n_buckets, n_upper)
     order = _order(key_col, list(tiebreak_cols), descending)
     if n <= CROSSOVER_ROWS or not bnds:
         w = Window.partitionBy("_tp_p").orderBy(*order)

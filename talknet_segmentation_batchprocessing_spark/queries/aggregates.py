@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import audio_energy_db, average_precision, per_speaker_f1
+from ..plans.two_phase import parquet_rows
 from ..functions.rounding import stable_round
 from ..registry import load, query
 
@@ -187,7 +188,12 @@ def a6_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("score"),
         (F.col("event_type") == "click").cast("int").alias("is_positive"),
     )
-    return average_precision(scored, "score", "is_positive", tiebreak_cols=("uid",))
+    # Footer-metadata upper bound (a pure projection of events): below
+    # the crossover this skips the eager persist+count action entirely.
+    return average_precision(
+        scored, "score", "is_positive", tiebreak_cols=("uid",),
+        n_upper=parquet_rows(sf_dir, "events"),
+    )
 
 
 @query(

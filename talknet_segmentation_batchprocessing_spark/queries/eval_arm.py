@@ -22,6 +22,7 @@ from ..functions.geometry import iou_one_sided
 from ..functions.rounding import stable_round
 from ..operators.aggregates import average_precision, per_speaker_f1
 from ..operators.windows import top_per_group
+from ..plans.two_phase import parquet_rows
 from ..registry import load, query
 
 _AVA_ORACLE = """
@@ -98,12 +99,23 @@ def ava_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.abs(F.col("gbox") - F.col("pbox")) > 1e-9).cast("int").alias("box_mismatch"),
     )
-    ap = average_precision(joined, "score", "is_positive", tiebreak_cols=("uid",))
-    checks = joined.agg(
-        F.sum("box_mismatch").cast("bigint").alias("n_box_mismatch"),
-        F.count("*").alias("n_scored"),
+    # ONE linear plan: the validation counts ride the AP pipeline's
+    # final ungrouped aggregate (box_mismatch is carried through the
+    # window stages untouched), so the join is computed exactly once —
+    # no crossJoin of 1-row frames, no persist, no eager count action.
+    # n_upper: one row per distinct l_orderkey ≤ lineitem footer rows
+    # (grouped rollup of a scan, 1:1-validated join).
+    return average_precision(
+        joined,
+        "score",
+        "is_positive",
+        tiebreak_cols=("uid",),
+        n_upper=parquet_rows(sf_dir, "lineitem"),
+        extra_aggs=(
+            F.sum("box_mismatch").cast("bigint").alias("n_box_mismatch"),
+            F.count("*").alias("n_scored"),
+        ),
     )
-    return ap.crossJoin(checks)
 
 
 _COL_ORACLE = """

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.geometry import iou
 from ..operators.windows import top_per_group
 from ..functions.rounding import stable_round
-from ..plans.two_phase import global_lead, global_rank
+from ..plans.two_phase import global_lead, global_rank, parquet_rows
 from ..registry import load, query
 
 # Synthetic boxes derived from lineitem rows: linenumber 1 rows are the
@@ -74,12 +74,16 @@ def j1_equijoin_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
     # Global rank without a single-partition window: range-bucket on the
     # score + bucket-local row_number + broadcast count offsets.
+    # Upper bound from the orders footer: c_custkey is unique (TPC-H
+    # PK), so the broadcast FK join is 1:1 and never expands rows —
+    # below the crossover the eager persist+count action is skipped.
     ranked = global_rank(
         j.select("o_orderkey", "c_name", "o_totalprice"),
         "o_totalprice",
         tiebreak_cols=("o_orderkey",),
         descending=True,
         out_col="pos",
+        n_upper=parquet_rows(sf_dir, "orders"),
     )
     return ranked.select("o_orderkey", "c_name", "o_totalprice", "pos")
 
@@ -259,7 +263,8 @@ def j8_length_constrained_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_size")
     head = F.min("p_partkey").over(Window.partitionBy("p_size"))
     led = global_lead(
-        part, "p_size", ("p_partkey",), lead_cols=("p_partkey", "p_size")
+        part, "p_size", ("p_partkey",), lead_cols=("p_partkey", "p_size"),
+        n_upper=parquet_rows(sf_dir, "part"),
     )
     is_head = F.col("p_partkey") == head
     donor_key = F.when(~is_head, head).otherwise(F.col("_next_p_partkey"))

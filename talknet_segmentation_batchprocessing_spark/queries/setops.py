@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.two_phase import global_rank
+from ..plans.two_phase import global_rank, parquet_rows
 from ..registry import load, query
 
 
@@ -49,8 +49,11 @@ def u2_union_modulo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # Two-phase global rank (bucket-local row_number + count offsets)
     # instead of a single-partition ORDER BY window.
+    # Footer-metadata upper bound (pure projection of events): below
+    # the crossover the eager persist+count action is skipped.
     ranked = global_rank(
-        ev.select("event_id", "event_type"), "event_id", out_col="_rn"
+        ev.select("event_id", "event_type"), "event_id", out_col="_rn",
+        n_upper=parquet_rows(sf_dir, "events"),
     )
     split = F.when(((F.col("_rn") - 1) % 100) < 90, F.lit("train")).otherwise(
         F.lit("val")

@@ -18,6 +18,7 @@ from ..operators.windows import (
     windowed_median,
 )
 from ..functions.rounding import stable_round
+from ..plans.two_phase import parquet_rows
 from ..registry import load, query
 
 THRESHOLD = 50.0  # events.value mean ~49.6 → balanced runs
@@ -248,7 +249,8 @@ def w7_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.floor("o_totalprice").cast("bigint").alias("len")
     )
     return pack_batches(
-        sized, "len", 500000, order_desc=True, tiebreak_cols=("o_orderkey",)
+        sized, "len", 500000, order_desc=True, tiebreak_cols=("o_orderkey",),
+        n_upper=parquet_rows(sf_dir, "orders"),
     ).select("o_orderkey", "len", "batch_id")
 
 
