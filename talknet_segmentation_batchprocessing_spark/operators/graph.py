@@ -32,12 +32,15 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("_mv"))
         .select("u", F.least("_mv", "u").alias("_m"))
     )
+    # No distinct here: duplicate (u, m) pairs cost one extra shuffle
+    # to remove, while the consumer (_small_star) is duplicate-proof —
+    # its min-aggregates ignore multiplicity and its output IS
+    # distinct'ed. One shuffle per round saved.
     return (
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("_m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -58,13 +61,19 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components_star(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 50,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """nodes(node) + edges(u, v) -> (node, component) with component =
     min node id of the component (singletons label themselves).
 
     Each round is two groupBy-min + join passes over the shrinking
-    edge list; ``localCheckpoint`` cuts lineage per round. Convergence
+    edge list; ``localCheckpoint`` cuts lineage per round — LAZY, so
+    the round's signature aggregate doubles as the materializing
+    action: ONE job per round instead of checkpoint-then-aggregate
+    (the per-round fixed cost dominated the sf0.1 wall). Convergence
     is screened with a cheap (count, sum) signature of the oriented
     edge set, then CONFIRMED exactly: equal signatures do not imply
     equal edge sets ({(3,1),(4,2)} vs {(4,1),(3,2)} collide), so a
@@ -76,12 +85,24 @@ def connected_components_star(
     e = edges.select(
         F.col(edges.columns[0]).cast("long").alias("u"),
         F.col(edges.columns[1]).cast("long").alias("v"),
-    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    ).filter(F.col("u") != F.col("v"))
+    # edges_distinct: callers whose edge list is an aggregation output
+    # (e.g. the Jaccard pair pipeline's groupBy) skip one shuffle here;
+    # the algorithm tolerates duplicates either way (min-aggregates),
+    # only the convergence signature needs a duplicate-free frame, and
+    # every post-round frame is distinct by construction.
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     prev_sig = None
     converged = False
     for _ in range(max_rounds):
         prev_e = e
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # eager=False: the signature .collect() below is the action
+        # that materializes this round's checkpoint, so the round runs
+        # one job, and the NEXT round's double read of ``e`` (the
+        # symmetrized union) hits stored partitions, not recompute.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         row = e.agg(
             F.count("*").alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
         ).collect()[0]

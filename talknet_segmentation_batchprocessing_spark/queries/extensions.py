@@ -415,8 +415,10 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components_star
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
+    # Jaccard pairs come out of a groupBy(doc_a, doc_b): already
+    # distinct, so the CC operator can skip its defensive dedup shuffle.
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    out = connected_components_star(docs, pairs)
+    out = connected_components_star(docs, pairs, edges_distinct=True)
     return out.select("doc_id", F.col("component").alias("cluster_id"))
 
 
