@@ -85,38 +85,32 @@ def _unflatten(flat):
     return out
 
 
-def train_heads_epoch(feats: DataFrame, w: dict, lr: float = 1e-4):
-    """One exact full-batch SGD step, distributed.
-
-    ``feats`` columns: ``av`` array<double>[256], ``a`` / ``v``
-    array<double>[128], ``label`` int (0/1; validated). Executors emit
-    one (n, n*loss, n*flat_grad) payload VECTOR per Arrow batch as
+def _epoch_mean_grad(feats: DataFrame, wb: dict):
+    """The distributed allreduce shared by every optimizer: executors
+    emit one (n, n*loss, n*flat_grad) payload VECTOR per Arrow batch as
     2+_FLAT_DIM=1032 (idx, val) rows, so the shuffle is
     #batches x 1032 tiny rows (~8 KB per batch) regardless of corpus
-    size; one groupBy(idx).sum aggregation sums the payloads (the
-    allreduce) and the driver applies ``w - lr * grad``. Mean-CE is
-    linear in samples, so this equals the local full-batch step
-    exactly.
+    size; one groupBy(idx).sum aggregation sums the payloads. Mean-CE
+    is linear in samples, so the result equals the local full-batch
+    (loss, grad) EXACTLY (up to float summation order).
 
-    Returns (new_weights, mean_loss, n_samples). The reference's Adam
-    + per-epoch lr decay (talkNet.py:29-33) are driver-side scalar
-    state on top of the same aggregated gradient; plain SGD keeps the
-    demonstration exact.
+    Returns (n_total, mean_loss, mean_flat_grad | None).
     """
-    from ..deploy import ensure_worker_imports
-
-    ensure_worker_imports(feats)
-    missing = [k for k in _PARAM_KEYS if k not in w]
-    if missing:
-        # fail fast on the driver, not as a KeyError inside a task: a
-        # stripped inference checkpoint commonly lacks lossA/lossV
-        raise KeyError(f"weights dict is missing head params: {missing}")
-    wb = {k: np.asarray(w[k], dtype=np.float64) for k in _PARAM_KEYS}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
+            nulls = pdf[["av", "a", "v", "label"]].isna()
+            if nulls.to_numpy().any():
+                # NaN labels would cast to INT64_MIN (an opaque "got
+                # [-9223372036854775808]" error) and null arrays would
+                # crash np.vstack inside the task — name the problem
+                bad_cols = [c for c in nulls.columns if nulls[c].any()]
+                raise ValueError(
+                    f"null values in training columns {bad_cols} — "
+                    "drop or impute nulls before training"
+                )
             X_av = np.vstack(pdf["av"].to_numpy())
             X_a = np.vstack(pdf["a"].to_numpy())
             X_v = np.vstack(pdf["v"].to_numpy())
@@ -144,10 +138,114 @@ def train_heads_epoch(feats: DataFrame, w: dict, lr: float = 1e-4):
         acc[r["idx"]] = r["s"]
     n_total = acc[0]
     if n_total == 0:
-        return dict(w), float("nan"), 0
-    mean_loss = acc[1] / n_total
-    grad = _unflatten(acc[2:] / n_total)
+        return 0, float("nan"), None
+    return int(n_total), float(acc[1] / n_total), acc[2:] / n_total
+
+
+def _check_head_params(w: dict) -> dict:
+    missing = [k for k in _PARAM_KEYS if k not in w]
+    if missing:
+        # fail fast on the driver, not as a KeyError inside a task: a
+        # stripped inference checkpoint commonly lacks lossA/lossV
+        raise KeyError(f"weights dict is missing head params: {missing}")
+    return {k: np.asarray(w[k], dtype=np.float64) for k in _PARAM_KEYS}
+
+
+def train_heads_epoch(feats: DataFrame, w: dict, lr: float = 1e-4):
+    """One exact full-batch SGD step, distributed.
+
+    ``feats`` columns: ``av`` array<double>[256], ``a`` / ``v``
+    array<double>[128], ``label`` int (0/1; validated, nulls rejected).
+    One :func:`_epoch_mean_grad` allreduce, then the driver applies
+    ``w - lr * grad``; equals the local full-batch step exactly.
+
+    Returns (new_weights, mean_loss, n_samples). For the reference's
+    actual optimizer (Adam + StepLR) see :func:`train_heads_adam`.
+    """
+    from ..deploy import ensure_worker_imports
+
+    ensure_worker_imports(feats)
+    wb = _check_head_params(w)
+    n_total, mean_loss, flat = _epoch_mean_grad(feats, wb)
+    if n_total == 0:
+        return dict(w), mean_loss, 0
+    grad = _unflatten(flat)
     new_w = dict(w)
     for k in _PARAM_KEYS:
         new_w[k] = wb[k] - lr * grad[k]
-    return new_w, float(mean_loss), int(n_total)
+    return new_w, mean_loss, n_total
+
+
+class AdamState:
+    """Driver-side Adam moment state over the FLAT head-parameter
+    vector — a few KB, so it lives on the driver like the reference's
+    optimizer object lives on the GPU host (talkNet.py:29-33). The
+    gradient it consumes is the exact distributed full-batch mean, so
+    the trajectory equals torch.optim.Adam on the same local batch."""
+
+    def __init__(self, betas=(0.9, 0.999), eps: float = 1e-8):
+        self.betas = betas
+        self.eps = eps
+        self.t = 0
+        self.m = np.zeros(_FLAT_DIM)
+        self.v = np.zeros(_FLAT_DIM)
+
+    def step(self, flat_grad: np.ndarray, lr: float) -> np.ndarray:
+        """One torch-semantics Adam update; returns the flat delta to
+        ADD to the parameters."""
+        b1, b2 = self.betas
+        self.t += 1
+        self.m = b1 * self.m + (1.0 - b1) * flat_grad
+        self.v = b2 * self.v + (1.0 - b2) * flat_grad * flat_grad
+        m_hat = self.m / (1.0 - b1**self.t)
+        v_hat = self.v / (1.0 - b2**self.t)
+        return -lr * m_hat / (np.sqrt(v_hat) + self.eps)
+
+
+def train_heads_adam(
+    feats: DataFrame,
+    w: dict,
+    epochs: int = 1,
+    lr: float = 1e-4,
+    lr_decay: float = 0.95,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    state: AdamState | None = None,
+):
+    """Reference-parity optimizer loop: Adam + per-epoch StepLR decay
+    (talkNet.py:29-33 ``Adam(lr)`` + ``StepLR(step_size=1,
+    gamma=0.95)``; trainTalkNet.py:70-83 steps the scheduler once per
+    epoch, so epoch e trains at ``lr * lr_decay**(e-1)``).
+
+    Each epoch is ONE :func:`_epoch_mean_grad` allreduce (full-batch
+    Adam: the reference's per-minibatch loop is a GPU-memory
+    concession, not a semantic choice — with frozen trunks the
+    full-batch gradient is the exact descent direction); the moment
+    vectors and lr schedule are driver-side scalars over the flat
+    1030-dim parameter vector. Pass ``state`` to continue a previous
+    run's moments (e.g. epoch-at-a-time orchestration).
+
+    Returns (new_weights, per_epoch_losses, n_samples, state).
+    """
+    from ..deploy import ensure_worker_imports
+
+    ensure_worker_imports(feats)
+    wb = _check_head_params(w)
+    st = state or AdamState(betas=betas, eps=eps)
+    flat_w = np.concatenate([wb[k].ravel() for k in _PARAM_KEYS])
+    losses: list[float] = []
+    n_total = 0
+    for _e in range(epochs):
+        cur = _unflatten(flat_w)
+        n_total, mean_loss, flat_grad = _epoch_mean_grad(feats, cur)
+        if n_total == 0:
+            losses.append(mean_loss)
+            break
+        losses.append(mean_loss)
+        # StepLR(step_size=1): epoch's lr = base * gamma**(epochs done
+        # so far) — st.t counts one step per epoch, so a continued
+        # ``state`` keeps decaying instead of restarting the schedule.
+        flat_w = flat_w + st.step(flat_grad, lr * lr_decay**st.t)
+    new_w = dict(w)
+    new_w.update(_unflatten(flat_w))
+    return new_w, losses, n_total, st

@@ -13,7 +13,9 @@ from talknet_segmentation_batchprocessing_spark.operators.talknet_forward import
 )
 from talknet_segmentation_batchprocessing_spark.operators.talknet_train import (
     _PARAM_KEYS,
+    AdamState,
     loss_and_grads,
+    train_heads_adam,
     train_heads_epoch,
 )
 
@@ -95,6 +97,80 @@ def test_loss_decreases_on_separable_data(spark, w):
         losses.append(loss)
     assert losses == sorted(losses, reverse=True), losses
     assert losses[-1] < losses[0] * 0.9
+
+
+def _local_adam_trajectory(w, X_av, X_a, X_v, y, epochs, lr, decay,
+                           betas=(0.9, 0.999), eps=1e-8):
+    """Hand-rolled torch-semantics Adam + StepLR(1, decay) on the local
+    full batch — the trajectory the distributed loop must match."""
+    cur = {k: np.asarray(w[k], dtype=np.float64).copy() for k in _PARAM_KEYS}
+    m = {k: np.zeros_like(cur[k]) for k in _PARAM_KEYS}
+    v = {k: np.zeros_like(cur[k]) for k in _PARAM_KEYS}
+    b1, b2 = betas
+    losses = []
+    for e in range(epochs):
+        loss, grads = loss_and_grads(cur, X_av, X_a, X_v, y)
+        losses.append(loss)
+        lr_e = lr * decay**e
+        t = e + 1
+        for k in _PARAM_KEYS:
+            g = grads[k]
+            m[k] = b1 * m[k] + (1 - b1) * g
+            v[k] = b2 * v[k] + (1 - b2) * g * g
+            m_hat = m[k] / (1 - b1**t)
+            v_hat = v[k] / (1 - b2**t)
+            cur[k] = cur[k] - lr_e * m_hat / (np.sqrt(v_hat) + eps)
+    return cur, losses
+
+
+def test_adam_matches_local_trajectory(spark, w):
+    rng = np.random.default_rng(6)
+    n = 48
+    X_av, X_a, X_v, y = _data(rng, n)
+    pdf = pd.DataFrame(
+        {"av": list(X_av), "a": list(X_a), "v": list(X_v), "label": y.astype(int)}
+    )
+    feats = spark.createDataFrame(pdf).repartition(6)
+    new_w, losses, n_seen, st = train_heads_adam(
+        feats, w, epochs=3, lr=0.05, lr_decay=0.95
+    )
+    assert n_seen == n and st.t == 3
+    exp_w, exp_losses = _local_adam_trajectory(
+        w, X_av, X_a, X_v, y, epochs=3, lr=0.05, decay=0.95
+    )
+    np.testing.assert_allclose(losses, exp_losses, rtol=0, atol=1e-9)
+    for k in _PARAM_KEYS:
+        np.testing.assert_allclose(new_w[k], exp_w[k], rtol=0, atol=1e-9)
+
+
+def test_adam_state_continuation_keeps_schedule(spark, w):
+    """2 epochs in one call == 1 epoch + 1 epoch continuing the state
+    (moments AND the StepLR position carry across calls)."""
+    rng = np.random.default_rng(7)
+    X_av, X_a, X_v, y = _data(rng, 16)
+    pdf = pd.DataFrame(
+        {"av": list(X_av), "a": list(X_a), "v": list(X_v), "label": y.astype(int)}
+    )
+    feats = spark.createDataFrame(pdf)
+    w2, losses2, _, _ = train_heads_adam(feats, w, epochs=2, lr=0.05, lr_decay=0.9)
+    w1, _, _, st = train_heads_adam(feats, w, epochs=1, lr=0.05, lr_decay=0.9)
+    w1b, _, _, _ = train_heads_adam(
+        feats, w1, epochs=1, lr=0.05, lr_decay=0.9, state=st
+    )
+    for k in _PARAM_KEYS:
+        np.testing.assert_allclose(w1b[k], w2[k], rtol=0, atol=1e-12)
+
+
+def test_null_labels_rejected_with_clear_message(spark, w):
+    rng = np.random.default_rng(8)
+    X_av, X_a, X_v, _y = _data(rng, 4)
+    pdf = pd.DataFrame(
+        {"av": list(X_av), "a": list(X_a), "v": list(X_v),
+         "label": [0, 1, None, 0]}
+    )
+    feats = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="null values in training columns"):
+        train_heads_epoch(feats, w, lr=0.1)
 
 
 def test_invalid_labels_rejected(spark, w):
