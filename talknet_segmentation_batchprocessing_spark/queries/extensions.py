@@ -470,8 +470,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-pairs brute force is inherently O(n²) compute; the scalable
     shape distributes it: split ids into G blocks of <= _COS_TILE_ROWS
     rows, ``explode`` each row to its G block-pairs ``(min(g,h),
-    max(g,h))`` (G replicas per row — shuffle O(n·G), tiny at 64
-    dims), then one ``applyInPandas`` per block pair computes the
+    max(g,h))`` (G replicas per row — with G = ceil(n/tile) the
+    shuffle carries n·G = n²/tile rows, so it grows QUADRATICALLY
+    like the compute: acceptable only below the scale where
+    ``sim_lsh_bucketed`` takes over as the documented scale path;
+    this query is the exact-answer correctness baseline), then one
+    ``applyInPandas`` per block pair computes the
     block×block similarity with chunked BLAS matmuls. Every unordered
     pair is produced by exactly one group: blocks are disjoint, so an
     off-diagonal group enumerates ALL |A|x|B| combinations (ids

@@ -18,7 +18,6 @@ stage in front.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -54,10 +53,16 @@ def _enrich_batch(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
                     lv_id, lv_ts = int(r.event_id), ts
             elif r.event_type == "click":
                 if lv_ts is not None and lv_ts < ts:
-                    # stable_round semantics (floor(x*1e3+0.5)/1e3), NOT
-                    # Python round() (banker's) — must match the batch
-                    # twin j9_asof_join on half-way gaps like 0.0005 s.
-                    gap = math.floor((ts - lv_ts) * 1e3 + 0.5) / 1e3
+                    # Exact-integer-microsecond rounding, mirroring the
+                    # batch twin j9_asof_join (round 3): the double-
+                    # seconds form floor((ts-lv_ts)*1e3+0.5)/1e3 flips
+                    # in the last ulp on half-millisecond gaps, because
+                    # the SUBTRACTION is inexact. Both timestamps are
+                    # exact microseconds, so convert each to integer us
+                    # first; the difference and the half-up millisecond
+                    # rounding are then exact integer arithmetic.
+                    us_gap = round(ts * 1e6) - round(lv_ts * 1e6)
+                    gap = ((us_gap + 500) // 1000) / 1e3
                     out.append((user_id, int(r.event_id), ts, lv_id, gap))
                 else:
                     out.append((user_id, int(r.event_id), ts, None, None))

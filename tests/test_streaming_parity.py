@@ -1,0 +1,273 @@
+"""Streaming-vs-batch parity on the DRIVER tables at sf0.01 — not
+synthetic fixtures: each streaming sibling (stateful segmentation,
+as-of enrich, sliding / tumbling / session windows) must reproduce its
+batch twin row-for-row on the same events table the correctness gate
+uses.
+
+Method: materialize the batch-loaded table to a tmp parquet drop
+folder (one or two files), readStream it with availableNow, sink to a
+memory table, and compare against the registered batch query / batch
+operator output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from talknet_segmentation_batchprocessing_spark import registry
+from talknet_segmentation_batchprocessing_spark.registry import load
+
+from .conftest import SF_CORRECT
+
+registry._ensure_loaded()
+
+
+def _drain(stream_df, tmp_path, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}").toPandas()
+
+
+@pytest.fixture(scope="module")
+def events_drop(spark, tmp_path_factory):
+    """The sf0.01 events table re-written as a parquet drop folder."""
+    p = tmp_path_factory.mktemp("events_drop")
+    ev = load(spark, SF_CORRECT, "events")
+    ev.coalesce(1).write.parquet(str(p / "b0"))
+    return p, ev.schema
+
+
+def test_streaming_asof_matches_batch_j9(spark, events_drop, tmp_path):
+    """streaming/enrich.py vs the registered j9_asof_join, including
+    the integer-microsecond gap rounding on every matched click."""
+    from talknet_segmentation_batchprocessing_spark.streaming.enrich import (
+        stateful_enrich_latest,
+    )
+
+    drop, schema = events_drop
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(drop / "*"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        )
+    )
+    got = _drain(stateful_enrich_latest(stream), tmp_path, "asof_stream")
+    want = (
+        registry.REGISTRY["j9_asof_join"]
+        .fn(spark, SF_CORRECT)
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    m = want.merge(got, on="event_id", suffixes=("_b", "_s"))
+    assert len(m) == len(want)
+    pv_b = m["prior_view_id_b"].astype("float64")
+    pv_s = m["prior_view_id_s"].astype("float64")
+    assert ((pv_b == pv_s) | (pv_b.isna() & pv_s.isna())).all()
+    g_b, g_s = m["gap_s_b"], m["gap_s_s"]
+    # exact: both sides round in integer microseconds
+    assert ((g_b == g_s) | (g_b.isna() & g_s.isna())).all()
+
+
+def test_streaming_sliding_matches_batch_w11(spark, events_drop, tmp_path):
+    from talknet_segmentation_batchprocessing_spark.streaming.pipeline import (
+        sliding_window_counts,
+    )
+
+    drop, schema = events_drop
+    # watermarks require TIMESTAMP (parquet surfaces TIMESTAMP_NTZ)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(drop / "*"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # complete mode: a single bounded drain never advances the
+    # watermark past the tail windows, so append would drop them
+    got = _drain(
+        sliding_window_counts(stream, ts_col="ts"),
+        tmp_path,
+        "w11_stream",
+        mode="complete",
+    )
+    want = (
+        registry.REGISTRY["w11_sliding_window"].fn(spark, SF_CORRECT).toPandas()
+    )
+    got["win_start"] = got["win_start"].map(lambda t: int(t.timestamp()))
+    m = want.merge(got, on=["win_start", "event_type"], suffixes=("_b", "_s"))
+    assert len(m) == len(want) == len(got) > 0
+    assert (m["n_b"] == m["n_s"]).all()
+    # batch rounds sum_value to 2 digits in-query; round the raw
+    # streaming sum the same way (stable_round semantics)
+    s_rounded = np.floor(m["sum_value_s"] * 1e2 + 0.5) / 1e2
+    np.testing.assert_allclose(m["sum_value_b"], s_rounded, rtol=0, atol=1e-9)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_drop, tmp_path):
+    """Tumbling = the sliding helper with size == slide; batch twin is
+    the plain floor(epoch/width) aggregation (w9's window id)."""
+    from talknet_segmentation_batchprocessing_spark.streaming.pipeline import (
+        sliding_window_counts,
+    )
+
+    drop, schema = events_drop
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(drop / "*"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = _drain(
+        sliding_window_counts(stream, ts_col="ts", size_s=1800, slide_s=1800),
+        tmp_path,
+        "w9_stream",
+        mode="complete",
+    )
+    ev = load(spark, SF_CORRECT, "events")
+    slot = F.floor(F.col("ts").cast("timestamp").cast("double") / 1800).cast("long")
+    want = (
+        ev.groupBy((slot * 1800).alias("win_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .toPandas()
+    )
+    got["win_start"] = got["win_start"].map(lambda t: int(t.timestamp()))
+    m = want.merge(got, on=["win_start", "event_type"], suffixes=("_b", "_s"))
+    assert len(m) == len(want) == len(got) > 0
+    assert (m["n_b"] == m["n_s"]).all()
+    np.testing.assert_allclose(m["sum_value_b"], m["sum_value_s"], rtol=0, atol=1e-6)
+
+
+def test_streaming_session_matches_batch_w10(spark, events_drop, tmp_path):
+    """session_window with a 30-min gap vs the registered batch
+    sessionizer (w10): same sessions per user — session start = first
+    event, session end = last event + gap (Spark's end-exclusive
+    horizon), same event counts."""
+    from talknet_segmentation_batchprocessing_spark.streaming.pipeline import (
+        session_window_segments,
+    )
+
+    drop, schema = events_drop
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(drop / "*"))
+        .select(
+            F.col("user_id").cast("string").alias("video_id"),
+            F.lit(0).alias("track_id"),
+            F.col("value").alias("score"),
+            F.col("ts").cast("timestamp").alias("event_time"),
+        )
+    )
+    got = _drain(
+        session_window_segments(
+            stream, gap_s=1800.0, watermark_s=1.0, threshold=float("-inf")
+        ),
+        tmp_path,
+        "w10_stream",
+        mode="complete",
+    )
+    want = registry.REGISTRY["w10_sessionize"].fn(spark, SF_CORRECT).toPandas()
+    got["user_id"] = got["video_id"].astype("int64")
+    m = want.merge(
+        got,
+        left_on=["user_id", "start_ts"],
+        right_on=["user_id", "start_time"],
+        suffixes=("_b", "_s"),
+    )
+    assert len(m) == len(want) == len(got) > 0
+    assert (m["n_events"] == m["n_frames"]).all()
+    # Spark session end = last event + gap
+    end_b = m["end_ts"].map(lambda t: t.timestamp()) + 1800.0
+    end_s = m["end_time"].map(lambda t: t.timestamp())
+    np.testing.assert_allclose(end_b, end_s, rtol=0, atol=1e-6)
+
+
+def test_streaming_stateful_segments_match_batch(spark, tmp_path):
+    """streaming/stateful.py vs the batch extract_segments operator on
+    a scores frame DERIVED from the sf0.01 events table (per-user
+    tracks, dense frame numbering by event order, score = value - 20
+    so ~2/3 of frames speak and >=5-frame runs are plentiful),
+    split across TWO micro-batch files so open runs must carry state.
+
+    A trailing silent sentinel frame per track closes every run on
+    both sides (the batch operator closes end-of-input runs implicitly;
+    the streaming operator, correctly, keeps them open forever)."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.operators.segmentation import (
+        extract_segments,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.stateful import (
+        stateful_segments,
+    )
+
+    ev = load(spark, SF_CORRECT, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scores = ev.select(
+        F.col("user_id").cast("string").alias("video_id"),
+        F.lit(0).alias("track_id"),
+        (F.row_number().over(w) - 1).alias("frame_idx"),
+        (F.col("value") - 20.0).alias("score"),
+    )
+    sentinel = (
+        scores.groupBy("video_id", "track_id")
+        .agg((F.max("frame_idx") + 1).alias("frame_idx"))
+        .withColumn("score", F.lit(-1e9))
+    )
+    full = scores.unionByName(sentinel).select(
+        "video_id", "track_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+        "score",
+    )
+
+    want = (
+        extract_segments(full, threshold=0.0, min_duration_s=0.2)
+        .select(
+            "video_id",
+            "track_id",
+            "start_frame",
+            "end_frame",
+            (F.col("end_frame") - F.col("start_frame")).cast("int").alias("n_frames"),
+        )
+        .toPandas()
+        .sort_values(["video_id", "start_frame"])
+        .reset_index(drop=True)
+    )
+
+    drop = tmp_path / "scores"
+    drop.mkdir()
+    cut = 30  # ~67 frames per user: runs straddle the two files
+    full.filter(F.col("frame_idx") < cut).coalesce(1).write.parquet(
+        str(drop / "b0")
+    )
+    time.sleep(1.1)  # distinct mod times -> deterministic file order
+    full.filter(F.col("frame_idx") >= cut).coalesce(1).write.parquet(
+        str(drop / "b1")
+    )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    got = (
+        _drain(
+            stateful_segments(stream, threshold=0.0, min_duration_s=0.2),
+            tmp_path,
+            "w1_stateful_stream",
+        )
+        .sort_values(["video_id", "start_frame"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
