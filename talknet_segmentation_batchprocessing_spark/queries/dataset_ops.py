@@ -939,3 +939,101 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("adc"), 6).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sentence-level corpus diagnostics
+# ---------------------------------------------------------------------------
+
+_SENT_ORACLE = """
+WITH frags AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> length(s) > 0) AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(list_sum(list_transform(sents, s -> length(s))) AS BIGINT)
+         AS n_sentence_chars,
+       CASE WHEN len(sents) > 0 THEN
+         floor((list_sum(list_transform(sents, s -> length(s))) * 1.0
+                / len(sents)) * 1e2 + 0.5) / 1e2
+       END AS mean_sentence_len
+FROM frags
+"""
+
+
+@query(
+    "text_sentence_stats",
+    oracle=_SENT_ORACLE,
+    doc="Sentence segmentation diagnostics: split on [.!?]+ runs, trim, "
+    "drop empties, emit per-doc sentence count / total chars / mean "
+    "length — the pre-tokenizer shape check for packing and quality "
+    "gates. One scan, pure JVM higher-order functions (split + "
+    "transform + filter + aggregate), no UDF; integer sums are exact "
+    "so only the final mean needs stable rounding",
+    tags=("text", "dataset", "ext"),
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    d = docs.select("doc_id", sents.alias("_sents"))
+    n = F.size("_sents")
+    total = F.aggregate(
+        F.transform(F.col("_sents"), lambda s: F.length(s).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_sentences"),
+        total.alias("n_sentence_chars"),
+        F.when(n > 0, stable_round(total / n, 2)).alias("mean_sentence_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding column statistics
+# ---------------------------------------------------------------------------
+
+_DIM_STATS_ORACLE = """
+WITH vals AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+       floor((avg(x)) * 1e6 + 0.5) / 1e6 AS mean_val,
+       floor((min(x)) * 1e6 + 0.5) / 1e6 AS min_val,
+       floor((max(x)) * 1e6 + 0.5) / 1e6 AS max_val
+FROM vals GROUP BY dim
+"""
+
+
+@query(
+    "emb_dim_stats",
+    oracle=_DIM_STATS_ORACLE,
+    doc="Per-dimension embedding statistics (mean/min/max per "
+    "coordinate) — the calibration pass quantization and whitening "
+    "need before emb_quantize_int8/emb_pq_codes. posexplode + one "
+    "groupBy(dim): n x d values stream through a d-key partial "
+    "aggregation, so the shuffle is d rows per map task regardless of "
+    "corpus size",
+    tags=("embeddings", "dataset", "ext"),
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vals = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    return vals.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count("*").alias("n"),
+        stable_round(F.avg("x"), 6).alias("mean_val"),
+        stable_round(F.min("x"), 6).alias("min_val"),
+        stable_round(F.max("x"), 6).alias("max_val"),
+    )

@@ -422,6 +422,60 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("component").alias("cluster_id"))
 
 
+_KEEP_CANONICAL_ORACLE = f"""
+WITH RECURSIVE
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p0 AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+jac AS (
+  SELECT p.doc_a, p.doc_b
+  FROM p0 p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jac
+),
+cc(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id
+),
+lbl AS (SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN lbl l ON d.doc_id = l.doc_id
+WHERE l.cluster_id = d.doc_id
+"""
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=_KEEP_CANONICAL_ORACLE,
+    doc="The COMPLETE dedup pass end-to-end in one query: n-gram "
+    "Jaccard candidate pairs -> star connected components -> keep only "
+    "each component's canonical (min doc_id) document, joined back for "
+    "its payload columns. This is the query a curation pipeline "
+    "actually ships — the pairwise/cluster queries above are its "
+    "building blocks. Every stage is the scale-path variant (shingle "
+    "equi-join, star CC, broadcast-size label join)",
+    tags=("dedup", "ext", "pipeline"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup_cc_star(spark, sf_dir)
+    keep = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    # survivors ≤ n_docs: an equi-join on the doc key; at corpus scale
+    # both sides hash-partition on doc_id (no broadcast assumption)
+    return docs.join(keep, "doc_id").select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
