@@ -57,6 +57,9 @@ HEADLINE = [
     "split_train_val_test",
     "multimodal_frame_sample",
     "w11_sliding_window",
+    "dedup_keep_canonical",
+    "text_sentence_stats",
+    "emb_dim_stats",
 ]
 
 

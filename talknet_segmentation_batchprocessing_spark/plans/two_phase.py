@@ -19,13 +19,16 @@ distributed prefix pattern:
    broadcast-joined back — turn each bucket-local ``row_number`` /
    running sum into its global value.
 
-Cost shape: ONE eager driver action per helper (a combined
+Cost shape: AT MOST one eager driver action per helper (a combined
 count + ``percentile_approx`` aggregate that doubles as the cache
 materializer); the offsets and the main pass stay lazy and run as
 broadcast-exchange stages inside the caller's single consuming
 action. The main pass does ONE hash shuffle on the bucket id, which
 parallelizes across the cluster instead of serializing on a single
-task.
+task. Callers that can PROVE a row-count upper bound at or below the
+crossover (``n_upper``, e.g. :func:`parquet_rows` footer metadata
+over a non-expanding plan) skip the action AND the persist entirely —
+the one-phase window consumes its input exactly once.
 
 **Adaptive switch**: the same action returns the row count, and below
 ``CROSSOVER_ROWS`` (measured ~1M on local[32]: one-phase 0.5 s vs
@@ -42,12 +45,12 @@ small-input tax.
 All keys must be non-null and numeric (castable to double with order
 preserved — fine below 2^53, which covers every key in this engine).
 
-Each helper persists its input (tracked, so the registry sweep
-releases it): the boundary, offset, and main subplans then share ONE
-materialization of the upstream plan — which for callers like the
-eval-arm AP is itself a join pipeline — instead of recomputing it per
-subtree. That is also the 100 TB posture: cheap rescans of cached
-narrow data beat three scans of the raw join.
+On the measured path each helper persists its input (tracked, so the
+registry sweep releases it): the boundary, offset, and main subplans
+then share ONE materialization of the upstream plan — which for
+callers like the eval-arm AP is itself a join pipeline — instead of
+recomputing it per subtree. That is also the 100 TB posture: cheap
+rescans of cached narrow data beat three scans of the raw join.
 """
 
 from __future__ import annotations

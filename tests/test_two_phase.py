@@ -169,3 +169,76 @@ def test_ap_zero_positives_null(spark):
             rows = average_precision(df, "score", "is_positive").collect()
             assert len(rows) == 1 and rows[0]["ap"] is None, (_label, rows)
             release_persisted()
+
+
+def test_parquet_rows_footer_counts():
+    from talknet_segmentation_batchprocessing_spark.plans.two_phase import parquet_rows
+
+    import duckdb
+
+    n = parquet_rows("/root/testdata/sf0.001", "events", "orders")
+    want = duckdb.sql(
+        "SELECT (SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/events.parquet'))"
+        " + (SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/orders.parquet'))"
+    ).fetchone()[0]
+    assert n == want
+    assert parquet_rows("/root/testdata/sf0.001", "no_such_table") is None
+
+
+def test_n_upper_hint_skips_action_and_persist(spark):
+    """Below the crossover a proven bound must trigger ZERO Spark jobs
+    inside prepare_keyed (no persist, no count/quantile action) while
+    the result stays identical to the measured path."""
+    from talknet_segmentation_batchprocessing_spark.plans import two_phase
+    from talknet_segmentation_batchprocessing_spark.plans.two_phase import (
+        global_rank,
+        prepare_keyed,
+    )
+    from talknet_segmentation_batchprocessing_spark import registry
+    from talknet_segmentation_batchprocessing_spark.registry import release_persisted
+
+    release_persisted()
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 37 % 101).cast("double").alias("key")
+    )
+    n_persisted_before = len(registry._PERSISTED)
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    out_df, n, bnds = prepare_keyed(df, "key", n_upper=1000)
+    assert n == 1000 and bnds == []
+    assert len(registry._PERSISTED) == n_persisted_before  # no persist
+    assert len(tracker.getJobIdsForGroup() or []) == jobs_before  # no job
+
+    hinted = global_rank(df, "key", tiebreak_cols=("id",), n_upper=1000).toPandas()
+    release_persisted()
+    measured = global_rank(df, "key", tiebreak_cols=("id",)).toPandas()
+    release_persisted()
+    pd.testing.assert_frame_equal(
+        hinted.sort_values("id").reset_index(drop=True),
+        measured.sort_values("id").reset_index(drop=True),
+    )
+
+
+def test_n_upper_above_crossover_falls_back_to_measured(spark):
+    """A bound ABOVE the crossover proves nothing: the exact count must
+    run and (with the forced tiny crossover) pick the two-phase plan."""
+    from talknet_segmentation_batchprocessing_spark.plans.two_phase import global_rank
+    from talknet_segmentation_batchprocessing_spark.registry import release_persisted
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 17).cast("double").alias("key")
+    )
+    with _crossover(0):
+        out = global_rank(
+            df, "key", tiebreak_cols=("id",), n_upper=10**9
+        ).toPandas()
+    release_persisted()
+    naive = (
+        df.toPandas()
+        .sort_values(["key", "id"])
+        .assign(rn=range(1, 501))
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("id").reset_index(drop=True)
+    assert (got["rn"].to_numpy() == naive["rn"].to_numpy()).all()
