@@ -138,3 +138,18 @@ def test_codegen_covers_relational_core(spark):
         assert codegen_subtree_count(q("q1_pricing_summary", spark)) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ap_one_phase_sorts_exactly_twice(spark):
+    """The AP window pipeline must sort its single partition exactly
+    TWICE (forward order for rank/cumsum/lag, reverse order for the
+    suffix max) — a third sort means the delta-recall lag drifted
+    after the reverse-order window again (round-4 fusion; it was the
+    dominant one-phase cost)."""
+    from talknet_segmentation_batchprocessing_spark.registry import release_persisted
+
+    for name in ("a6_average_precision", "ava_map_eval"):
+        release_persisted()
+        plan = q(name, spark)._jdf.queryExecution().executedPlan().toString()
+        n_sorts = plan.count("+- Sort ") + plan.count(":- Sort ")
+        assert n_sorts <= 2, f"{name}: {n_sorts} Sort nodes\n{plan}"
