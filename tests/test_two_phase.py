@@ -242,3 +242,35 @@ def test_n_upper_above_crossover_falls_back_to_measured(spark):
     )
     got = out.sort_values("id").reset_index(drop=True)
     assert (got["rn"].to_numpy() == naive["rn"].to_numpy()).all()
+
+
+def test_edge_cases_empty_all_tied_single_row(spark):
+    """Degenerate shapes through BOTH phase paths: empty input, every
+    key identical (all ties -> one bucket), and a single row."""
+    from talknet_segmentation_batchprocessing_spark.plans.two_phase import (
+        global_cumsum,
+        global_lead,
+        global_rank,
+    )
+    from talknet_segmentation_batchprocessing_spark.registry import release_persisted
+
+    schema = "id long, key double"
+    empty = spark.createDataFrame([], schema)
+    tied = spark.createDataFrame([(i, 7.0) for i in range(20)], schema)
+    single = spark.createDataFrame([(1, 3.0)], schema)
+
+    for crossover in (None, 0):
+        ctx = _crossover(crossover) if crossover is not None else contextlib.nullcontext()
+        with ctx:
+            assert global_rank(empty, "key", ("id",)).count() == 0
+            release_persisted()
+            r = global_rank(tied, "key", ("id",)).toPandas().sort_values("id")
+            assert r["rn"].tolist() == list(range(1, 21))
+            release_persisted()
+            c = global_cumsum(single, "key", "key").toPandas()
+            assert c["cum"].tolist() == [3.0]
+            release_persisted()
+            ld = global_lead(tied, "key", ("id",), lead_cols=("id",)).toPandas()
+            led = ld.sort_values("id")["_next_id"].tolist()
+            assert led[:-1] == list(range(1, 20)) and pd.isna(led[-1])
+            release_persisted()
