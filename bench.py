@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_keep_canonical",
     "text_sentence_stats",
     "emb_dim_stats",
+    "text_bigram_topk",
 ]
 
 

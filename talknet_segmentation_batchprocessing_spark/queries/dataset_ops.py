@@ -1037,3 +1037,51 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.min("x"), 6).alias("min_val"),
         stable_round(F.max("x"), 6).alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram statistics (tokenizer-merge prep)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_TOPK = 20
+
+_BIGRAM_ORACLE = f"""
+WITH w AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM w WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM bg GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT {_BIGRAM_TOPK}
+"""
+
+
+@query(
+    "text_bigram_topk",
+    oracle=_BIGRAM_ORACLE,
+    doc="Corpus bigram frequencies, top-20 — the pair-count pass a "
+    "BPE/WordPiece merge step runs every iteration (most-frequent "
+    "adjacent pair). Adjacent pairs come from one zip of the token "
+    "array with its tail (pure higher-order transform, no self-join); "
+    "explode + groupBy is map-side-combined and the top-k is "
+    "TakeOrderedAndProject: per-partition heads + driver merge of k "
+    "rows, never a global sort",
+    tags=("text", "dataset", "ext"),
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    pairs = F.transform(
+        F.slice(toks, 1, n - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    bg = (
+        docs.filter(n >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return bg.orderBy(F.desc("cnt"), "bigram").limit(_BIGRAM_TOPK)
