@@ -914,16 +914,36 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = q.crossJoin(F.broadcast(cb)).select(
         "query_id", "m", "code_id", lut_d2.alias("d2")
     )
-    base = pcodes.crossJoin(
-        F.broadcast(q.select("query_id"))
+    # Fuse the per-query LUT into ONE nested array (luts[m][code]) and
+    # broadcast-join it once, instead of one broadcast join per
+    # subspace: the code-table scan keeps a single join operator and
+    # the ADC becomes four element_at lookups. array_sort on the
+    # (code_id,…)/(m,…) structs pins collect_list's nondeterministic
+    # order with exact integer keys, so the d2 values land at exact
+    # code positions.
+    lut_m = lut.groupBy("query_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
+            lambda p: p["d2"],
+        ).alias("arr")
     )
-    for m in range(_PQ_M):
-        lm = lut.filter(F.col("m") == m).select(
-            "query_id", F.col("code_id").alias(f"code{m}"), F.col("d2").alias(f"_d{m}")
+    lut_q = lut_m.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "arr"))),
+            lambda p: p["arr"],
+        ).alias("luts")
+    )
+    base = pcodes.crossJoin(F.broadcast(q.select("query_id"))).join(
+        F.broadcast(lut_q), "query_id"
+    )
+    d = [
+        F.element_at(
+            F.element_at(F.col("luts"), m + 1), F.col(f"code{m}").cast("int") + 1
         )
-        base = base.join(F.broadcast(lm), ["query_id", f"code{m}"])
+        for m in range(_PQ_M)
+    ]
     adc = (
-        F.col("_d0") + F.col("_d1") + F.col("_d2") + F.col("_d3")
+        d[0] + d[1] + d[2] + d[3]
     )  # fixed m-order sum, matching the oracle's l0.d2 + l1.d2 + ...
     scored = base.filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
