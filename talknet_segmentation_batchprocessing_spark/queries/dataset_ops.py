@@ -1092,15 +1092,22 @@ ORDER BY cnt DESC, bigram LIMIT {_BIGRAM_TOPK}
 )
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    n = F.size(toks)
-    pairs = F.transform(
-        F.slice(toks, 1, n - 1),
-        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    # Materialize the token array into a column FIRST: a lambda that
+    # captures the raw split(...) expression re-splits the whole text
+    # per element lookup (O(words^2) per doc — measured 2.4 s vs
+    # 0.3 s at sf0.1). zip_with of the array against its own tail
+    # touches each token once.
+    d = docs.select(F.split(F.lower("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     bg = (
-        docs.filter(n >= 2)
-        .select(F.explode(pairs).alias("bigram"))
+        d.select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
