@@ -48,6 +48,22 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet layout (``partitionBy`` directories):
+    the pruning sibling of bucketing. A filter on a partition column
+    never opens the other directories — the scan's PartitionFilters
+    eliminate them at planning time, so a per-language (or per-day)
+    query reads that partition's bytes only, at any corpus size.
+    Choose LOW-cardinality columns (lang, date, source); per-key
+    directories with millions of keys create a small-file problem."""
+    df.write.format("parquet").mode(mode).partitionBy(*partition_cols).save(path)
+
+
 def bucketed_join_plan_is_shuffle_free(
     spark: SparkSession, left: str, right: str, on: Sequence[str]
 ) -> tuple[bool, str]:
