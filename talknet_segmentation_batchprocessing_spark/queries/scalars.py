@@ -290,3 +290,30 @@ def x17_timecode(spark: SparkSession, sf_dir: str) -> DataFrame:
         tc.alias("timecode"),
         (f % 25).cast("int").alias("frame_in_second"),
     )
+
+
+@query(
+    "x20_variant_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7
+FROM events WHERE event_id < 2000
+""",
+    doc="Spark 4 VARIANT ingestion of the semi-structured props "
+    "column: parse_json once into a VARIANT value, then typed "
+    "variant_get path extraction — the shredding-friendly form that "
+    "(unlike per-path get_json_object re-parses) parses each document "
+    "ONCE no matter how many paths are read, which is the difference "
+    "at 100 TB of JSON. Binary variant encoding stays JVM-side",
+    tags=("X19", "X20", "ext"),
+)
+def x20_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 7).alias("k_mod7"),
+    )
