@@ -61,6 +61,7 @@ HEADLINE = [
     "text_sentence_stats",
     "emb_dim_stats",
     "text_bigram_topk",
+    "ts_sax_similarity",
 ]
 
 

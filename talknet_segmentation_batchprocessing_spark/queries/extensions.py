@@ -1327,3 +1327,119 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.sum("payload_len").alias("bytes_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series similarity search (PAA/SAX sketch -> bucket join -> verify)
+# ---------------------------------------------------------------------------
+
+_SAX_LEN = 64     # fixed series length (first 64 events per user)
+_SAX_SEGS = 4     # PAA segments
+_SAX_TOPK = 3
+
+_SAX_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), ser AS (
+  SELECT user_id, array_agg(value ORDER BY rn) AS vals
+  FROM ranked WHERE rn <= {_SAX_LEN} GROUP BY user_id
+  HAVING count(*) = {_SAX_LEN}
+), sax AS (
+  SELECT user_id, vals,
+         list_aggregate(list_transform(
+           list_transform(range(0, {_SAX_SEGS}),
+             j -> list_sum(vals[j*{_SAX_LEN // _SAX_SEGS}+1 : j*{_SAX_LEN // _SAX_SEGS}+{_SAX_LEN // _SAX_SEGS}]) / {_SAX_LEN // _SAX_SEGS}),
+           c -> CASE WHEN c < 50 THEN '0' ELSE '1' END),
+           'string_agg', '') AS word
+  FROM ser
+), cand AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, a.word,
+         sqrt(list_sum(list_transform(range(1, {_SAX_LEN + 1}),
+              i -> (a.vals[i] - b.vals[i]) * (a.vals[i] - b.vals[i])))) AS d
+  FROM sax a JOIN sax b ON a.word = b.word AND a.user_id <> b.user_id
+)
+SELECT user_a, user_b, word AS sax_word, CAST(rnk AS INTEGER) AS rank,
+       floor(d * 1e6 + 0.5) / 1e6 AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_a ORDER BY d, user_b) AS rnk
+  FROM cand
+) WHERE rnk <= {_SAX_TOPK}
+"""
+
+
+@query(
+    "ts_sax_similarity",
+    oracle=_SAX_ORACLE,
+    doc="Time-series similarity search (the PAPERS.md distributed "
+    "data-series family, iSAX/Odyssey shape): each user's first 64 "
+    "event values form a series; a PAA sketch (4 segment means) "
+    "binned at the value midline yields a SAX word; candidate pairs "
+    "come from ONE equi-join on the word (never all-pairs — the "
+    "bucket join IS the scale path, like the LSH band join); exact "
+    "Euclidean distance verifies candidates and a per-series "
+    "partitioned window keeps the top-3. Series assembly is one "
+    "grouped sort-struct collect; every fold is fixed left-to-right "
+    "order on both engines",
+    tags=("similarity", "timeseries", "ext"),
+)
+def ts_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    seg = _SAX_LEN // _SAX_SEGS
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= _SAX_LEN
+    )
+    ser = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rn", "value"))),
+                lambda s: s["value"],
+            ).alias("vals"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") == _SAX_LEN)
+    )
+    coefs = [
+        F.aggregate(
+            F.slice("vals", j * seg + 1, seg),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / seg
+        for j in range(_SAX_SEGS)
+    ]
+    word = F.concat(
+        *[F.when(c < 50.0, F.lit("0")).otherwise(F.lit("1")) for c in coefs]
+    )
+    sax = track_persist(ser.select("user_id", "vals", word.alias("word")))
+    a = sax.select(
+        F.col("user_id").alias("user_a"), F.col("vals").alias("va"), "word"
+    )
+    b = sax.select(F.col("user_id").alias("user_b"), F.col("vals").alias("vb"), "word")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cand = (
+        a.join(b, "word")
+        .filter(F.col("user_a") != F.col("user_b"))
+        .select("user_a", "user_b", F.col("word").alias("sax_word"), dist.alias("_d"))
+    )
+    wr = Window.partitionBy("user_a").orderBy("_d", "user_b")
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _SAX_TOPK)
+        .select(
+            "user_a",
+            "user_b",
+            "sax_word",
+            "rank",
+            stable_round(F.col("_d"), 6).alias("dist"),
+        )
+    )
