@@ -29,34 +29,38 @@ _MINHASH_P = 8191  # Mersenne prime for the affine hash family
 def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document.
 
-    posexplode + lead windows, not transform(sequence, slice(...)):
-    the higher-order form re-slices the token array per position
-    (O(tokens^2) per doc and ~6x slower end-to-end at sf0.1), while
-    lead() is one linear pass per doc partition. Result set identical.
-    The frame is persisted because every dedup query fans it into
-    several DAG branches (vocab, doc-shingle pairs, sizes) that would
-    otherwise each recompute the explode.
+    zip_with over the MATERIALIZED token-array column and its tails —
+    no window. Two earlier forms were slower: transform(sequence,
+    slice(RAW split-expression)) re-split the text per position
+    (O(tokens^2) per doc, the lambda-expression-capture trap), and the
+    round-1..4 posexplode+lead form paid a per-doc-partition window
+    SORT on every shingling. Slicing a bound array column is one pass
+    per row; result set identical. The frame is persisted because
+    every dedup query fans it into several DAG branches (vocab,
+    doc-shingle pairs, sizes) that would otherwise each recompute the
+    explode.
     """
     # The testdata table is one parquet file = ONE scan partition; fan
-    # out by doc_id before the explode or all shingling runs on a single
-    # core. The lead() window below reuses this exact hash partitioning,
-    # so this is the only shuffle before the distinct.
+    # out by doc_id before the explode or all shingling runs on a
+    # single core (on a real corpus, file splits already parallelize
+    # the scan and this repartition coalesces into the shuffle AQE
+    # would plan anyway).
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w")).filter(
+        F.size("w") >= k
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    sh = (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", *leads).alias("shingle"),
-            leads[-1].isNotNull().alias("_full"),
+    m = F.size("w") - (k - 1)  # number of k-shingles
+    joined = F.slice(F.col("w"), 1, m)
+    for i in range(1, k):
+        joined = F.zip_with(
+            joined,
+            F.slice(F.col("w"), i + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
-        .filter(F.col("_full"))
-        .select("doc_id", "shingle")
+    sh = (
+        d.select("doc_id", F.explode(joined).alias("shingle"))
         .distinct()
     )
     return track_persist(sh)
