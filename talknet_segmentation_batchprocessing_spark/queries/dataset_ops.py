@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
-from ..registry import load, query
+from ..registry import load, query, track_persist
 
 # md5-derived deterministic uniform hash in [0, 2^48) — identical
 # expression family as extensions.py's shingle ids.
@@ -76,20 +76,23 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    # zip_with over the materialized token array and its tails — no
+    # per-doc window sort (same rewrite as extensions._doc_shingles).
+    # Persisted: the shingle set fans into the benchmark side, the
+    # corpus sizes, and the hit join.
+    d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w")).filter(
+        F.size("w") >= k
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    sh = (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", *leads).alias("shingle"),
-            leads[-1].isNotNull().alias("_full"),
+    m = F.size("w") - (k - 1)
+    joined = F.slice(F.col("w"), 1, m)
+    for i in range(1, k):
+        joined = F.zip_with(
+            joined,
+            F.slice(F.col("w"), i + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
-        .filter("_full")
-        .select("doc_id", "shingle")
-        .distinct()
+    sh = track_persist(
+        d.select("doc_id", F.explode(joined).alias("shingle")).distinct()
     )
     bench = sh.filter(F.col("doc_id") < _BENCH_DOCS).select("shingle").distinct()
     corpus = sh.filter(F.col("doc_id") >= _BENCH_DOCS)
