@@ -78,6 +78,14 @@ TWO_PHASE_QUERIES = [
     "text_unigram_logprob",
     "dedup_cc_star",
     "emb_pq_codes",
+    # round-4 additions
+    "sim_pq_topk",
+    "dedup_keep_canonical",
+    "text_sentence_stats",
+    "emb_dim_stats",
+    "text_bigram_topk",
+    "x20_variant_json",
+    "ts_sax_similarity",
 ]
 
 
