@@ -58,25 +58,52 @@ def greedy_track_scene(
     video_id = pdf["video_id"].iloc[0]
     scene_id = int(pdf["scene_id"].iloc[0])
     p = pdf.sort_values(["frame_idx", "det_id"])
-    # per-frame mutable face lists, frames in ascending order
-    frame_lists: list[list[tuple[int, np.ndarray]]] = []
-    for f, grp in p.groupby("frame_idx", sort=True):
-        frame_lists.append(
-            [(int(f), row) for row in grp[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float)]
-        )
-    tracks: list[list[tuple[int, np.ndarray]]] = []
+    # Faces as flat (frame, x1, y1, x2, y2) float tuples, not per-row
+    # numpy arrays: the greedy sweep touches every remaining face once
+    # per track, and tuple unpack + inline float IoU is ~3x cheaper
+    # per touch than ndarray indexing through a Python-level _iou call.
+    # Same arithmetic, same order — parity pinned by the kernel
+    # property tests against the reference-algorithm port.
+    frame_lists: list[list[tuple[int, float, float, float, float]]] = []
+    fi = p["frame_idx"].to_numpy()
+    xs1 = p["x1"].to_numpy(dtype=float)
+    ys1 = p["y1"].to_numpy(dtype=float)
+    xs2 = p["x2"].to_numpy(dtype=float)
+    ys2 = p["y2"].to_numpy(dtype=float)
+    cur_f = None
+    for j in range(len(p)):
+        f = int(fi[j])
+        if f != cur_f:
+            frame_lists.append([])
+            cur_f = f
+        frame_lists[-1].append((f, xs1[j], ys1[j], xs2[j], ys2[j]))
+    tracks: list[list[tuple[int, float, float, float, float]]] = []
     while True:
-        track: list[tuple[int, np.ndarray]] = []
+        track: list[tuple[int, float, float, float, float]] = []
+        last = None  # (frame, x1, y1, x2, y2) of the track tail
         for faces in frame_lists:
             i = 0
             while i < len(faces):
-                frame, box = faces[i]
-                if not track:
-                    track.append((frame, box))
+                face = faces[i]
+                if last is None:
+                    track.append(face)
+                    last = face
                     faces.pop(i)
-                elif frame - track[-1][0] <= num_failed_det:
-                    if _iou(box, track[-1][1]) > iou_thres:
-                        track.append((frame, box))
+                elif face[0] - last[0] <= num_failed_det:
+                    ax1, ay1, ax2, ay2 = face[1], face[2], face[3], face[4]
+                    bx1, by1, bx2, by2 = last[1], last[2], last[3], last[4]
+                    xa = ax1 if ax1 > bx1 else bx1
+                    ya = ay1 if ay1 > by1 else by1
+                    xb = ax2 if ax2 < bx2 else bx2
+                    yb = ay2 if ay2 < by2 else by2
+                    iw = xb - xa
+                    ih = yb - ya
+                    inter = (iw if iw > 0.0 else 0.0) * (ih if ih > 0.0 else 0.0)
+                    area_a = (ax2 - ax1) * (ay2 - ay1)
+                    area_b = (bx2 - bx1) * (by2 - by1)
+                    if inter / (area_a + area_b - inter) > iou_thres:
+                        track.append(face)
+                        last = face
                         faces.pop(i)
                 else:
                     break
@@ -92,9 +119,9 @@ def greedy_track_scene(
         # order of the remaining lists is unchanged
         frame_lists = [fl for fl in frame_lists if fl]
     rows = [
-        (video_id, scene_id, tid, frame, box[0], box[1], box[2], box[3])
+        (video_id, scene_id, tid, frame, x1, y1, x2, y2)
         for tid, track in enumerate(tracks)
-        for frame, box in track
+        for frame, x1, y1, x2, y2 in track
     ]
     return pd.DataFrame(
         rows,
