@@ -1115,3 +1115,58 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     return bg.orderBy(F.desc("cnt"), "bigram").limit(_BIGRAM_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# document chunking (RAG / pretraining window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1),
+c AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((n - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1)) AS chunk_id
+  FROM d
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       chunk_id * {_CHUNK_STRIDE} AS char_start,
+       CAST(length(substr(text, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_SIZE})) AS chunk_md5
+FROM c
+"""
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=_CHUNK_ORACLE,
+    doc="Sliding-window document chunking (size 200 chars, stride 150 "
+    "-> 50-char overlap): the standard RAG-indexing / context-window "
+    "prep pass. Chunk count comes from one arithmetic expression, the "
+    "chunks from sequence+explode+substring — a pure row-local "
+    "projection that parallelizes with the scan, no shuffle at all; "
+    "chunk identity is (doc_id, chunk_id, char_start) + content md5 "
+    "so downstream dedup/indexing never re-reads the text",
+    tags=("text", "dataset", "chunking", "ext"),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_chunks = (F.floor((n - 1) / _CHUNK_STRIDE) + 1).cast("int")
+    chunks = docs.filter(n >= 1).select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.expr(
+        f"substring(text, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})"
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id").cast("bigint") * _CHUNK_STRIDE).alias("char_start"),
+        F.length(piece).cast("bigint").alias("chunk_len"),
+        F.md5(piece).alias("chunk_md5"),
+    )
