@@ -62,6 +62,7 @@ HEADLINE = [
     "emb_dim_stats",
     "text_bigram_topk",
     "ts_sax_similarity",
+    "doc_chunk_overlap",
 ]
 
 

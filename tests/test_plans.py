@@ -86,6 +86,7 @@ TWO_PHASE_QUERIES = [
     "text_bigram_topk",
     "x20_variant_json",
     "ts_sax_similarity",
+    "doc_chunk_overlap",
 ]
 
 
