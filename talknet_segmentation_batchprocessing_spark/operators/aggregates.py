@@ -186,7 +186,7 @@ def _average_precision_global(
     """Ungrouped AP, adaptive one-/two-phase.
 
     Measured tradeoff (local[32], min of 3): the single-partition
-    one-phase form wins below ~1M rows (0.5s vs 3.2s at 60k — fixed
+    one-phase form wins below ~1.5M rows (re-measured round 4; fixed
     per-stage overhead dominates), the two-phase form wins 2x at 5M
     (6.3s vs 11.7s) and the gap widens with scale: one-phase runs the
     whole sort+window on ONE task of one executor (strictly serial),

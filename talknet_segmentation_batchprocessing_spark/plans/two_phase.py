@@ -31,10 +31,11 @@ over a non-expanding plan) skip the action AND the persist entirely —
 the one-phase window consumes its input exactly once.
 
 **Adaptive switch**: the same action returns the row count, and below
-``CROSSOVER_ROWS`` (measured ~1M on local[32]: one-phase 0.5 s vs
-3.2 s at 60k rows — fixed per-stage overhead; two-phase 2x faster at
-5M and widening, because one-phase serializes the whole sort+window
-on a single task) each helper emits the plain one-phase window
+``CROSSOVER_ROWS`` (re-measured round 4 at ~1.5M on local[32]:
+one-phase 1.8 s vs two-phase 2.9 s at 1M, 3.6 vs 2.9 at 2M, 10.3 vs
+2.1 at 5M — two-phase cost is flat while one-phase serializes the
+whole sort+window on a single task) each helper emits the plain
+one-phase window
 instead — partitioned by :func:`one_partition_col`, a non-foldable
 all-zero column, so the deliberate single partition keeps a real
 partition spec (no "No Partition Defined" WindowExec hazard-warning,
@@ -65,9 +66,14 @@ from ..registry import track_persist
 
 _BUCKET = "_tp_bucket"
 
-# Measured one-/two-phase crossover (module docstring). Tests force the
-# two-phase path by patching this to 0.
-CROSSOVER_ROWS = 1_000_000
+# Measured one-/two-phase crossover (module docstring). Recalibrated
+# round 4 on local[32] (min of 2, noop sink, global_rank over a
+# 1M-distinct double key): one-phase 1.57/1.84/3.60/10.3 s vs
+# two-phase 3.01/2.94/2.94/2.09 s at 0.5M/1M/2M/5M rows — the
+# two-phase cost is flat (fixed stage count) while one-phase grows
+# superlinearly past ~1.5M, so the switch sits at the measured
+# break-even. Tests force the two-phase path by patching this to 0.
+CROSSOVER_ROWS = 1_500_000
 
 
 def parquet_rows(sf_dir: str, *tables: str) -> int | None:
