@@ -21,7 +21,6 @@ import sys
 import time
 
 import duckdb
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,35 +33,11 @@ TABLES = [
 ]
 
 
-def _dtype_class(s: pd.Series) -> str:
-    """Coarse dtype class — the granularity at which the driver's value
-    hash splits (e.g. a DuckDB HUGEINT lands in pandas as float64 while
-    Spark returns int64: values equal, hash different)."""
-    if pd.api.types.is_datetime64_any_dtype(s):
-        return "datetime"
-    if pd.api.types.is_bool_dtype(s):
-        return "bool"
-    if pd.api.types.is_integer_dtype(s):
-        return "int"
-    if pd.api.types.is_float_dtype(s):
-        return "float"
-    return "object"
-
-
-def _dtype_map(df: pd.DataFrame) -> dict[str, str]:
-    return {c: _dtype_class(df[c]) for c in df.columns}
-
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+from talknet_segmentation_batchprocessing_spark.oracle_compare import (  # noqa: E402
+    canon as _canon,
+    dtype_class as _dtype_class,
+    dtype_map as _dtype_map,
+)
 
 
 def main() -> int:

@@ -109,6 +109,15 @@ def average_precision(
     """
     part: list = list(group_cols)
     lab = F.col(label_col).cast("int")
+    if part and (n_upper is not None or extra_aggs):
+        # fail loudly instead of silently dropping the options: the
+        # grouped pipeline has no phase switch (partitioned windows)
+        # and its output is one row PER GROUP, so ungrouped-style
+        # extra aggregates have no well-defined home there
+        raise ValueError(
+            "n_upper/extra_aggs apply only to the ungrouped AP form "
+            "(group_cols was given)"
+        )
     if not part:
         return _average_precision_global(
             df, score_col, lab, tiebreak_cols, out_col, ndigits, n_upper,

@@ -235,17 +235,26 @@ def train_heads_adam(
     flat_w = np.concatenate([wb[k].ravel() for k in _PARAM_KEYS])
     losses: list[float] = []
     n_total = 0
-    for _e in range(epochs):
-        cur = _unflatten(flat_w)
-        n_total, mean_loss, flat_grad = _epoch_mean_grad(feats, cur)
-        if n_total == 0:
+    # The upstream feats plan (typically the featurization join) is
+    # scanned once PER EPOCH — persist so epochs 2..N read cached
+    # partitions instead of recomputing the pipeline (review find).
+    cached = feats.persist() if epochs > 1 else feats
+    try:
+        for _e in range(epochs):
+            cur = _unflatten(flat_w)
+            n_total, mean_loss, flat_grad = _epoch_mean_grad(cached, cur)
+            if n_total == 0:
+                losses.append(mean_loss)
+                break
             losses.append(mean_loss)
-            break
-        losses.append(mean_loss)
-        # StepLR(step_size=1): epoch's lr = base * gamma**(epochs done
-        # so far) — st.t counts one step per epoch, so a continued
-        # ``state`` keeps decaying instead of restarting the schedule.
-        flat_w = flat_w + st.step(flat_grad, lr * lr_decay**st.t)
+            # StepLR(step_size=1): epoch's lr = base * gamma**(epochs
+            # done so far) — st.t counts one step per epoch, so a
+            # continued ``state`` keeps decaying instead of restarting
+            # the schedule.
+            flat_w = flat_w + st.step(flat_grad, lr * lr_decay**st.t)
+    finally:
+        if epochs > 1:
+            cached.unpersist()
     new_w = dict(w)
     new_w.update(_unflatten(flat_w))
     return new_w, losses, n_total, st

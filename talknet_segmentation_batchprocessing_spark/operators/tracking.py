@@ -22,7 +22,6 @@ Parity notes (deliberately replicated reference behaviors):
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -30,18 +29,6 @@ TRACK_SCHEMA = (
     "video_id string, scene_id int, track_id int, frame_idx int, "
     "x1 double, y1 double, x2 double, y2 double"
 )
-
-
-def _iou(a: np.ndarray, b: np.ndarray) -> float:
-    """IoU of two boxes [x1,y1,x2,y2] (demoTalkNet.py:131-144)."""
-    xa = max(a[0], b[0])
-    ya = max(a[1], b[1])
-    xb = min(a[2], b[2])
-    yb = min(a[3], b[3])
-    inter = max(0.0, xb - xa) * max(0.0, yb - ya)
-    area_a = (a[2] - a[0]) * (a[3] - a[1])
-    area_b = (b[2] - b[0]) * (b[3] - b[1])
-    return inter / (area_a + area_b - inter)
 
 
 def greedy_track_scene(
@@ -90,6 +77,7 @@ def greedy_track_scene(
                     last = face
                     faces.pop(i)
                 elif face[0] - last[0] <= num_failed_det:
+                    # inline IoU (demoTalkNet.py:131-144 arithmetic)
                     ax1, ay1, ax2, ay2 = face[1], face[2], face[3], face[4]
                     bx1, by1, bx2, by2 = last[1], last[2], last[3], last[4]
                     xa = ax1 if ax1 > bx1 else bx1

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
+from ..functions.shingles import word_shingles
 from ..registry import load, query, track_persist
 
 # md5-derived deterministic uniform hash in [0, 2^48) — identical
@@ -83,16 +84,8 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w")).filter(
         F.size("w") >= k
     )
-    m = F.size("w") - (k - 1)
-    joined = F.slice(F.col("w"), 1, m)
-    for i in range(1, k):
-        joined = F.zip_with(
-            joined,
-            F.slice(F.col("w"), i + 1, m),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
     sh = track_persist(
-        d.select("doc_id", F.explode(joined).alias("shingle")).distinct()
+        d.select("doc_id", F.explode(word_shingles("w", k)).alias("shingle")).distinct()
     )
     bench = sh.filter(F.col("doc_id") < _BENCH_DOCS).select("shingle").distinct()
     corpus = sh.filter(F.col("doc_id") >= _BENCH_DOCS)
@@ -1012,10 +1005,13 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # NULL (not 0) when a doc has no sentences: DuckDB's list_sum over
+    # an empty list is NULL, and the oracle's CAST keeps it NULL — an
+    # all-separator doc must not split the driver hash (review find).
     return d.select(
         "doc_id",
         n.cast("bigint").alias("n_sentences"),
-        total.alias("n_sentence_chars"),
+        F.when(n > 0, total).alias("n_sentence_chars"),
         F.when(n > 0, stable_round(total / n, 2)).alias("mean_sentence_len"),
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
+from ..functions.shingles import word_shingles
 from ..registry import load, query, track_persist
 
 # ---------------------------------------------------------------------------
@@ -51,16 +52,8 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w")).filter(
         F.size("w") >= k
     )
-    m = F.size("w") - (k - 1)  # number of k-shingles
-    joined = F.slice(F.col("w"), 1, m)
-    for i in range(1, k):
-        joined = F.zip_with(
-            joined,
-            F.slice(F.col("w"), i + 1, m),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
     sh = (
-        d.select("doc_id", F.explode(joined).alias("shingle"))
+        d.select("doc_id", F.explode(word_shingles("w", k)).alias("shingle"))
         .distinct()
     )
     return track_persist(sh)

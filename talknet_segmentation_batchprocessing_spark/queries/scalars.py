@@ -306,7 +306,7 @@ FROM events WHERE event_id < 2000
     "(unlike per-path get_json_object re-parses) parses each document "
     "ONCE no matter how many paths are read, which is the difference "
     "at 100 TB of JSON. Binary variant encoding stays JVM-side",
-    tags=("X19", "X20", "ext"),
+    tags=("X20", "ext"),
 )
 def x20_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)

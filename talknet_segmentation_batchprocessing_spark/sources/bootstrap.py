@@ -65,25 +65,45 @@ def _sha256(path: str) -> str:
 def _fetch_one(item: BootstrapItem, fetcher: Fetcher) -> tuple[str, str]:
     """Fetch a single item if absent; verify; run the post-step.
     Returns ``(name, status)`` with status in
-    {"present", "fetched", "extracted"}; raises on checksum mismatch."""
+    {"present", "fetched", "extracted"}; raises on checksum mismatch.
+
+    Crash-safe: the fetcher writes to ``dest + '.part'``, checksum and
+    tar extraction run against the temp file, and only THEN does an
+    atomic ``os.replace`` publish ``dest`` — so an existing dest is a
+    completed item by construction (a killed run leaves only a .part,
+    which the retry overwrites), never a truncated download or an
+    unextracted tarball. A present item with a declared sha256 is
+    still re-verified (cheap one read) so a hand-copied or bit-rotted
+    artifact cannot slip through as 'present'."""
     if os.path.exists(item.dest):
+        if item.sha256 is not None:
+            got = _sha256(item.dest)
+            if got != item.sha256:
+                raise ValueError(
+                    f"{item.name}: existing {item.dest} fails sha256 "
+                    f"(got {got[:12]}…, want {item.sha256[:12]}…); remove "
+                    "it to refetch"
+                )
         return item.name, "present"
     os.makedirs(os.path.dirname(item.dest) or ".", exist_ok=True)
-    fetcher(item.url, item.dest)
+    part = item.dest + ".part"
+    fetcher(item.url, part)
     if item.sha256 is not None:
-        got = _sha256(item.dest)
+        got = _sha256(part)
         if got != item.sha256:
-            os.remove(item.dest)  # never leave a poisoned artifact
+            os.remove(part)  # never leave a poisoned artifact
             raise ValueError(
                 f"{item.name}: sha256 mismatch (got {got[:12]}…, "
-                f"want {item.sha256[:12]}…); removed {item.dest}"
+                f"want {item.sha256[:12]}…); removed {part}"
             )
+    status = "fetched"
     if item.extract_to is not None:
         os.makedirs(item.extract_to, exist_ok=True)
-        with tarfile.open(item.dest) as tf:
+        with tarfile.open(part) as tf:
             tf.extractall(item.extract_to, filter="data")
-        return item.name, "extracted"
-    return item.name, "fetched"
+        status = "extracted"
+    os.replace(part, item.dest)  # publish LAST: dest == fully done
+    return item.name, status
 
 
 def bootstrap(

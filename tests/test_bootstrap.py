@@ -111,3 +111,24 @@ def test_ava_manifest_and_layout(tmp_path):
 def test_default_fetcher_refuses_clearly(tmp_path):
     with pytest.raises(RuntimeError, match="no fetcher configured"):
         bootstrap([BootstrapItem("x", "u://x", str(tmp_path / "x"))])
+
+
+def test_partial_download_is_refetched_and_present_is_reverified(tmp_path):
+    """Crash-safety (round-4 review find): a leftover .part from a
+    killed run must be refetched (dest only appears after verification
+    + extraction), and a present dest failing its declared sha256 must
+    raise instead of being trusted."""
+    dest = str(tmp_path / "model.bin")
+    good = hashlib.sha256(b"payload-of-u://m").hexdigest()
+    # simulate a crashed prior run: partial temp file, no dest
+    with open(dest + ".part", "wb") as f:
+        f.write(b"trunca")
+    out = bootstrap([BootstrapItem("m", "u://m", dest, sha256=good)], _fake_fetcher)
+    assert out == {"m": "fetched"}
+    assert not os.path.exists(dest + ".part")
+    assert open(dest, "rb").read() == b"payload-of-u://m"
+    # corrupt the published artifact -> present-path verification trips
+    with open(dest, "wb") as f:
+        f.write(b"bitrot")
+    with pytest.raises(ValueError, match="fails sha256"):
+        bootstrap([BootstrapItem("m", "u://m", dest, sha256=good)], _fake_fetcher)

@@ -23,32 +23,13 @@ ORACLE_NAMES = sorted(n for n, s in registry.REGISTRY.items() if s.oracle is not
 ROWS_ONLY_NAMES = sorted(n for n, s in registry.REGISTRY.items() if s.oracle is None)
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-
-
-def _dtype_class(s: pd.Series) -> str:
-    """Coarse dtype class — the granularity at which the driver's value
-    hash splits. A DuckDB HUGEINT materializes in pandas as float64
-    while Spark returns int64: values equal, driver hash different
-    (round-3 failure mode). Compare BEFORE _canon coerces."""
-    if pd.api.types.is_datetime64_any_dtype(s):
-        return "datetime"
-    if pd.api.types.is_bool_dtype(s):
-        return "bool"
-    if pd.api.types.is_integer_dtype(s):
-        return "int"
-    if pd.api.types.is_float_dtype(s):
-        return "float"
-    return "object"
+# ONE shared implementation with scripts/driver_sweep.py — the two
+# checks must classify dtypes identically or one can lie about the
+# other (round-4 review find).
+from talknet_segmentation_batchprocessing_spark.oracle_compare import (  # noqa: E402
+    canon as _canon,
+    dtype_class as _dtype_class,
+)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
@@ -140,3 +121,42 @@ def test_rows_only_runs(name, spark):
     pd.testing.assert_frame_equal(
         _canon(p1), _canon(p2), check_dtype=False
     )
+
+
+def test_sentence_stats_empty_sentence_doc_matches_oracle(spark, tmp_path):
+    """A document with only separators/whitespace has zero sentences:
+    Spark must emit NULL (not 0) chars/mean exactly like the oracle's
+    list_sum-over-empty — testdata contains no such doc, so this pins
+    the case synthetically (round-4 review find)."""
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["hello there. bye.", "!!!", "   "],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [17, 3, 3],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spec = registry.REGISTRY["text_sentence_stats"]
+    s_raw = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    o_raw = con.execute(spec.oracle).df()
+    s, o = _canon(s_raw), _canon(o_raw)
+    assert _dtype_class(s_raw["n_sentence_chars"]) == _dtype_class(
+        o_raw["n_sentence_chars"]
+    )
+    for c in s.columns:
+        eq = (s[c] == o[c]) | (s[c].isna() & o[c].isna())
+        assert eq.all(), (c, s[c].tolist(), o[c].tolist())
+    # the separator-only docs specifically: NULL chars, NULL mean
+    empty = s_raw[s_raw.n_sentences == 0]
+    assert len(empty) == 2 and empty.n_sentence_chars.isna().all()
