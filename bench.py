@@ -63,6 +63,9 @@ HEADLINE = [
     "text_bigram_topk",
     "ts_sax_similarity",
     "doc_chunk_overlap",
+    "dedup_incremental",
+    "emb_cluster_balance",
+    "shuffle_shard_assign",
 ]
 
 

@@ -626,6 +626,47 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUF_SEED = 42
+_SHUF_SHARDS = 16
+
+_SHUF_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_SQL_MD5_BIGINT.format(c=f"concat('{_SHUF_SEED}:', doc_id)")} AS skey
+  FROM documents
+)
+SELECT doc_id, skey % {_SHUF_SHARDS} AS shard,
+       CAST(row_number() OVER (PARTITION BY skey % {_SHUF_SHARDS}
+                               ORDER BY skey, doc_id) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@query(
+    "shuffle_shard_assign",
+    oracle=_SHUF_ORACLE,
+    doc="Deterministic global training-order shuffle + shard "
+    "assignment: every doc gets a seed-salted md5 sort key; shard = "
+    "key mod N, position = rank within shard by key. This is how a "
+    "100 TB corpus is shuffled for training WITHOUT a global sort: "
+    "one hash-partition pass distributes docs to shards, and each "
+    "shard orders independently in parallel (the within-shard window "
+    "never sees more than 1/N of the corpus). Changing the seed "
+    "reshuffles; keeping it reproduces the exact epoch order",
+    tags=("dataset", "sampling", "ext"),
+)
+def shuffle_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    skey = _md5_bigint(F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id")))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        docs.select("doc_id", skey.alias("skey"))
+        .withColumn("shard", F.col("skey") % _SHUF_SHARDS)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text normalization
 # ---------------------------------------------------------------------------

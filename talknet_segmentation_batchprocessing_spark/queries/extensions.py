@@ -473,6 +473,93 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+# md5-derived deterministic corpus/batch split (same expression family
+# as dataset_ops._md5_bigint): ~80% "existing corpus", ~20% "new batch"
+_INCR_SPLIT_MOD = 10
+_INCR_CORPUS_LT = 8
+_SQL_INCR_HASH = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+_INCR_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+side AS (
+  SELECT doc_id,
+         {_SQL_INCR_HASH} % {_INCR_SPLIT_MOD} < {_INCR_CORPUS_LT} AS in_corpus
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS n_common
+  FROM sh b JOIN side sb ON sb.doc_id = b.doc_id AND NOT sb.in_corpus
+  JOIN sh c ON c.shingle = b.shingle
+  JOIN side sc ON sc.doc_id = c.doc_id AND sc.in_corpus
+  GROUP BY b.doc_id, c.doc_id
+),
+dup AS (
+  SELECT DISTINCT h.batch_id
+  FROM hits h
+  JOIN sizes za ON za.doc_id = h.batch_id
+  JOIN sizes zb ON zb.doc_id = h.corpus_id
+  WHERE h.n_common * 1.0 / (za.n + zb.n - h.n_common) >= 0.2
+)
+SELECT s.doc_id, (d.batch_id IS NOT NULL) AS is_dup
+FROM side s LEFT JOIN dup d ON d.batch_id = s.doc_id
+WHERE NOT s.in_corpus
+"""
+
+
+@query(
+    "dedup_incremental",
+    oracle=_INCR_ORACLE,
+    doc="Incremental dedup — the daily-crawl shape: a NEW batch of "
+    "documents is checked against the EXISTING corpus only (shingle "
+    "equi-join restricted to batch x corpus; never batch x batch or "
+    "corpus x corpus), and each batch doc is flagged if any corpus "
+    "doc reaches Jaccard >= 0.2. At 100 TB the corpus shingle side is "
+    "a pre-materialized index table written once and re-read per "
+    "batch; the per-batch cost then scales with the BATCH size, not "
+    "the corpus — the property that makes rolling ingestion feasible",
+    tags=("dedup", "ext", "pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    in_corpus = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint") % _INCR_SPLIT_MOD < _INCR_CORPUS_LT
+    )
+    side = load(spark, sf_dir, "documents").select(
+        "doc_id", in_corpus.alias("in_corpus")
+    )
+    sized = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # one frame carrying (doc_id, shingle, n, in_corpus); both the
+    # batch and corpus branches below are column-pruned scans of it
+    tagged = track_persist(
+        sh.join(sized, "doc_id").join(side, "doc_id")
+    )
+    batch = tagged.filter(~F.col("in_corpus")).select(
+        F.col("doc_id").alias("batch_id"), "shingle", F.col("n").alias("na")
+    )
+    corpus = tagged.filter(F.col("in_corpus")).select(
+        F.col("doc_id").alias("corpus_id"), "shingle", F.col("n").alias("nb")
+    )
+    hits = (
+        batch.join(corpus, "shingle")
+        .groupBy("batch_id", "corpus_id", "na", "nb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    dup = (
+        hits.filter(
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")) >= 0.2
+        )
+        .select("batch_id")
+        .distinct()
+    )
+    return (
+        side.filter(~F.col("in_corpus"))
+        .join(dup.withColumnRenamed("batch_id", "doc_id").withColumn("_d", F.lit(1)), "doc_id", "left")
+        .select("doc_id", F.col("_d").isNotNull().alias("is_dup"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
@@ -936,6 +1023,105 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", stable_round("cs", 4).alias("cos_sim"), "rank")
+    )
+
+
+_BAL_PPM = 1_000_000  # keep-rate resolution: parts per million
+
+
+@query(
+    "emb_cluster_balance",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_ivf_kmeans_cte()}
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+stats AS (SELECT cent_id, count(*) AS n_vecs FROM assign GROUP BY cent_id),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total, count(*) AS k FROM stats),
+rates AS (
+  SELECT s.cent_id, s.n_vecs,
+         least({_BAL_PPM}, ((t.total // t.k) * {_BAL_PPM}) // s.n_vecs) AS keep_ppm
+  FROM stats s CROSS JOIN tot t
+),
+kept AS (
+  SELECT a.cent_id, count(*) AS n_kept
+  FROM assign a JOIN rates r ON r.cent_id = a.cent_id
+  WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        % {_BAL_PPM} < r.keep_ppm
+  GROUP BY a.cent_id
+)
+SELECT r.cent_id, r.n_vecs, r.keep_ppm, coalesce(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k ON k.cent_id = r.cent_id
+""",
+    doc="Cluster-balanced diversity resampling (the SemDeDup-family "
+    "curation step): assign every embedding to its nearest sampled "
+    "k-means centroid (same bounded-sample training as sim_ivf_topk, "
+    "broadcast-K assignment), then compute a per-cluster DETERMINISTIC "
+    "keep rate that downsamples over-represented clusters toward the "
+    "uniform target, and count the md5-hash-selected survivors. All "
+    "rates are exact integer ppm arithmetic so both engines pick the "
+    "identical survivor set; per-vector work is one broadcast "
+    "crossJoin + one hash filter — a single scan shape at any corpus "
+    "size (the K-row rate table broadcasts)",
+    tags=("similarity", "dataset", "ext"),
+)
+def emb_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("nrm", F.expr(_NORM_SPARK))
+    )
+    cent = _ivf_centroids(emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
+    pairs = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cc", F.expr(_DOT_VC_SPARK) / (F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    # the assignment is scanned twice (stats, survivor count) — persist
+    # the 2-column frame, not the vectors
+    assign = track_persist(
+        pairs.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    stats = assign.groupBy("cent_id").agg(F.count("*").alias("n_vecs"))
+    tot = stats.agg(
+        F.sum("n_vecs").cast("bigint").alias("total"), F.count("*").alias("k")
+    )
+    # exact integer ppm: (total div k) * PPM div n_vecs on both engines.
+    # K rows, consumed by two branches (survivor filter + final join) —
+    # persist so the stats/tot aggregations run once.
+    rates = track_persist(
+        stats.crossJoin(F.broadcast(tot)).select(
+            "cent_id",
+            "n_vecs",
+            F.least(
+                F.lit(_BAL_PPM).cast("bigint"),
+                F.expr(f"(total div k) * {_BAL_PPM} div n_vecs"),
+            ).alias("keep_ppm"),
+        )
+    )
+    vec_hash = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint") % _BAL_PPM
+    )
+    kept = (
+        assign.join(F.broadcast(rates.select("cent_id", "keep_ppm")), "cent_id")
+        .filter(vec_hash < F.col("keep_ppm"))
+        .groupBy("cent_id")
+        .agg(F.count("*").alias("_nk"))
+    )
+    return rates.join(F.broadcast(kept), "cent_id", "left").select(
+        "cent_id",
+        "n_vecs",
+        "keep_ppm",
+        F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint").alias("n_kept"),
     )
 
 

@@ -87,6 +87,9 @@ TWO_PHASE_QUERIES = [
     "x20_variant_json",
     "ts_sax_similarity",
     "doc_chunk_overlap",
+    "dedup_incremental",
+    "emb_cluster_balance",
+    "shuffle_shard_assign",
 ]
 
 
