@@ -101,6 +101,19 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, elapsed), elapsed), 3)
 
+    # Fixed synthetic workload (pure-JVM range sum + hash-shuffle agg,
+    # data-independent): a machine-speed yardstick recorded alongside
+    # the query timings so round-over-round comparisons can be
+    # normalized for host variance (per-round VMs differ measurably —
+    # round 4's host ran this ~1.4x slower than round 3's).
+    calib = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000).selectExpr("id % 1024 AS k").groupBy(
+            "k"
+        ).count().write.format("noop").mode("overwrite").save()
+        calib = min(calib or 1e9, time.perf_counter() - t0)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -110,6 +123,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_sec": round(calib, 3),
             }
         )
     )
