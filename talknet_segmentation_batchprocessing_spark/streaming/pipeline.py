@@ -18,7 +18,11 @@ its clip batching (W9) of *tumbling windows*. This module exposes:
   streaming, closed after ``gap_s`` of silence);
 - ``streaming_dedup``: watermark-bounded exact dedup of a document
   stream — the streaming arm of ``dedup_exact`` for continuous
-  ingestion, with O(watermark-window) state instead of O(history).
+  ingestion, with O(watermark-window) state instead of O(history);
+- ``streaming_incremental_dedup``: the streaming arm of the batch
+  ``dedup_incremental`` query — arriving docs stream-static-join a
+  pre-built corpus shingle index, so near-dup flags are emitted
+  continuously as the crawl lands instead of in a nightly batch.
 """
 
 from __future__ import annotations
@@ -146,4 +150,85 @@ def sliding_window_counts(
             "n",
             "sum_value",
         )
+    )
+
+
+def corpus_shingle_index(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Static corpus shingle index for ``streaming_incremental_dedup``:
+    (corpus_id, shingle, nb) where nb is the corpus doc's distinct
+    shingle count. At 100 TB this is written ONCE as a bucketed
+    parquet table (bucket by shingle) and re-read per micro-batch —
+    the per-batch cost then scales with the batch, not the corpus."""
+    d = docs.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.split(F.lower("text"), " ").alias("w"),
+    ).filter(F.size("w") >= k)
+    from ..functions.shingles import word_shingles
+
+    sh = d.select(
+        "corpus_id",
+        F.explode(F.array_distinct(word_shingles("w", k))).alias("shingle"),
+    )
+    nb = sh.groupBy("corpus_id").agg(F.count("*").alias("nb"))
+    return sh.join(nb, "corpus_id")
+
+
+def streaming_incremental_dedup(
+    doc_stream: DataFrame,
+    corpus_index: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Continuous incremental dedup — the streaming twin of the batch
+    ``dedup_incremental`` query (queries/extensions.py): every arriving
+    document's distinct word k-shingles JOIN the STATIC corpus shingle
+    index (a stream-static equi-join — no state on the corpus side),
+    per-(doc, corpus-doc) overlaps aggregate within a watermark-bounded
+    event-time window, and pairs reaching Jaccard >= ``threshold`` are
+    emitted as near-dup flags.
+
+    Input stream schema: ``doc_id, text, event_time (timestamp)``.
+    Output: ``doc_id, corpus_id, jaccard`` — distinct ``doc_id``s are
+    the duplicates; docs with no emitted row are novel.
+
+    Scale/state posture: the shingle explode and the join are
+    stateless; the only stateful operator is the windowed count, whose
+    state is (arrival-rate x horizon) — bounded, exactly like
+    ``streaming_dedup``. The corpus index is the same frame the batch
+    query builds, so batch backfill and live stream share one
+    definition of "duplicate".
+    """
+    from ..functions.shingles import word_shingles
+
+    toks = doc_stream.select(
+        "doc_id",
+        "event_time",
+        F.split(F.lower("text"), " ").alias("w"),
+    ).filter(F.size("w") >= k)
+    sh = toks.select(
+        "doc_id",
+        "event_time",
+        F.array_distinct(word_shingles("w", k)).alias("sh"),
+    ).select(
+        "doc_id",
+        "event_time",
+        F.size("sh").alias("na"),
+        F.explode("sh").alias("shingle"),
+    )
+    joined = sh.join(corpus_index, "shingle")  # stream-static
+    overlaps = (
+        joined.withWatermark("event_time", f"{watermark_s} seconds")
+        .groupBy(
+            F.window("event_time", f"{watermark_s} seconds").alias("win"),
+            "doc_id",
+            "corpus_id",
+            "na",
+            "nb",
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return overlaps.filter(jac >= threshold).select(
+        "doc_id", "corpus_id", jac.alias("jaccard")
     )

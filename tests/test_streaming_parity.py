@@ -271,3 +271,51 @@ def test_streaming_stateful_segments_match_batch(spark, tmp_path):
     )
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """streaming/pipeline.streaming_incremental_dedup (stream-static
+    join against the corpus shingle index) must flag exactly the
+    doc_ids the batch dedup_incremental query flags on the sf0.01
+    documents table."""
+    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+        _INCR_CORPUS_LT,
+        _INCR_SPLIT_MOD,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.pipeline import (
+        corpus_shingle_index,
+        streaming_incremental_dedup,
+    )
+
+    docs = load(spark, SF_CORRECT, "documents")
+    in_corpus = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint") % _INCR_SPLIT_MOD < _INCR_CORPUS_LT
+    )
+    corpus = docs.filter(in_corpus)
+    batch = docs.filter(~in_corpus).select(
+        "doc_id", "text", F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("event_time")
+    )
+
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    batch.coalesce(1).write.parquet(str(drop / "b0"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(drop / "*"))
+
+    index = corpus_shingle_index(corpus).cache()
+    got = _drain(
+        streaming_incremental_dedup(stream, index),
+        tmp_path,
+        "incr_dedup_stream",
+        mode="update",
+    )
+    index.unpersist()
+
+    want = (
+        registry.REGISTRY["dedup_incremental"].fn(spark, SF_CORRECT).toPandas()
+    )
+    want_dups = set(want[want["is_dup"]]["doc_id"])
+    assert want_dups, "batch query found no dups — test is vacuous"
+    assert set(got["doc_id"].unique()) == want_dups
+    # pair-level sanity: jaccard respects the threshold on every row
+    assert (got["jaccard"] >= 0.2).all()
