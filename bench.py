@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_incremental",
     "emb_cluster_balance",
     "shuffle_shard_assign",
+    "sketch_hll_distinct",
 ]
 
 

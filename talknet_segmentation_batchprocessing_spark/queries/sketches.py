@@ -1,0 +1,226 @@
+"""Cardinality sketches with EXACT cross-engine oracles.
+
+At 100 TB nobody counts distincts exactly on the hot path — they keep
+a mergeable sketch per partition and combine. Spark's built-in
+``approx_count_distinct`` (HLL++) can't be oracle-checked against
+DuckDB (different hash + bias tables), so these queries implement the
+two classic sketches from deterministic md5-derived hashes, making the
+estimate itself bit-identical on both engines while keeping the real
+sketch properties (one aggregation pass, mergeable partials, fixed
+memory per group):
+
+- **KMV** (k-minimum-values, Bar-Yossef et al. 2002): keep the k
+  smallest normalized hash values per group; estimate distinct count
+  as (k-1)/h_(k). Mergeable: union the value sets, re-take k smallest.
+- **HLL** (Flajolet et al. 2007): 2^p registers, each holding the max
+  leading-zero run of hashes landing in it; harmonic-mean estimate.
+  Mergeable: element-wise register max. The rho (leading-zero) count
+  is computed via BINARY STRING position — exact integer/string ops on
+  both engines, never floating log2 (which flips at powers of two).
+
+Both queries also compute the exact distinct count and the relative
+error, so the result doubles as an accuracy audit of the sketch at the
+test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+from ..registry import load, query, track_persist
+
+# value hash: first 12 hex digits of md5 as bigint — [0, 2^48), the
+# same deterministic family every dedup/sampling query uses. The
+# sketched domain is per-language distinct word 3-SHINGLES (3-9k per
+# language in the testdata — the regime where both sketch estimators
+# actually estimate; raw tokens have a ~31-word synthetic vocabulary,
+# which would leave KMV in its exact fallback and HLL far below its
+# valid range).
+_SQL_TOK_HASH = "CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT)"
+_HASH_SPACE = float(1 << 48)
+
+_KMV_K = 64
+
+# distinct (lang, shingle) pairs — the DuckDB twin of _lang_shingles
+_SQL_LANG_SHINGLES = """
+  SELECT DISTINCT lang, unnest(list_transform(range(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+2], ' '))) AS tok
+  FROM (SELECT lang, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+
+
+def _tok_hash(col: str = "tok"):
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 12), 16, 10).cast("bigint")
+
+
+def _lang_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.shingles import word_shingles
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    d = docs.select("lang", F.split(F.lower("text"), " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    return d.select("lang", F.explode(word_shingles("w", 3)).alias("tok")).distinct()
+
+
+_KMV_ORACLE = f"""
+WITH toks AS ({_SQL_LANG_SHINGLES}),
+hashed AS (
+  SELECT DISTINCT lang, {_SQL_TOK_HASH} AS h FROM toks
+),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM hashed
+),
+exact AS (SELECT lang, count(*) AS n_exact FROM hashed GROUP BY lang),
+kth AS (
+  SELECT lang, max(h) AS hk, count(*) AS n_kept
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY lang
+)
+SELECT e.lang, e.n_exact,
+       CAST(CASE WHEN k.n_kept < {_KMV_K} THEN e.n_exact
+            ELSE floor(({_KMV_K} - 1) * {_HASH_SPACE} / k.hk + 0.5) END AS BIGINT)
+         AS n_est,
+       floor(abs(CAST(CASE WHEN k.n_kept < {_KMV_K} THEN e.n_exact
+                 ELSE floor(({_KMV_K} - 1) * {_HASH_SPACE} / k.hk + 0.5) END AS BIGINT)
+                 - e.n_exact) * 1.0 / e.n_exact * 1e6 + 0.5) / 1e6 AS rel_err
+FROM exact e JOIN kth k ON k.lang = e.lang
+"""
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=_KMV_ORACLE,
+    doc="KMV distinct-count sketch per language: k smallest md5 hash "
+    "values of the distinct token set; estimate = (k-1)/h_(k) "
+    "(normalized). When a group has fewer than k distinct values the "
+    "sketch IS the exact answer. One distinct pass + a per-group "
+    "top-k — at scale the k-smallest set is a partial aggregate "
+    "(each partition keeps its own k smallest, merge keeps k "
+    "smallest of the union), so the shuffle carries k values per "
+    "group, never the token stream. Exact integer/ratio arithmetic; "
+    "estimate is bit-identical on both engines",
+    tags=("sketch", "dataset", "ext"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _lang_shingles(spark, sf_dir)
+    hashed = track_persist(
+        toks.select("lang", _tok_hash().alias("h")).distinct()
+    )
+    exact = hashed.groupBy("lang").agg(F.count("*").alias("n_exact"))
+    w = Window.partitionBy("lang").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("lang")
+        .agg(F.max("h").alias("hk"), F.count("*").alias("n_kept"))
+    )
+    est = F.when(F.col("n_kept") < _KMV_K, F.col("n_exact")).otherwise(
+        F.floor((_KMV_K - 1) * F.lit(_HASH_SPACE) / F.col("hk") + 0.5)
+    ).cast("bigint")
+    return (
+        exact.join(kth, "lang")
+        .withColumn("n_est", est)
+        .select(
+            "lang",
+            "n_exact",
+            "n_est",
+            stable_round(
+                F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+_HLL_P = 10  # 2^10 = 1024 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 38  # 48-bit hash minus 10 register-index bits
+# alpha_m for m >= 128 (Flajolet et al. 2007)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+# rho via binary STRING: lpad the 38 value bits, find the first '1'.
+# strpos/instr returns 0 when w == 0 -> rho = WBITS + 1 by the HLL
+# definition (all-zero suffix), handled with the max-run fallback.
+_SQL_RHO = (
+    f"CASE WHEN (h // {_HLL_M}) = 0 THEN {_HLL_WBITS + 1} "
+    f"ELSE strpos(lpad(bin(h // {_HLL_M}), {_HLL_WBITS}, '0'), '1') END"
+)
+_SPARK_RHO = (
+    f"CASE WHEN (h div {_HLL_M}) = 0 THEN {_HLL_WBITS + 1} "
+    f"ELSE instr(lpad(bin(h div {_HLL_M}), {_HLL_WBITS}, '0'), '1') END"
+)
+
+_HLL_ORACLE = f"""
+WITH toks AS ({_SQL_LANG_SHINGLES}),
+hashed AS (
+  SELECT DISTINCT lang, {_SQL_TOK_HASH} AS h FROM toks
+),
+regs AS (
+  SELECT lang, h % {_HLL_M} AS reg, max({_SQL_RHO}) AS rho
+  FROM hashed GROUP BY lang, h % {_HLL_M}
+),
+est AS (
+  SELECT lang,
+         CAST(floor(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+              / (sum(power(2.0, -rho)) + ({_HLL_M} - count(*)) * 1.0) + 0.5)
+           AS BIGINT) AS n_est
+  FROM regs GROUP BY lang
+),
+exact AS (SELECT lang, count(*) AS n_exact FROM hashed GROUP BY lang)
+SELECT e.lang, e.n_exact, s.n_est,
+       floor(abs(s.n_est - e.n_exact) * 1.0 / e.n_exact * 1e6 + 0.5) / 1e6 AS rel_err
+FROM exact e JOIN est s ON s.lang = e.lang
+"""
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=_HLL_ORACLE,
+    doc="HyperLogLog distinct-count sketch per language: 1024 "
+    "registers keyed by the low hash bits, each holding the max "
+    "leading-zero run (rho) of the high bits; raw harmonic-mean "
+    "estimate (empty registers contribute 2^0, the textbook raw "
+    "formula without the small/large-range corrections). rho comes "
+    "from BINARY-STRING position, not floating log2, and the "
+    "2^-rho sums are dyadic rationals added exactly in double "
+    "(sum <= m, grid 2^-39 -> 49 bits < 53), so the estimate is "
+    "bit-identical on both engines. One groupBy(group, register) "
+    "pass, mergeable by register max — THE cardinality sketch shape "
+    "for 100 TB scans (Spark's approx_count_distinct is the same "
+    "algorithm with an uncheckable hash)",
+    tags=("sketch", "dataset", "ext"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _lang_shingles(spark, sf_dir)
+    hashed = track_persist(
+        toks.select("lang", _tok_hash().alias("h")).distinct()
+    )
+    regs = hashed.groupBy(
+        "lang", (F.col("h") % _HLL_M).alias("reg")
+    ).agg(F.max(F.expr(_SPARK_RHO)).alias("rho"))
+    est = regs.groupBy("lang").agg(
+        F.floor(
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(_HLL_M) - F.count("*")) * F.lit(1.0)
+            )
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("n_est")
+    )
+    exact = hashed.groupBy("lang").agg(F.count("*").alias("n_exact"))
+    return exact.join(est, "lang").select(
+        "lang",
+        "n_exact",
+        "n_est",
+        stable_round(
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )

@@ -196,6 +196,7 @@ def _ensure_loaded() -> None:
     from .queries import eval_arm  # noqa: F401  M6 eval harnesses
     from .queries import extensions  # noqa: F401  LLM-pipeline extensions
     from .queries import dataset_ops  # noqa: F401  training-data curation ops
+    from .queries import sketches  # noqa: F401  cardinality sketches
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW if n in REGISTRY}
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -90,6 +90,8 @@ TWO_PHASE_QUERIES = [
     "dedup_incremental",
     "emb_cluster_balance",
     "shuffle_shard_assign",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
 ]
 
 
