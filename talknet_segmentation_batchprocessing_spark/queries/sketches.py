@@ -224,3 +224,81 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
+
+
+_QS_RATE_PCT = 10  # deterministic 10% row sample
+_SQL_EID_HASH = "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+_QUANTILE_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, value,
+         {_SQL_EID_HASH} % 100 < {_QS_RATE_PCT} AS in_sample
+  FROM events
+),
+ex AS (
+  SELECT event_type, count(*) AS n,
+         quantile_cont(value, 0.5) AS p50_exact,
+         quantile_cont(value, 0.9) AS p90_exact
+  FROM s GROUP BY event_type
+),
+sm AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS p50_est,
+         quantile_cont(value, 0.9) AS p90_est
+  FROM s WHERE in_sample GROUP BY event_type
+)
+SELECT e.event_type, e.n,
+       floor(e.p50_exact * 1e4 + 0.5) / 1e4 AS p50_exact,
+       floor(s.p50_est * 1e4 + 0.5) / 1e4 AS p50_est,
+       floor(e.p90_exact * 1e4 + 0.5) / 1e4 AS p90_exact,
+       floor(s.p90_est * 1e4 + 0.5) / 1e4 AS p90_est,
+       floor(abs(s.p90_est - e.p90_exact) * 1e4 + 0.5) / 1e4 AS p90_abs_err
+FROM ex e JOIN sm s ON s.event_type = e.event_type
+"""
+
+
+@query(
+    "sketch_quantile_sampled",
+    oracle=_QUANTILE_ORACLE,
+    doc="Sampled quantiles vs exact — the approximate-query-processing "
+    "shape for percentiles at scale: the exact per-group percentile "
+    "aggregate buffers EVERY value (memory grows with the group), "
+    "while the md5-hash 10% sample bounds the buffer at rate x group "
+    "and is deterministic (same rows every run, both engines). Spark "
+    "percentile() and DuckDB quantile_cont() share the continuous "
+    "interpolation definition (verified bit-identical), stable-rounded "
+    "anyway. Output carries exact + estimate + absolute error per "
+    "group, so the sample rate's accuracy is audited in-query",
+    tags=("sketch", "dataset", "ext"),
+)
+def sketch_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    in_sample = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint") % 100 < _QS_RATE_PCT
+    )
+    s = ev.select("event_type", "value", in_sample.alias("in_sample"))
+    ex = s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile("value", 0.5).alias("p50_exact"),
+        F.percentile("value", 0.9).alias("p90_exact"),
+    )
+    sm = (
+        s.filter("in_sample")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50_est"),
+            F.percentile("value", 0.9).alias("p90_est"),
+        )
+    )
+    return ex.join(sm, "event_type").select(
+        "event_type",
+        "n",
+        stable_round("p50_exact", 4).alias("p50_exact"),
+        stable_round("p50_est", 4).alias("p50_est"),
+        stable_round("p90_exact", 4).alias("p90_exact"),
+        stable_round("p90_est", 4).alias("p90_est"),
+        stable_round(F.abs(F.col("p90_est") - F.col("p90_exact")), 4).alias(
+            "p90_abs_err"
+        ),
+    )

@@ -92,6 +92,7 @@ TWO_PHASE_QUERIES = [
     "shuffle_shard_assign",
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
+    "sketch_quantile_sampled",
 ]
 
 
