@@ -232,3 +232,32 @@ def streaming_incremental_dedup(
     return overlaps.filter(jac >= threshold).select(
         "doc_id", "corpus_id", jac.alias("jaccard")
     )
+
+
+def streaming_hll_registers(
+    value_stream: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "tok",
+) -> DataFrame:
+    """Continuous HyperLogLog: maintain the register table of
+    ``sketch_hll_distinct`` over a stream of values.
+
+    Because HLL merge is an element-wise register MAX, the streaming
+    aggregation is just ``groupBy(group, register).max(rho)`` in
+    update mode — each micro-batch folds into the standing registers
+    exactly like a partition's partial sketch folds into the final
+    one. State is bounded BY CONSTRUCTION at m=1024 rows per group
+    (no watermark needed: registers never grow, they only max), which
+    is the whole point of sketching a 100 TB stream: distinct-count
+    state in O(m), not O(distincts). The estimate is read off the
+    register table at any time with the same harmonic-mean formula as
+    the batch query.
+    """
+    from ..queries.sketches import _HLL_M, _SPARK_RHO, _tok_hash
+
+    hashed = value_stream.select(
+        F.col(group_col).alias("grp"), _tok_hash(value_col).alias("h")
+    )
+    return hashed.groupBy(
+        "grp", (F.col("h") % _HLL_M).alias("reg")
+    ).agg(F.max(F.expr(_SPARK_RHO)).alias("rho"))

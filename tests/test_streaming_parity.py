@@ -319,3 +319,56 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert set(got["doc_id"].unique()) == want_dups
     # pair-level sanity: jaccard respects the threshold on every row
     assert (got["jaccard"] >= 0.2).all()
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """streaming/pipeline.streaming_hll_registers across TWO
+    micro-batches must converge to exactly the batch register table
+    (register max is order- and batching-insensitive), and hence to
+    the identical cardinality estimate."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.queries.sketches import (
+        _HLL_M,
+        _SPARK_RHO,
+        _lang_shingles,
+        _tok_hash,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.pipeline import (
+        streaming_hll_registers,
+    )
+
+    toks = _lang_shingles(spark, SF_CORRECT)  # lang, tok (distinct)
+    want = (
+        toks.select("lang", _tok_hash().alias("h"))
+        .distinct()
+        .groupBy(F.col("lang").alias("grp"), (F.col("h") % _HLL_M).alias("reg"))
+        .agg(F.max(F.expr(_SPARK_RHO)).alias("rho"))
+        .toPandas()
+        .sort_values(["grp", "reg"])
+        .reset_index(drop=True)
+    )
+
+    drop = tmp_path / "toks"
+    drop.mkdir()
+    split = F.length("tok") % 2 == 0
+    toks.filter(split).coalesce(1).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    toks.filter(~split).coalesce(1).write.parquet(str(drop / "b1"))
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    got = (
+        _drain(streaming_hll_registers(stream), tmp_path, "hll_stream", mode="update")
+        # update mode re-emits a register row each time its max grows;
+        # the LAST emission per (grp, reg) is the standing value — max
+        # over emissions equals it (rho only ever grows)
+        .groupby(["grp", "reg"], as_index=False)["rho"]
+        .max()
+        .sort_values(["grp", "reg"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
