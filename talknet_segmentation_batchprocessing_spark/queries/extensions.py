@@ -223,13 +223,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    cand = (
+    # cand feeds the verification join AND the final left join; without
+    # persist the whole minhash+band-join chain would run twice. It is
+    # O(true dups) rows — tiny relative to the corpus at any scale.
+    cand = track_persist(
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = track_persist(ds.groupBy("doc_id").agg(F.count("*").alias("n")))
     x = ds.select(F.col("doc_id").alias("doc_a"), "sid")
     y = ds.select(F.col("doc_id").alias("doc_b"), "sid")
     common = (
