@@ -119,7 +119,9 @@ WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # sizes is joined on both pair sides — persist the (tiny, one row
+    # per doc) frame so the aggregation over sh runs once, not twice
+    sizes = track_persist(sh.groupBy("doc_id").agg(F.count("*").alias("n")))
     x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
