@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..functions.geometry import box_center_size, iou, iou_one_sided
 from ..functions.timebase import frame_to_seconds, remap_fps
 from ..functions.rounding import stable_round
+from ..functions.zorder import z_value, z_value_sql
 from ..registry import load, query
 
 
@@ -316,4 +317,29 @@ def x20_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         k.alias("k"),
         (k % 7).alias("k_mod7"),
+    )
+
+
+@query(
+    "x21_zorder_value",
+    oracle=f"""
+SELECT event_id, user_id % 4096 AS xk, event_id % 4096 AS yk,
+       {z_value_sql('(user_id % 4096)', '(event_id % 4096)')} AS z
+FROM events
+""",
+    doc="Z-order (Morton) curve value: interleave the low 12 bits of "
+    "two keys into one linearization — the multi-dimensional "
+    "data-skipping layout (sources/zorder.write_zordered sorts the "
+    "write by this value so every parquet file carries a tight "
+    "bounding box in BOTH keys and min/max stats prune on either "
+    "predicate). Pure shift/mask integer arithmetic, whole-stage "
+    "codegen, zero shuffles; bit-identical on both engines",
+    tags=("X21", "ext"),
+)
+def x21_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    xk = (F.col("user_id") % 4096).alias("xk")
+    yk = (F.col("event_id") % 4096).alias("yk")
+    return ev.select(
+        "event_id", xk, yk, z_value(F.col("user_id") % 4096, F.col("event_id") % 4096).alias("z")
     )

@@ -1,0 +1,61 @@
+"""Z-ordered parquet writes: multi-dimensional data skipping.
+
+``write_zordered`` linearizes rows along the Morton curve of two key
+columns (functions/zorder.z_value) and RANGE-partitions the write by
+that value, so every output file covers a contiguous z-interval — a
+tight bounding box in (x, y) space. Parquet min/max column statistics
+then prune files for predicates on EITHER key, which a single-column
+sort cannot do for the second key. This is the Delta/Iceberg
+``OPTIMIZE ZORDER BY`` layout expressed as two plain Spark operators
+(repartitionByRange + sortWithinPartitions); at 100 TB it is paid
+once at write time and amortized over every later selective scan,
+exactly like bucketing amortizes the join shuffle
+(sources/bucketed.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.zorder import z_value
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str | Column,
+    y: str | Column,
+    bits: int = 12,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned and
+    sorted by the z-value of (x, y). The z column is written too (as
+    ``_z``) so readers can range-filter on the curve directly."""
+    zed = df.withColumn("_z", z_value(x, y, bits))
+    (
+        zed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_z_ranges(path: str) -> list[tuple[int, int]]:
+    """(min, max) of the ``_z`` column per parquet file under ``path``,
+    read from the file FOOTER statistics (the same stats the scan's
+    filter pushdown prunes on) — no data pages touched."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        zi = {md.schema.column(i).name: i for i in range(md.num_columns)}["_z"]
+        lo = min(md.row_group(g).column(zi).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(zi).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    return ranges

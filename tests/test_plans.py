@@ -93,6 +93,7 @@ TWO_PHASE_QUERIES = [
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
     "sketch_quantile_sampled",
+    "x21_zorder_value",
 ]
 
 
