@@ -67,6 +67,7 @@ HEADLINE = [
     "emb_cluster_balance",
     "shuffle_shard_assign",
     "sketch_hll_distinct",
+    "curation_pipeline",
 ]
 
 

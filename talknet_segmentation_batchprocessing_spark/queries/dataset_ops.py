@@ -1207,3 +1207,74 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(piece).cast("bigint").alias("chunk_len"),
         F.md5(piece).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# the capstone: full curation pass
+# ---------------------------------------------------------------------------
+
+_CURATION_QUALITY_MIN = 0.5
+
+
+def _curation_oracle() -> str:
+    """Composed from the SAME oracle fragments the component queries
+    ship (keep-canonical dedup, quality scoring, benchmark
+    contamination) — the pipeline's correctness is checked against the
+    composition of already-proven parts, not a re-derivation."""
+    from .extensions import _KEEP_CANONICAL_ORACLE, _QUALITY_ORACLE
+
+    split_h = _SQL_MD5_BIGINT.format(c="k.doc_id")
+    return f"""
+WITH keep AS ({_KEEP_CANONICAL_ORACLE}),
+q AS ({_QUALITY_ORACLE}),
+c AS ({_CONTAM_ORACLE})
+SELECT k.doc_id, k.lang, q.n_tokens,
+       CASE WHEN {split_h} % 100 < 90 THEN 'train'
+            WHEN {split_h} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM keep k
+JOIN q ON q.doc_id = k.doc_id
+LEFT JOIN c ON c.doc_id = k.doc_id
+WHERE k.doc_id >= {_BENCH_DOCS}
+  AND q.quality >= {_CURATION_QUALITY_MIN}
+  AND coalesce(c.contaminated, FALSE) = FALSE
+"""
+
+
+@query(
+    "curation_pipeline",
+    oracle=None,  # assigned below — needs the extensions module loaded
+    doc="THE end-to-end curation pass a pretraining pipeline ships: "
+    "near-dup dedup survivors (shingle Jaccard -> star CC -> "
+    "canonical-per-component) INTERSECT quality >= 0.5 INTERSECT "
+    "not-benchmark-contaminated, with the deterministic 90/5/5 split "
+    "stamped on each surviving doc. Every stage is the scale-path "
+    "variant of its standalone query (shared definitions, not "
+    "re-implementations), and the oracle is the composition of the "
+    "already-proven component oracles. At 100 TB each filter is a "
+    "doc_id equi-join of survivor sets — no stage ever widens",
+    tags=("dataset", "pipeline", "ext"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions import dedup_keep_canonical, text_quality_score
+
+    keep = dedup_keep_canonical(spark, sf_dir).select("doc_id", "lang")
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    contam = contamination_ngram(spark, sf_dir).select("doc_id", "contaminated")
+    h = _md5_bigint(F.col("doc_id")) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    return (
+        keep.filter(F.col("doc_id") >= _BENCH_DOCS)
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= _CURATION_QUALITY_MIN)
+        .join(contam, "doc_id", "left")
+        .filter(F.coalesce(F.col("contaminated"), F.lit(False)) == F.lit(False))
+        .select("doc_id", "lang", "n_tokens", split.alias("split"))
+    )
+
+
+# late-bind the composed oracle (avoids import-order issues between
+# this module and extensions at registration time)
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+_REG["curation_pipeline"].oracle = _curation_oracle()

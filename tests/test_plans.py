@@ -94,6 +94,7 @@ TWO_PHASE_QUERIES = [
     "sketch_hll_distinct",
     "sketch_quantile_sampled",
     "x21_zorder_value",
+    "curation_pipeline",
 ]
 
 
