@@ -149,3 +149,49 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+_MERGE_HASH = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+@query(
+    "u5_merge_upsert",
+    oracle=f"""
+WITH target AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE {_MERGE_HASH} % 10 < 8
+),
+updates AS (
+  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+       coalesce(u.lang, t.lang) AS lang,
+       coalesce(u.n_chars, t.n_chars) AS n_chars,
+       CASE WHEN t.doc_id IS NULL THEN 'inserted'
+            WHEN u.doc_id IS NULL THEN 'kept'
+            ELSE 'updated' END AS merge_action
+FROM target t FULL OUTER JOIN updates u ON u.doc_id = t.doc_id
+""",
+    doc="MERGE INTO semantics (upsert) as one relational operator: a "
+    "FULL OUTER join on the key, update rows win where both sides "
+    "match, unmatched updates insert, unmatched target rows carry "
+    "over — with the per-row merge_action audit column every "
+    "incremental-ingest job wants. At scale both sides hash-partition "
+    "on the key (one shuffle each); pair with "
+    "sources/upsert.merge_into for the versioned, atomically-published "
+    "table write",
+    tags=("U5", "ext", "pipeline"),
+)
+def u5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    key_hash = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint") % 10
+    )
+    target = docs.filter(key_hash < 8)
+    updates = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars")
+    )
+    from ..sources.upsert import merge_frames
+
+    return merge_frames(target, updates, on="doc_id")

@@ -1,0 +1,93 @@
+"""MERGE INTO / upsert for parquet tables, with versioned atomic publish.
+
+Plain parquet has no transactions; the lakehouse trick is to never
+mutate published files: each merge writes a complete NEW version
+directory, then atomically swaps a tiny pointer file. Readers resolve
+the pointer first, so they always see a complete version — a crashed
+merge leaves a half-written ``v<N+1>`` directory that no pointer
+references (same crash-safety discipline as sources/bootstrap.py's
+download-then-rename). At 100 TB the rewrite cost is bounded by
+partitioning the table and merging only affected partitions; the
+pointer-swap publish is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_POINTER = "_LATEST"
+
+
+def merge_frames(target: DataFrame, updates: DataFrame, on: str) -> DataFrame:
+    """MERGE semantics as one relational operator: full outer join on
+    ``on``; matched rows take the update's values, unmatched updates
+    insert, unmatched target rows carry over. Adds a ``merge_action``
+    audit column ('kept' | 'updated' | 'inserted')."""
+    cols = [c for c in target.columns if c != on]
+    t = target.alias("t")
+    u = updates.alias("u")
+    action = (
+        F.when(F.col(f"t.{on}").isNull(), "inserted")
+        .when(F.col(f"u.{on}").isNull(), "kept")
+        .otherwise("updated")
+    )
+    return t.join(u, F.col(f"t.{on}") == F.col(f"u.{on}"), "full_outer").select(
+        F.coalesce(F.col(f"t.{on}"), F.col(f"u.{on}")).alias(on),
+        *[F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in cols],
+        action.alias("merge_action"),
+    )
+
+
+def current_version(table_dir: str) -> int:
+    p = os.path.join(table_dir, _POINTER)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    v = current_version(table_dir)
+    if v < 0:
+        raise FileNotFoundError(f"no published version under {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, f"v{v}"))
+
+
+def init_table(df: DataFrame, table_dir: str) -> int:
+    """Publish version 0 of a table."""
+    os.makedirs(table_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, "v0"))
+    _publish(table_dir, 0)
+    return 0
+
+
+def merge_into(
+    spark: SparkSession, table_dir: str, updates: DataFrame, on: str
+) -> int:
+    """Merge ``updates`` into the table's latest version and publish a
+    new version. Returns the new version number.
+
+    Write order is crash-safe: the FULL v<N+1> data lands first (Spark
+    writes to a _temporary dir and renames per-file, so a torn job
+    leaves no pointer change), the pointer file is replaced LAST via
+    os.replace (atomic on POSIX). A concurrent reader either sees
+    v<N> or v<N+1>, never a mix."""
+    v = current_version(table_dir)
+    target = read_table(spark, table_dir)
+    merged = merge_frames(target, updates, on).drop("merge_action")
+    new_v = v + 1
+    merged.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{new_v}"))
+    _publish(table_dir, new_v)
+    return new_v
+
+
+def _publish(table_dir: str, version: int) -> None:
+    tmp = os.path.join(table_dir, f"{_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(table_dir, _POINTER))

@@ -95,6 +95,7 @@ TWO_PHASE_QUERIES = [
     "sketch_quantile_sampled",
     "x21_zorder_value",
     "curation_pipeline",
+    "u5_merge_upsert",
 ]
 
 
