@@ -415,3 +415,100 @@ def w11_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.groupBy("win_start", "event_type").agg(
         F.count("*").alias("n"), stable_round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (SELECT user_id, min(us) AS t1_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.us) AS t2_us
+  FROM e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.us > v.t1_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.us) AS t3_us
+  FROM e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.us > c.t2_us
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t1_us, c.t2_us, p.t3_us,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+@query(
+    "w12_funnel_steps",
+    oracle=_FUNNEL_ORACLE,
+    doc="Behavioral funnel (view -> click -> purchase): per user, the "
+    "first view, the first click STRICTLY after it, the first "
+    "purchase strictly after that, and the stage reached. The Spark "
+    "side is a SINGLE-SHUFFLE sorted-array fold per user (collect the "
+    "(us, type) events, one aggregate() pass carries the three "
+    "timestamps as the accumulator — sequence pattern matching as a "
+    "higher-order function, JVM-side); the ORACLE is an independent "
+    "3-pass min-after-join formulation, so agreement checks the "
+    "algorithm, not a transcription. Strict '>' on exact integer "
+    "microseconds pins tie semantics on both engines. Per-user state "
+    "is 3 longs; the fold never materializes more than one user's "
+    "events in an executor row",
+    tags=("W12", "ext"),
+)
+def w12_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    e = ev.filter(F.col("event_type").isin(steps)).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("us", "event_type"))).alias("seq")
+    )
+
+    def step(acc, x):
+        t1 = F.when(
+            acc["t1"].isNull() & (x["event_type"] == "view"), x["us"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t2"].isNull()
+            & acc["t1"].isNotNull()
+            & (x["event_type"] == "click")
+            & (x["us"] > acc["t1"]),
+            x["us"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull()
+            & acc["t2"].isNotNull()
+            & (x["event_type"] == "purchase")
+            & (x["us"] > acc["t2"]),
+            x["us"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("t1"),
+        F.lit(None).cast("bigint").alias("t2"),
+        F.lit(None).cast("bigint").alias("t3"),
+    )
+    folded = seq.select(
+        "user_id", F.aggregate("seq", init, step).alias("f")
+    ).select(
+        "user_id",
+        F.col("f.t1").alias("t1_us"),
+        F.col("f.t2").alias("t2_us"),
+        F.col("f.t3").alias("t3_us"),
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t2_us").isNotNull().cast("int")
+        + F.col("t3_us").isNotNull().cast("int")
+    )
+    return folded.filter(F.col("t1_us").isNotNull()).select(
+        "user_id", "t1_us", "t2_us", "t3_us", stage.cast("int").alias("stage")
+    )

@@ -96,6 +96,7 @@ TWO_PHASE_QUERIES = [
     "x21_zorder_value",
     "curation_pipeline",
     "u5_merge_upsert",
+    "w12_funnel_steps",
 ]
 
 
