@@ -1631,3 +1631,78 @@ def ts_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("_d"), 6).alias("dist"),
         )
     )
+
+
+_CNG_W = 32  # gram width (chars)
+_CNG_S = 16  # stride
+
+_CHAR_NGRAM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE len(lower(text)) >= {_CNG_W}
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(substr(t, 1 + i * {_CNG_S}, {_CNG_W})), 1, 12)) AS BIGINT) AS gh
+  FROM d CROSS JOIN (SELECT unnest(range(0, 200)) AS i)
+  WHERE len(t) >= i * {_CNG_S} + {_CNG_W}
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_dup_grams
+  FROM g JOIN dup ON dup.gh = g.gh GROUP BY g.doc_id
+)
+SELECT s.doc_id, s.n_grams, coalesce(h.n_dup_grams, 0) AS n_dup_grams,
+       floor((coalesce(h.n_dup_grams, 0) * 1.0 / s.n_grams) * 1e6 + 0.5) / 1e6 AS dup_frac,
+       (coalesce(h.n_dup_grams, 0) * 1.0 / s.n_grams) > 0.5 AS mostly_duplicated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
+@query(
+    "dedup_char_ngram",
+    oracle=_CHAR_NGRAM_ORACLE,
+    doc="Exact-substring duplication audit (the Lee et al. "
+    "'Deduplicating Training Data Makes Language Models Better' "
+    "family, char-level): strided 32-char grams per doc, hashed to "
+    "md5-derived 48-bit ids ON BOTH ENGINES (so even a hash collision "
+    "is seen identically), grams present in more than one doc-position "
+    "set are duplicated; per-doc duplicated fraction + a "
+    "mostly-duplicated flag. The shuffle carries 8-byte hashes, never "
+    "substrings — at 100 TB this is the practical exact-substring "
+    "audit (a full suffix array is its own system; this catches the "
+    "boilerplate/mirror mass at a fraction of the cost). Within-doc "
+    "self-repetition is the separate text_repetition_filter",
+    tags=("dedup", "text", "ext"),
+)
+def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    d = docs.select("doc_id", F.lower("text").alias("t")).filter(
+        F.length("t") >= _CNG_W
+    )
+    # bound i by this row's length (and the oracle's fixed 200 cap);
+    # substr on the bound column is O(width) per element — one pass
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, "
+                f"least(cast(floor((length(t) - {_CNG_W}) / {_CNG_S}) as int), 199)), "
+                f"i -> conv(substr(md5(substr(t, 1 + i * {_CNG_S}, {_CNG_W})), 1, 12), 16, 10))"
+            )
+        ).alias("ghs"),
+    ).select("doc_id", F.col("ghs").cast("bigint").alias("gh")).distinct()
+    g = track_persist(grams)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    dup = g.groupBy("gh").agg(F.count("*").alias("_n")).filter(F.col("_n") > 1).select("gh")
+    hits = g.join(dup, "gh").groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
+    frac = F.coalesce(F.col("n_dup_grams"), F.lit(0)) / F.col("n_grams")
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+        stable_round(frac, 6).alias("dup_frac"),
+        (frac > 0.5).alias("mostly_duplicated"),
+    )

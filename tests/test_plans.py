@@ -97,6 +97,7 @@ TWO_PHASE_QUERIES = [
     "curation_pipeline",
     "u5_merge_upsert",
     "w12_funnel_steps",
+    "dedup_char_ngram",
 ]
 
 
