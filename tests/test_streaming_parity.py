@@ -372,3 +372,61 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_funnel_matches_batch_w12(spark, tmp_path):
+    """streaming/funnel.streaming_funnel across two event-time-split
+    micro-batches: the LATEST emitted row per user must equal the
+    batch w12_funnel_steps row (stage + all three timestamps),
+    including users whose stage advances across the batch boundary."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.funnel import (
+        streaming_funnel,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select("user_id", "event_type", "ts")
+    # split by time so funnels straddle the boundary
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(1).write.parquet(
+        str(drop / "b0")
+    )
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(1).write.parquet(
+        str(drop / "b1")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    got = _drain(streaming_funnel(stream), tmp_path, "funnel_stream")
+    # latest emission per user = the row with the highest stage
+    latest = (
+        got.sort_values(["user_id", "stage"])
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        registry.REGISTRY["w12_funnel_steps"]
+        .fn(spark, SF_CORRECT)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(latest) == len(want) > 0
+    m = want.merge(latest, on="user_id", suffixes=("_b", "_s"))
+    assert (m["stage_b"] == m["stage_s"]).all()
+    for c in ("t1_us", "t2_us", "t3_us"):
+        a, b = m[f"{c}_b"].astype("float64"), m[f"{c}_s"].astype("float64")
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
+    # the cross-boundary case actually occurred (some user advanced in
+    # batch 2): more emissions than users proves multi-batch advances
+    assert len(got) > len(latest)
