@@ -352,3 +352,80 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prior_view_id",
         (gap_ms / F.lit(1e3)).alias("gap_s"),
     )
+
+
+_IV_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z (testdata epoch)
+_IV_SPACING_US = 6 * 3600 * 1_000_000  # one interval every 6 h
+_IV_LEN_US = 90 * 60 * 1_000_000  # each 90 min long
+_IV_N = 120  # covers the 30-day events span
+# chunk width == interval length: every interval overlaps <= 2 chunks
+_IV_BUCKET_US = _IV_LEN_US
+
+_INTERVAL_JOIN_ORACLE = f"""
+WITH iv AS (
+  SELECT CAST(i AS BIGINT) AS interval_id,
+         {_IV_EPOCH_US} + i * {_IV_SPACING_US} AS start_us,
+         {_IV_EPOCH_US} + i * {_IV_SPACING_US} + {_IV_LEN_US} AS end_us
+  FROM (SELECT unnest(range(0, {_IV_N})) AS i)
+),
+e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events)
+SELECT e.event_id, e.event_type, iv.interval_id,
+       (e.us - iv.start_us) // 1000 AS offset_ms
+FROM e JOIN iv ON e.us >= iv.start_us AND e.us < iv.end_us
+"""
+
+
+@query(
+    "j10_interval_join",
+    oracle=_INTERVAL_JOIN_ORACLE,
+    doc="Range (interval containment) join — the custom join Spark "
+    "lacks natively: each event matched to the deterministic "
+    "maintenance window containing it, WITHOUT a cross product. "
+    "Strategy is the classic chunking rewrite: pick a chunk width <= "
+    "the minimum interval length, explode each interval to the <= 2 "
+    "chunks it overlaps, equi-join events on chunk id, then apply the "
+    "exact containment predicate. The oracle runs the plain theta "
+    "join — agreement proves the rewrite. At 100 TB the equi-join "
+    "hash-partitions on chunk (intervals here broadcast at 240 rows); "
+    "skewed chunks fall to AQE skew handling like any equi-join",
+    tags=("J10", "ext"),
+)
+def j10_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = spark.range(0, _IV_N).select(
+        F.col("id").cast("bigint").alias("interval_id"),
+        (F.lit(_IV_EPOCH_US) + F.col("id") * _IV_SPACING_US).alias("start_us"),
+        (F.lit(_IV_EPOCH_US) + F.col("id") * _IV_SPACING_US + _IV_LEN_US).alias(
+            "end_us"
+        ),
+    )
+    # each interval overlaps chunk(start) and chunk(end-1); distinct in
+    # case they coincide
+    iv_chunks = iv.select(
+        "interval_id",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"start_us div {_IV_BUCKET_US}"),
+                    F.expr(f"(end_us - 1) div {_IV_BUCKET_US}"),
+                )
+            )
+        ).alias("chunk"),
+    )
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    ec = e.withColumn("chunk", F.expr(f"us div {_IV_BUCKET_US}"))
+    return (
+        ec.join(F.broadcast(iv_chunks), "chunk")
+        .filter((F.col("us") >= F.col("start_us")) & (F.col("us") < F.col("end_us")))
+        .select(
+            "event_id",
+            "event_type",
+            "interval_id",
+            F.expr("(us - start_us) div 1000").alias("offset_ms"),
+        )
+    )

@@ -98,6 +98,7 @@ TWO_PHASE_QUERIES = [
     "u5_merge_upsert",
     "w12_funnel_steps",
     "dedup_char_ngram",
+    "j10_interval_join",
 ]
 
 
