@@ -363,3 +363,54 @@ def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("sum_value_raw"), 2).alias("sum_value"),
         "max_value",
     )
+
+
+@query(
+    "agg_time_rollup",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         epoch_us(date_trunc('day', ts)) AS day_us,
+         epoch_us(date_trunc('hour', ts)) AS hour_us
+  FROM events
+)
+SELECT day_us, hour_us, event_type, count(*) AS n,
+       floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
+       CAST(grouping(day_us) * 4 + grouping(hour_us) * 2
+            + grouping(event_type) AS INTEGER) AS lvl
+FROM e
+GROUP BY GROUPING SETS ((day_us, hour_us, event_type),
+                        (day_us, hour_us), (day_us), ())
+""",
+    doc="Hypertable-style time rollup (the TimescaleDB continuous- "
+    "aggregate shape): hour-per-type, hour, day, and grand totals in "
+    "ONE pass over the events stream table — GROUPING SETS expands to "
+    "a single Expand + partial-aggregating hash aggregate, so the "
+    "100 TB scan happens once, not once per granularity, and each "
+    "coarser level is also derivable from the finer one by re- "
+    "aggregation (the incremental-refresh property). Time keys are "
+    "exact truncated integer microseconds on both engines; grouping() "
+    "bits disambiguate levels exactly like the engines' own rollup id",
+    tags=("aggregate", "ext"),
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        "event_type",
+        "value",
+        F.unix_micros(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias(
+            "day_us"
+        ),
+        F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias(
+            "hour_us"
+        ),
+    ).createOrReplaceTempView("_tr_events")
+    return spark.sql("""
+        SELECT day_us, hour_us, event_type, count(*) AS n,
+               floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
+               CAST(grouping(day_us) * 4 + grouping(hour_us) * 2
+                    + grouping(event_type) AS INT) AS lvl
+        FROM _tr_events
+        GROUP BY GROUPING SETS ((day_us, hour_us, event_type),
+                                (day_us, hour_us), (day_us), ())
+    """)

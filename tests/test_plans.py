@@ -99,6 +99,7 @@ TWO_PHASE_QUERIES = [
     "w12_funnel_steps",
     "dedup_char_ngram",
     "j10_interval_join",
+    "agg_time_rollup",
 ]
 
 
