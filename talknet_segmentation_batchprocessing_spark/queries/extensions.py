@@ -1706,3 +1706,67 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(frac, 6).alias("dup_frac"),
         (frac > 0.5).alias("mostly_duplicated"),
     )
+
+
+_TRIANGLE_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+e AS (
+  SELECT p.a, p.b FROM p0 p
+  JOIN sizes sa ON sa.doc_id = p.a
+  JOIN sizes sb ON sb.doc_id = p.b
+  WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pernode AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT node, n_triangles FROM pernode
+"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Triangle counting on the near-dup similarity graph (the "
+    "clustering-coefficient building block): edges ordered a < b, "
+    "wedges from one self-join (e1.b = e2.a implies a < b < c), "
+    "closed by a second equi-join on the (a, c) edge — per node, the "
+    "number of triangles it participates in. The two-equi-join "
+    "enumeration IS the scale algorithm (each join hash-partitions on "
+    "a node key); production additionally orients edges by degree so "
+    "wedge fan-out is bounded by the SMALLER endpoint's degree — on "
+    "this Jaccard graph component sizes are tiny, so the plain "
+    "orientation suffices and stays oracle-exact",
+    tags=("graph", "dedup", "ext"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = track_persist(
+        dedup_ngram_jaccard(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e.join(e2, "b")
+    e3 = e.select(F.col("a"), F.col("b").alias("c")).withColumn("_closed", F.lit(1))
+    tri = wedges.join(e3, ["a", "c"]).select("a", "b", "c")
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").cast("bigint").alias("n_triangles"))

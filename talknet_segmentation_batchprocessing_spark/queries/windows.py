@@ -512,3 +512,47 @@ def w12_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.filter(F.col("t1_us").isNotNull()).select(
         "user_id", "t1_us", "t2_us", "t3_us", stage.cast("int").alias("stage")
     )
+
+
+_COHORT_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us FROM events
+),
+c AS (SELECT user_id, min(day_us) AS cohort_us FROM a GROUP BY user_id)
+SELECT c.cohort_us,
+       CAST((a.day_us - c.cohort_us) // 86400000000 AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM a JOIN c ON c.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "w14_cohort_retention",
+    oracle=_COHORT_ORACLE,
+    doc="Cohort retention matrix: users grouped by first-active day, "
+    "counted on each later active day-offset — the standard retention "
+    "triangle. Two aggregations + one equi-join on user_id, every "
+    "stage key-partitioned; the cohort frame is one row per user, so "
+    "at scale it broadcasts or co-partitions with the activity scan. "
+    "Day keys are exact truncated integer microseconds on both "
+    "engines; offsets are exact integer day divisions",
+    tags=("W14", "ext"),
+)
+def w14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id",
+        F.unix_micros(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias(
+            "day_us"
+        ),
+    ).distinct()
+    c = a.groupBy("user_id").agg(F.min("day_us").alias("cohort_us"))
+    return (
+        a.join(c, "user_id")
+        .groupBy(
+            "cohort_us",
+            F.expr("(day_us - cohort_us) div 86400000000").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -100,6 +100,8 @@ TWO_PHASE_QUERIES = [
     "dedup_char_ngram",
     "j10_interval_join",
     "agg_time_rollup",
+    "graph_triangle_count",
+    "w14_cohort_retention",
 ]
 
 
