@@ -68,6 +68,16 @@ HEADLINE = [
     "shuffle_shard_assign",
     "sketch_hll_distinct",
     "curation_pipeline",
+    "sketch_kmv_distinct",
+    "sketch_quantile_sampled",
+    "x21_zorder_value",
+    "u5_merge_upsert",
+    "w12_funnel_steps",
+    "dedup_char_ngram",
+    "j10_interval_join",
+    "agg_time_rollup",
+    "graph_triangle_count",
+    "w14_cohort_retention",
 ]
 
 
