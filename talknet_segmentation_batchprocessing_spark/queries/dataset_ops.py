@@ -1278,3 +1278,43 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import REGISTRY as _REG  # noqa: E402
 
 _REG["curation_pipeline"].oracle = _curation_oracle()
+
+
+_WS_PPM = 1_000_000
+
+_WEIGHTED_ORACLE = f"""
+WITH mx AS (SELECT max(n_chars) AS m FROM documents),
+keyed AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         ({_SQL_MD5_BIGINT.format(c="doc_id")}) % {_WS_PPM} AS h,
+         (d.n_chars * {_WS_PPM}) // mx.m AS keep_ppm
+  FROM documents d CROSS JOIN mx
+)
+SELECT doc_id, lang, n_chars, CAST(keep_ppm AS BIGINT) AS keep_ppm
+FROM keyed WHERE h < keep_ppm
+"""
+
+
+@query(
+    "sample_weighted_hash",
+    oracle=_WEIGHTED_ORACLE,
+    doc="Length-weighted deterministic sampling: each doc kept with "
+    "probability proportional to its n_chars (normalized by the "
+    "corpus max — one 1-row broadcast aggregate), decided by the same "
+    "md5 hash family as the Bernoulli sampler. All EXACT integer ppm "
+    "arithmetic, so both engines keep the identical set; the "
+    "importance-sampling shape for char-budgeted corpus draws "
+    "(long docs proportionally more likely), still a pure per-row "
+    "filter after the broadcast — pushdown-friendly at any scale",
+    tags=("dataset", "sampling", "ext"),
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    h = _md5_bigint(F.col("doc_id")) % _WS_PPM
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .withColumn("keep_ppm", F.expr(f"n_chars * {_WS_PPM} div m"))
+        .filter(h < F.col("keep_ppm"))
+        .select("doc_id", "lang", "n_chars", F.col("keep_ppm").cast("bigint"))
+    )

@@ -102,6 +102,7 @@ TWO_PHASE_QUERIES = [
     "agg_time_rollup",
     "graph_triangle_count",
     "w14_cohort_retention",
+    "sample_weighted_hash",
 ]
 
 

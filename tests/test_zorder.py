@@ -98,3 +98,19 @@ def test_zordered_box_predicate_skips_most_files(spark, tmp_path):
     assert n > 0
     zs = back.select(F.max("_z")).collect()[0][0]
     assert zs < zmax_box
+
+
+def test_z_value_bijective_on_12bit_pairs(spark):
+    """Round-trip: decode the interleave and recover (x, y) exactly for
+    a spread of pairs across the full 12-bit range."""
+    df = spark.range(0, 2048).select(
+        ((F.col("id") * 37) % 4096).alias("x"),
+        ((F.col("id") * 101 + 5) % 4096).alias("y"),
+    )
+    rows = df.select("x", "y", z_value("x", "y").alias("z")).collect()
+    for r in rows:
+        x = y = 0
+        for i in range(12):
+            x |= ((r.z >> (2 * i)) & 1) << i
+            y |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.x, r.y)
