@@ -1770,3 +1770,63 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def _recall_oracle() -> str:
+    """Composed from the registered brute-force and IVF oracles (the
+    ground truth and the candidate ANN are the already-proven
+    definitions, not re-derivations)."""
+    from ..registry import REGISTRY
+
+    bf = REGISTRY["sim_topk_bruteforce"].oracle
+    ivf = REGISTRY["sim_ivf_topk"].oracle
+    return f"""
+WITH bf AS ({bf}),
+ivf AS ({ivf}),
+hits AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM bf b JOIN ivf i ON i.query_id = b.query_id
+   AND i.neighbor_id = b.neighbor_id
+  WHERE b.rank <= 3
+  GROUP BY b.query_id
+),
+q AS (SELECT DISTINCT query_id FROM bf)
+SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       floor((coalesce(h.n_hits, 0) / 3.0) * 1e6 + 0.5) / 1e6 AS recall_at_3
+FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+@query(
+    "sim_recall_eval",
+    oracle=None,  # late-bound below: composes two registered oracles
+    doc="ANN quality audit — recall@3 of the IVF index against the "
+    "brute-force ground truth, per query: the STANDARD metric every "
+    "ANN deployment tracks. Both sides are the registered queries "
+    "(shared definitions), intersected on (query, neighbor) and "
+    "counted; the oracle composes the two already-proven component "
+    "oracles. At scale the ground truth comes from a sampled query "
+    "set (queries here are the fixed probe batch), so the audit costs "
+    "one brute-force pass over the sample, not the corpus",
+    tags=("similarity", "eval", "ext"),
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = sim_topk_bruteforce(spark, sf_dir).filter(F.col("rank") <= 3)
+    ivf = sim_ivf_topk(spark, sf_dir)
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_nh"))
+    )
+    q = bf.select("query_id").distinct()
+    nh = F.coalesce(F.col("_nh"), F.lit(0))
+    return q.join(hits, "query_id", "left").select(
+        "query_id",
+        nh.cast("bigint").alias("n_hits"),
+        stable_round(nh / 3.0, 6).alias("recall_at_3"),
+    )
+
+
+from ..registry import REGISTRY as _EXT_REG  # noqa: E402
+
+_EXT_REG["sim_recall_eval"].oracle = _recall_oracle()

@@ -103,6 +103,7 @@ TWO_PHASE_QUERIES = [
     "graph_triangle_count",
     "w14_cohort_retention",
     "sample_weighted_hash",
+    "sim_recall_eval",
 ]
 
 
