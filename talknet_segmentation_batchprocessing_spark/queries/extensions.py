@@ -1830,3 +1830,34 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import REGISTRY as _EXT_REG  # noqa: E402
 
 _EXT_REG["sim_recall_eval"].oracle = _recall_oracle()
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+WITH pred AS ({_LANGID_ORACLE})
+SELECT lang AS true_lang, pred_lang, count(*) AS n,
+       floor((count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang)) * 1e6 + 0.5)
+         / 1e6 AS row_frac
+FROM pred GROUP BY lang, pred_lang
+""",
+    doc="Language-ID confusion matrix: the classifier-quality audit "
+    "for text_langid — per (true, predicted) language pair, count and "
+    "row-normalized fraction (the per-class recall diagonal). One "
+    "aggregation over the langid scan plus a partitioned window for "
+    "the row normalization; composes the registered langid oracle so "
+    "the audit and the classifier can never drift apart",
+    tags=("text", "eval", "ext"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_langid(spark, sf_dir)
+    counts = pred.groupBy(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        stable_round(F.col("n") / F.sum("n").over(w), 6).alias("row_frac"),
+    )

@@ -104,6 +104,7 @@ TWO_PHASE_QUERIES = [
     "w14_cohort_retention",
     "sample_weighted_hash",
     "sim_recall_eval",
+    "text_langid_confusion",
 ]
 
 
