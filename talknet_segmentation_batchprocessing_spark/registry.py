@@ -144,15 +144,19 @@ _LOADED = False
 # room: f2/f3/f7/f8/f11 (trivial filter cores, driver-green in BOTH r1
 # and r3 with unchanged code since r1). With r1-r4 together, every
 # query registered BEFORE this window was cut has at least one
-# driver-green row; the fifteen registered after it this round
+# driver-green row; the twenty-five registered after it this round
 # (dedup_keep_canonical, text_sentence_stats, emb_dim_stats,
 # text_bigram_topk, x20_variant_json, ts_sax_similarity,
 # doc_chunk_overlap, dedup_incremental, emb_cluster_balance,
 # shuffle_shard_assign, sketch_kmv_distinct, sketch_hll_distinct,
-# sketch_quantile_sampled, x21_zorder_value, curation_pipeline — all
-# repo-parity green at sf0.001 AND sf0.01 plus vanilla-session
-# probes, and sweep-green at sf0.1) rotate in next round, same as
-# r3's five did.
+# sketch_quantile_sampled, x21_zorder_value, curation_pipeline,
+# u5_merge_upsert, w12_funnel_steps, dedup_char_ngram,
+# j10_interval_join, agg_time_rollup, graph_triangle_count,
+# w14_cohort_retention, sample_weighted_hash, sim_recall_eval,
+# text_langid_confusion — all repo-parity green at sf0.001 AND
+# sf0.01 plus vanilla-session probes, and sweep-green at sf0.1)
+# rotate through the window across the coming rounds, same as r3's
+# five did.
 _DRIVER_WINDOW = [
     # anchors: flagship + e2e + eval arm + kernels
     "w1_speaking_segments", "pipeline_scores_to_segments",
