@@ -1861,3 +1861,55 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         stable_round(F.col("n") / F.sum("n").over(w), 6).alias("row_frac"),
     )
+
+
+_SEMANTIC_KEEP_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pr AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS av, b.v AS bv
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+p AS (
+  SELECT vec_a, vec_b FROM pr
+  WHERE {_COS_EXPR_DUCK} > {_COS_NEAR_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM p
+  UNION ALL SELECT vec_b, vec_a FROM p
+),
+cc(vec_id, lbl) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT g.dst, c.lbl FROM cc c JOIN edges g ON g.src = c.vec_id
+),
+lbl AS (SELECT vec_id, min(lbl) AS cluster_id FROM cc GROUP BY vec_id)
+SELECT e.vec_id, l.cluster_id
+FROM e JOIN lbl l ON l.vec_id = e.vec_id
+WHERE l.cluster_id = e.vec_id
+"""
+
+
+@query(
+    "dedup_semantic_keep",
+    oracle=_SEMANTIC_KEEP_ORACLE,
+    doc="SemDeDup proper — the embedding-side analog of "
+    "dedup_keep_canonical: cosine near-dup pairs (the registered "
+    "exact baseline) -> star connected components -> keep only each "
+    "semantic cluster's canonical (min vec_id) member. The survivors "
+    "are what a semantic-dedup pass feeds to training. Composes the "
+    "proven building blocks (block self-join cosine, star CC); at "
+    "100 TB the pair stage swaps to sim_lsh_bucketed candidates with "
+    "identical downstream clustering",
+    tags=("dedup", "similarity", "ext", "pipeline"),
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    out = connected_components_star(emb, pairs, edges_distinct=True)
+    return (
+        out.filter(F.col("component") == F.col("vec_id"))
+        .select("vec_id", F.col("component").alias("cluster_id"))
+    )

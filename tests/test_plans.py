@@ -105,6 +105,7 @@ TWO_PHASE_QUERIES = [
     "sample_weighted_hash",
     "sim_recall_eval",
     "text_langid_confusion",
+    "dedup_semantic_keep",
 ]
 
 
