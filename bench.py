@@ -78,6 +78,10 @@ HEADLINE = [
     "agg_time_rollup",
     "graph_triangle_count",
     "w14_cohort_retention",
+    "sample_weighted_hash",
+    "sim_recall_eval",
+    "text_langid_confusion",
+    "dedup_semantic_keep",
 ]
 
 
