@@ -165,8 +165,8 @@ updates AS (
   FROM documents WHERE doc_id % 3 = 0
 )
 SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
-       coalesce(u.lang, t.lang) AS lang,
-       coalesce(u.n_chars, t.n_chars) AS n_chars,
+       CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE t.lang END AS lang,
+       CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars ELSE t.n_chars END AS n_chars,
        CASE WHEN t.doc_id IS NULL THEN 'inserted'
             WHEN u.doc_id IS NULL THEN 'kept'
             ELSE 'updated' END AS merge_action

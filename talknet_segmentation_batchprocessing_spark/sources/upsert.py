@@ -23,20 +23,32 @@ _POINTER = "_LATEST"
 
 def merge_frames(target: DataFrame, updates: DataFrame, on: str) -> DataFrame:
     """MERGE semantics as one relational operator: full outer join on
-    ``on``; matched rows take the update's values, unmatched updates
+    ``on``; matched rows take the update's values (INCLUDING explicit
+    NULLs — the gate is the update side's key presence, not per-column
+    coalesce, so ``UPDATE SET c = NULL`` works), unmatched updates
     insert, unmatched target rows carry over. Adds a ``merge_action``
-    audit column ('kept' | 'updated' | 'inserted')."""
+    audit column ('kept' | 'updated' | 'inserted').
+
+    Deviation from SQL MERGE: duplicate keys in ``updates`` fan the
+    full-outer join out into duplicate output rows instead of raising
+    a multiple-match error; :func:`merge_into` (the table-mutation
+    path, where MERGE's error semantics matter) guards against this
+    with an explicit uniqueness check."""
     cols = [c for c in target.columns if c != on]
     t = target.alias("t")
     u = updates.alias("u")
+    matched = F.col(f"u.{on}").isNotNull()
     action = (
         F.when(F.col(f"t.{on}").isNull(), "inserted")
-        .when(F.col(f"u.{on}").isNull(), "kept")
+        .when(~matched, "kept")
         .otherwise("updated")
     )
     return t.join(u, F.col(f"t.{on}") == F.col(f"u.{on}"), "full_outer").select(
         F.coalesce(F.col(f"t.{on}"), F.col(f"u.{on}")).alias(on),
-        *[F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in cols],
+        *[
+            F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ],
         action.alias("merge_action"),
     )
 
@@ -73,8 +85,22 @@ def merge_into(
     Write order is crash-safe: the FULL v<N+1> data lands first (Spark
     writes to a _temporary dir and renames per-file, so a torn job
     leaves no pointer change), the pointer file is replaced LAST via
-    os.replace (atomic on POSIX). A concurrent reader either sees
-    v<N> or v<N+1>, never a mix."""
+    os.replace (atomic on POSIX). A concurrent READER either sees
+    v<N> or v<N+1>, never a mix.
+
+    Concurrency contract: SINGLE WRITER. Publish is conditional — the
+    pointer-advance loses (raises) if another merge published first
+    (per-version commit marker created with O_EXCL), so a lost race
+    fails loudly instead of silently deleting the winner's files.
+
+    Duplicate keys in ``updates`` raise ValueError, matching SQL
+    MERGE's multiple-match error (merge_frames alone would fan out)."""
+    dup = updates.groupBy(on).count().filter(F.col("count") > 1)
+    if not dup.isEmpty():
+        raise ValueError(
+            f"updates has duplicate values of merge key {on!r}; "
+            "SQL MERGE raises on multiple matches"
+        )
     v = current_version(table_dir)
     target = read_table(spark, table_dir)
     merged = merge_frames(target, updates, on).drop("merge_action")
@@ -85,6 +111,15 @@ def merge_into(
 
 
 def _publish(table_dir: str, version: int) -> None:
+    """Atomically advance the pointer to ``version``, conditional on
+    being the FIRST publisher of that version: an O_EXCL commit marker
+    is the mutual-exclusion primitive (exactly-one-creator on POSIX),
+    so two racing merges that both read v and both wrote v+1 data
+    cannot both publish — the loser raises FileExistsError with its
+    orphan data dir left unreferenced (same as a crashed merge)."""
+    marker = os.path.join(table_dir, f"_COMMIT_v{version}")
+    fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
     tmp = os.path.join(table_dir, f"{_POINTER}.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))

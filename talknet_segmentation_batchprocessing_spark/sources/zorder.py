@@ -51,11 +51,21 @@ def file_z_ranges(path: str) -> list[tuple[int, int]]:
 
     import pyarrow.parquet as pq
 
+    files = sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+        or glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
     ranges = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    for f in files:
         md = pq.ParquetFile(f).metadata
         zi = {md.schema.column(i).name: i for i in range(md.num_columns)}["_z"]
-        lo = min(md.row_group(g).column(zi).statistics.min for g in range(md.num_row_groups))
-        hi = max(md.row_group(g).column(zi).statistics.max for g in range(md.num_row_groups))
-        ranges.append((lo, hi))
+        stats = [md.row_group(g).column(zi).statistics for g in range(md.num_row_groups)]
+        # a row group written with statistics disabled (or an all-null
+        # _z chunk) has statistics=None — fail loudly, the caller is
+        # about to prune on numbers that do not exist
+        if any(s is None or not s.has_min_max for s in stats):
+            raise ValueError(f"{f}: _z row-group statistics missing; cannot prune")
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
     return ranges

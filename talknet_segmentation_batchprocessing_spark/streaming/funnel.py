@@ -41,8 +41,15 @@ def _fold_batch(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         return sum(t is not None for t in (t1, t2, t3))
 
     before = stage()
-    for pdf in pdfs:
-        p = pdf.sort_values(["us", "event_type"])
+    # applyInPandasWithState delivers ONE group's micro-batch rows as
+    # multiple arrow chunks (maxRecordsPerBatch); sorting each chunk
+    # independently would fold a later-chunk 'view' after an
+    # earlier-chunk 'click' out of time order. Concatenate first, sort
+    # once — per-user event counts are small by the same O(3 longs)
+    # state argument, so the combined frame is bounded.
+    chunks = list(pdfs)
+    if chunks:
+        p = pd.concat(chunks).sort_values(["us", "event_type"])
         for us, typ in zip(p["us"], p["event_type"]):
             us = int(us)
             # identical strict-after rules as the batch fold

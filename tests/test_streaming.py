@@ -315,3 +315,43 @@ def test_sliding_window_counts_matches_batch(spark, tmp_path):
     assert len(merged) == len(want) == len(got)
     assert (merged.n_want == merged.n_got).all()
     assert (abs(merged.sum_value_want - merged.sum_value_got) < 1e-9).all()
+
+
+def test_funnel_fold_sorts_across_arrow_chunks():
+    """ADVICE r4: applyInPandasWithState delivers one group's
+    micro-batch as MULTIPLE arrow chunks; the fold must sort the
+    concatenation, not each chunk. A click arriving in an earlier
+    chunk than the view it follows must still fold in time order."""
+    import pandas as pd
+
+    from talknet_segmentation_batchprocessing_spark.streaming.funnel import (
+        _fold_batch,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # chunk 1 carries the LATER events (click@20, purchase@30), chunk 2
+    # the view@10 — per-chunk sorting would fold click before view and
+    # reject it (t1 is None), ending at stage 1 instead of 3
+    c1 = pd.DataFrame({"us": [20, 30], "event_type": ["click", "purchase"]})
+    c2 = pd.DataFrame({"us": [10], "event_type": ["view"]})
+    state = _FakeState()
+    out = list(_fold_batch((7,), iter([c1, c2]), state))
+    assert state._v == (10, 20, 30)
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.user_id, row.stage) == (7, 3)
+    assert (row.t1_us, row.t2_us, row.t3_us) == (10, 20, 30)

@@ -59,3 +59,47 @@ def test_versioned_merge_into_and_atomic_pointer(spark, tmp_path):
     )
     assert current_version(table) == 1
     assert read_table(spark, table).count() == 110
+
+
+def test_merge_frames_update_can_set_null(spark):
+    """ADVICE r4: matched rows take the update's values INCLUDING
+    explicit NULLs — per-column coalesce would silently keep 'b'."""
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, v long"
+    )
+    updates = spark.createDataFrame([(2, None, 200)], "k long, s string, v long")
+    got = {r.k: r for r in merge_frames(target, updates, "k").collect()}
+    assert got[2].s is None and got[2].v == 200
+    assert got[2].merge_action == "updated"
+    assert (got[1].s, got[1].merge_action) == ("a", "kept")
+
+
+def test_merge_into_rejects_duplicate_update_keys(spark, tmp_path):
+    """SQL MERGE raises on multiple matches; merge_into enforces it."""
+    import pytest
+
+    table = str(tmp_path / "tbl")
+    init_table(
+        spark.createDataFrame([(1, 10)], "k long, v long"), table
+    )
+    dup = spark.createDataFrame([(1, 11), (1, 12)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_into(spark, table, dup, "k")
+    # failed merge publishes nothing
+    assert current_version(table) == 0
+
+
+def test_publish_is_single_winner(spark, tmp_path):
+    """Two racing merges that both computed v1: the second publish of
+    the SAME version must fail loudly (O_EXCL commit marker), never
+    silently overwrite the winner's pointer/files."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.sources.upsert import _publish
+
+    table = str(tmp_path / "tbl")
+    init_table(spark.createDataFrame([(1, 10)], "k long, v long"), table)
+    _publish(table, 1)
+    with pytest.raises(FileExistsError):
+        _publish(table, 1)
+    assert current_version(table) == 1

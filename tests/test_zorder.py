@@ -114,3 +114,37 @@ def test_z_value_bijective_on_12bit_pairs(spark):
             x |= ((r.z >> (2 * i)) & 1) << i
             y |= ((r.z >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r.x, r.y)
+
+
+def test_file_z_ranges_guards(spark, tmp_path):
+    """ADVICE r4: missing files and absent footer statistics must
+    raise, not AttributeError / silently return []."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.sources.zorder import (
+        file_z_ranges,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        file_z_ranges(str(tmp_path / "nowhere"))
+
+    # a file written with statistics disabled: prune must refuse
+    nostats = tmp_path / "nostats"
+    nostats.mkdir()
+    pq.write_table(
+        pa.table({"_z": [1, 2, 3]}),
+        str(nostats / "part-0.parquet"),
+        write_statistics=False,
+    )
+    with pytest.raises(ValueError, match="statistics"):
+        file_z_ranges(str(nostats))
+
+    # nested/partitioned layout is found via the recursive glob
+    nested = tmp_path / "nested"
+    (nested / "day=1").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"_z": [5, 9]}), str(nested / "day=1" / "part-0.parquet")
+    )
+    assert file_z_ranges(str(nested)) == [(5, 9)]
