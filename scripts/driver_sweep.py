@@ -45,7 +45,15 @@ def main() -> int:
     limit = None if "--all" in sys.argv else 50
 
     registry._ensure_loaded()
-    names = list(registry.REGISTRY)[:limit]
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in wanted if n not in registry.REGISTRY]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 2
+        names = wanted
+    else:
+        names = list(registry.REGISTRY)[:limit]
 
     spark = get_spark(app_name="driver-sweep")
     duck = duckdb.connect()

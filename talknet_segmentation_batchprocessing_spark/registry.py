@@ -131,57 +131,47 @@ _LOADED = False
 # parity suite (tests/test_oracle_parity.py, all queries) — the
 # overflow is chosen to be queries that are either trivial projections
 # or already driver-green in round 1.
-# Round-4 rotation: the five queries registered after the r3 window was
-# cut get their first driver rows (sim_pq_topk, text_pii_scrub,
-# doc_char_entropy, dedup_cc_labelprop, x17_timecode), and the three
-# round-3 hash failures stay in-window to prove the HUGEINT oracle fix
-# (mix_domain_weights, doc_length_histogram, multimodal_frame_sample —
-# root cause: uncast DuckDB sum() output columns, now CAST AS BIGINT
-# and linted forever by tests/test_oracle_parity.py::
-# test_oracle_no_hugeint_outputs). Anchors whose plans change this
-# round stay in: dedup_cc_star / dedup_cc_clusters (per-round overhead
-# trim), a6 / ava / j1 (one-phase persist skip). Displaced to make
-# room: f2/f3/f7/f8/f11 (trivial filter cores, driver-green in BOTH r1
-# and r3 with unchanged code since r1). With r1-r4 together, every
-# query registered BEFORE this window was cut has at least one
-# driver-green row; the twenty-five registered after it this round
-# (dedup_keep_canonical, text_sentence_stats, emb_dim_stats,
-# text_bigram_topk, x20_variant_json, ts_sax_similarity,
-# doc_chunk_overlap, dedup_incremental, emb_cluster_balance,
-# shuffle_shard_assign, sketch_kmv_distinct, sketch_hll_distinct,
-# sketch_quantile_sampled, x21_zorder_value, curation_pipeline,
-# u5_merge_upsert, w12_funnel_steps, dedup_char_ngram,
-# j10_interval_join, agg_time_rollup, graph_triangle_count,
-# w14_cohort_retention, sample_weighted_hash, sim_recall_eval,
-# text_langid_confusion — all repo-parity green at sf0.001 AND
-# sf0.01 plus vanilla-session probes, and sweep-green at sf0.1)
-# rotate through the window across the coming rounds, same as r3's
-# five did.
+# Round-5 rotation (VERDICT r4 Next #1): the twenty-five queries
+# registered after the r4 window was cut get their FIRST driver-green
+# rows — all were already repo-parity green at sf0.001/sf0.01/sf0.1 in
+# the r4 sweep, this rotation converts that into the hard signal.
+# Anchors kept: the seven flagship/e2e/eval/kernel queries plus the
+# queries whose PLANS change this round (CC per-round cost trim +
+# shared near-dup edge table: dedup_cc_star, dedup_cc_clusters,
+# dedup_minhash_lsh; u5_merge_upsert's MERGE semantics fix is in the
+# overflow list already; graph_triangle_count / dedup_keep_canonical /
+# dedup_semantic_keep likewise). Remaining slots carry the new
+# round-5 queries so they are driver-checked the round they land.
+# Displaced to make room: the r4 re-confirm block (w10/w11/j9/x19/...,
+# all driver-green in r3 AND r4 with unchanged code) and the r4-fix
+# proofs (mix_domain_weights etc., green in r4). With r1-r5 together,
+# every registered query has at least one driver-green row.
 _DRIVER_WINDOW = [
     # anchors: flagship + e2e + eval arm + kernels
     "w1_speaking_segments", "pipeline_scores_to_segments",
     "q1_pricing_summary", "ava_map_eval", "columbia_f1_eval",
     "j6_greedy_tracking", "w6_nms_greedy",
-    # anchors: plans changed this round (persist-skip / CC round trim)
-    "a6_average_precision", "j1_equijoin_ranked", "u2_union_modulo_split",
-    "w7_batch_packing", "j8_length_constrained_pick",
-    "dedup_embedding_cosine", "dedup_cc_clusters", "dedup_cc_star",
-    # anchors: LLM-pipeline flagships
-    "dedup_minhash_lsh", "sim_lsh_bucketed", "sim_ivf_topk",
-    # first driver rows: registered after the r3 window was cut
-    "sim_pq_topk", "text_pii_scrub", "doc_char_entropy",
-    "dedup_cc_labelprop", "x17_timecode",
-    # round-3 hash failures — HUGEINT oracle fix must go green
-    "mix_domain_weights", "doc_length_histogram", "multimodal_frame_sample",
-    # re-confirm r3-green rows (code unchanged)
-    "w10_sessionize", "w11_sliding_window", "w1_udtf_runs", "j9_asof_join",
-    "x19_json_field_stats", "ext_semi_anti_join", "ext_grouping_sets",
-    "agg_salted_hot_keys", "emb_pq_codes", "emb_quantize_int8",
-    "text_normalize", "text_tfidf_topk", "text_vocab_topk",
-    "text_unigram_logprob", "contamination_ngram", "sample_stratified",
-    "sample_bernoulli_hash", "split_train_val_test",
-    "j3_surrogate_equijoin", "a3_counts", "a7_extent_minmax_first",
-    "a8_distinct", "x3_crop_geometry", "x15_softmax_argmax",
+    # anchors: plans change this round (CC round-cost trim + shared
+    # edge table)
+    "dedup_cc_clusters", "dedup_cc_star", "dedup_minhash_lsh",
+    # first driver rows: the 25 registered after the r4 window was cut
+    "dedup_keep_canonical", "text_sentence_stats", "emb_dim_stats",
+    "text_bigram_topk", "x20_variant_json", "ts_sax_similarity",
+    "doc_chunk_overlap", "dedup_incremental", "emb_cluster_balance",
+    "shuffle_shard_assign", "sketch_kmv_distinct", "sketch_hll_distinct",
+    "sketch_quantile_sampled", "x21_zorder_value", "curation_pipeline",
+    "u5_merge_upsert", "w12_funnel_steps", "dedup_char_ngram",
+    "j10_interval_join", "agg_time_rollup", "graph_triangle_count",
+    "w14_cohort_retention", "sample_weighted_hash", "sim_recall_eval",
+    "text_langid_confusion", "dedup_semantic_keep",
+    # re-confirms: dedup/sim family whose plans the shared edge table
+    # and CC trim touch, plus eval-arm anchors (new round-5 queries
+    # replace entries from this block as they land)
+    "dedup_ngram_jaccard", "dedup_exact", "dedup_embedding_cosine",
+    "dedup_cc_labelprop", "sim_lsh_bucketed", "sim_ivf_topk",
+    "sim_pq_topk", "a6_average_precision", "j1_equijoin_ranked",
+    "j9_asof_join", "w10_sessionize", "text_pii_scrub",
+    "doc_char_entropy", "contamination_ngram",
 ]
 
 
