@@ -141,6 +141,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup similarity EDGE TABLE (doc_a < doc_b, distinct by
+    the jaccard groupBy), materialized once per query via an eager
+    ``localCheckpoint``: every graph consumer (star CC, canonical
+    keep, triangle counting) then plans over a stored table instead of
+    recomposing the whole shingle->join->jaccard chain into its own
+    plan (the round-4 triangle plan carried 76 lineage shuffles). At
+    100 TB this is a written artifact — sources/checkpoints.py /
+    sources/bucketed.py — produced by one job and shared by every
+    downstream graph pass; localCheckpoint is the single-session
+    equivalent (stored partitions, truncated lineage)."""
+    return (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").cast("long").alias("doc_a"),
+                F.col("doc_b").cast("long").alias("doc_b"))
+        .localCheckpoint()
+    )
+
+
 _MINHASH_ORACLE = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 ds AS (
@@ -373,7 +392,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cc_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _near_dup_edges(spark, sf_dir)
     edges = track_persist(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -418,9 +437,13 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     # Jaccard pairs come out of a groupBy(doc_a, doc_b): already
-    # distinct, so the CC operator can skip its defensive dedup shuffle.
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    out = connected_components_star(docs, pairs, edges_distinct=True)
+    # distinct, so the CC operator can skip its defensive dedup shuffle;
+    # the shared edge table is already checkpoint-materialized, so it
+    # skips the operator's own checkpoint copy too.
+    pairs = _near_dup_edges(spark, sf_dir)
+    out = connected_components_star(
+        docs, pairs, edges_distinct=True, edges_materialized=True
+    )
     return out.select("doc_id", F.col("component").alias("cluster_id"))
 
 
@@ -1743,27 +1766,56 @@ SELECT node, n_triangles FROM pernode
     "graph_triangle_count",
     oracle=_TRIANGLE_ORACLE,
     doc="Triangle counting on the near-dup similarity graph (the "
-    "clustering-coefficient building block): edges ordered a < b, "
-    "wedges from one self-join (e1.b = e2.a implies a < b < c), "
-    "closed by a second equi-join on the (a, c) edge — per node, the "
-    "number of triangles it participates in. The two-equi-join "
-    "enumeration IS the scale algorithm (each join hash-partitions on "
-    "a node key); production additionally orients edges by degree so "
-    "wedge fan-out is bounded by the SMALLER endpoint's degree — on "
-    "this Jaccard graph component sizes are tiny, so the plain "
-    "orientation suffices and stays oracle-exact",
+    "clustering-coefficient building block), DEGREE-ORIENTED: edges "
+    "point low-(degree, id) -> high-(degree, id), so every triangle "
+    "is enumerated exactly once as a wedge at its lowest-order vertex "
+    "and the wedge fan-out per node is bounded by its ORIENTED "
+    "out-degree <= sqrt(2m) — the standard bound that keeps a skewed "
+    "hub (a boilerplate doc similar to thousands) from exploding the "
+    "wedge join. Input is the shared materialized edge table "
+    "(_near_dup_edges), so the plan is degree agg + two equi-joins "
+    "over a stored table, not a recomposition of the jaccard chain. "
+    "Orientation is count-invariant: output matches the unoriented "
+    "oracle exactly",
     tags=("graph", "dedup", "ext"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = track_persist(
-        dedup_ngram_jaccard(spark, sf_dir).select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    e = _near_dup_edges(spark, sf_dir)
+    # total order (degree, id) packed into one long: doc_ids are
+    # 32-bit-bounded here; at larger id domains use a struct key
+    sym = e.unionAll(e.select(F.col("doc_b").alias("doc_a"),
+                              F.col("doc_a").alias("doc_b")))
+    deg = track_persist(
+        sym.groupBy("doc_a")
+        .agg(F.count("*").alias("d"))
+        .select(
+            F.col("doc_a").alias("node"),
+            (F.col("d") * F.lit(2**32) + F.col("doc_a")).alias("rk"),
         )
     )
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e.join(e2, "b")
-    e3 = e.select(F.col("a"), F.col("b").alias("c")).withColumn("_closed", F.lit(1))
-    tri = wedges.join(e3, ["a", "c"]).select("a", "b", "c")
+    ranked = (
+        e.join(deg.withColumnsRenamed({"node": "doc_a", "rk": "ra"}), "doc_a")
+        .join(deg.withColumnsRenamed({"node": "doc_b", "rk": "rb"}), "doc_b")
+    )
+    lo = F.col("ra") < F.col("rb")
+    o = track_persist(
+        ranked.select(
+            F.when(lo, F.col("doc_a")).otherwise(F.col("doc_b")).alias("s"),
+            F.when(lo, F.col("ra")).otherwise(F.col("rb")).alias("s_rk"),
+            F.when(lo, F.col("doc_b")).otherwise(F.col("doc_a")).alias("t"),
+            F.when(lo, F.col("rb")).otherwise(F.col("ra")).alias("t_rk"),
+        )
+    )
+    # wedges at the lowest-order vertex: both out-edges of s, ordered
+    w1 = o.select("s", "s_rk", F.col("t").alias("b"), F.col("t_rk").alias("b_rk"))
+    w2 = o.select(F.col("s").alias("s2"), F.col("s_rk"),
+                  F.col("t").alias("c"), F.col("t_rk").alias("c_rk"))
+    wedges = w1.join(w2, "s_rk").filter(F.col("b_rk") < F.col("c_rk"))
+    # close: the (b, c) edge is oriented b -> c because b_rk < c_rk
+    close = o.select(F.col("s_rk").alias("b_rk"), F.col("t_rk").alias("c_rk"))
+    tri = wedges.join(close, ["b_rk", "c_rk"]).select(
+        F.col("s").alias("a"), "b", "c"
+    )
     nodes = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))

@@ -45,7 +45,13 @@ def _run(spark, n_nodes, edges):
         e = spark.createDataFrame(pd.DataFrame(edges, columns=["u", "v"]))
     else:
         e = spark.createDataFrame(pd.DataFrame({"u": [], "v": []}), "u long, v long")
+    # both sides of the adaptive switch must agree exactly: the
+    # driver-side union-find fast path (default at these sizes) and
+    # the distributed star rounds (forced via local_threshold=0)
     got = connected_components_star(nodes, e).toPandas()
+    got_star = connected_components_star(nodes, e, local_threshold=0).toPandas()
+    m = got.merge(got_star, on="node", suffixes=("_local", "_star"))
+    assert (m["component_local"] == m["component_star"]).all()
     want = union_find_components(n_nodes, edges)
     assert len(got) == n_nodes
     mismatch = {
@@ -84,3 +90,45 @@ def test_star_cc_giant_star_and_singletons(spark):
 
 def test_star_cc_no_edges(spark):
     _run(spark, 10, [])
+
+
+def test_triangle_degree_orientation_skewed_star(spark):
+    """VERDICT r4 Next #5: degree orientation on a skewed hub graph.
+    Hub 0 touches all 40 spokes plus the spokes form a few triangles
+    with the hub and with each other; the oriented enumeration must
+    count each triangle exactly once per participating node, matching
+    a brute-force count."""
+    from itertools import combinations
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # hub star + a chord chain among spokes => hub triangles
+    edges = [(0, i) for i in range(1, 41)]
+    edges += [(i, i + 1) for i in range(1, 40, 2)]  # chords: (1,2),(3,4)...
+    edges += [(5, 9), (9, 13), (5, 13)]  # an off-hub triangle
+    eset = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({x for e in eset for x in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if ((a, b) in eset and (b, c) in eset and (a, c) in eset):
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+
+    # drive the registered query's enumeration directly on this graph
+    # by monkeypatching its edge source
+    from talknet_segmentation_batchprocessing_spark.queries import extensions
+
+    e_df = spark.createDataFrame(
+        pd.DataFrame(sorted(eset), columns=["doc_a", "doc_b"]).astype("int64")
+    ).localCheckpoint()
+    orig = extensions._near_dup_edges
+    extensions._near_dup_edges = lambda s, d: e_df
+    try:
+        got = {
+            int(r.node): int(r.n_triangles)
+            for r in extensions.graph_triangle_count(spark, "unused").collect()
+        }
+    finally:
+        extensions._near_dup_edges = orig
+    assert got == want
