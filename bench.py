@@ -82,6 +82,7 @@ HEADLINE = [
     "sim_recall_eval",
     "text_langid_confusion",
     "dedup_semantic_keep",
+    "dedup_exact_substring",
 ]
 
 

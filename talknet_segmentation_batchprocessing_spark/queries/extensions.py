@@ -1731,6 +1731,132 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ESS_W = 32  # minimum duplicated-span length (chars)
+
+_EXACT_SUBSTRING_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t, len(lower(text)) AS n FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(substr(t, CAST(i + 1 AS INTEGER), {_ESS_W})), 1, 12)) AS BIGINT) AS gh
+  FROM d CROSS JOIN (SELECT unnest(range(0, 800)) AS i)
+  WHERE n >= {_ESS_W} AND i <= n - {_ESS_W}
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+brks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {_ESS_W}) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brks
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {_ESS_W} AS e
+  FROM isl GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.dup_chars, 0) AS dup_chars,
+       floor((coalesce(a.dup_chars, 0) * 1.0 / d.n) * 1e6 + 0.5) / 1e6 AS dup_frac
+FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=_EXACT_SUBSTRING_ORACLE,
+    doc="EXACT cross-doc duplicated-SPAN extraction (the Lee et al. "
+    "suffix-array family, distributed): stride-1 char grams of width "
+    f"W={_ESS_W} make span membership exact — a character belongs to "
+    "a cross-doc duplicated substring of length >= W iff some W-gram "
+    "covering it occurs in more than one document — so the per-doc "
+    "union of duplicated-gram intervals (a gaps-and-islands merge, "
+    "the engine's flagship operator, reused on character offsets) "
+    "yields the same duplicated spans a suffix array reports at "
+    "threshold W: n_spans maximal spans, dup_chars covered "
+    "characters, dup_frac of the doc. Cross-doc means min(doc) != "
+    "max(doc) per gram group, one aggregation, never a self-join. "
+    "Every shuffle carries (48-bit md5-derived hash, doc_id, int "
+    "offset) — never text — so the shuffle volume is ~12x corpus "
+    "bytes, linear, the practical distributed equivalent of the "
+    "suffix-grouping pass; dedup_char_ngram above is the strided "
+    "cheap audit, this is the exact representative",
+    tags=("dedup", "text", "ext"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    d = docs.select(
+        "doc_id",
+        F.lower("text").alias("t"),
+        F.length(F.lower("text")).cast("long").alias("n"),
+    )
+    # stride-1 grams with their offsets; substr on the bound column is
+    # O(W) per element — one pass, and t is dropped at the projection
+    g = track_persist(
+        d.filter(F.col("n") >= _ESS_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(length(t) - {_ESS_W} as int)), "
+                    f"i -> conv(substr(md5(substr(t, i + 1, {_ESS_W})), 1, 12), 16, 10))"
+                )
+            ).alias("pos", "ghs"),
+        )
+        .select("doc_id", "pos", F.col("ghs").cast("bigint").alias("gh"))
+    )
+    # cross-doc duplicated grams: one aggregation on the hash key
+    dup = (
+        g.groupBy("gh")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("gh")
+    )
+    hits = g.join(dup, "gh").select("doc_id", "pos")
+    # interval union per doc: gaps-and-islands over [pos, pos + W)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + _ESS_W).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    isl = hits.select("doc_id", "pos", F.sum(brk).over(w).alias("island"))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + _ESS_W).alias("e")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"), F.sum(F.col("e") - F.col("s")).alias("dup_chars")
+    )
+    dup_chars = F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long")
+    return (
+        d.select("doc_id", F.col("n").alias("n_chars"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            dup_chars.alias("dup_chars"),
+            stable_round(dup_chars / F.col("n_chars"), 6).alias("dup_frac"),
+        )
+    )
+
+
 _TRIANGLE_ORACLE = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -106,6 +106,8 @@ TWO_PHASE_QUERIES = [
     "sim_recall_eval",
     "text_langid_confusion",
     "dedup_semantic_keep",
+    # round-5 additions
+    "dedup_exact_substring",
 ]
 
 
