@@ -131,19 +131,45 @@ def main() -> None:
         ).count().write.format("noop").mode("overwrite").save()
         calib = min(calib or 1e9, time.perf_counter() - t0)
 
+    # Round-over-round, host-normalized (VERDICT r4 Next #6): per-round
+    # VMs differ ~1.4x in raw speed, so compare (query_sec / calib_sec)
+    # ratios against the most recent BENCH_r*.json that carries a
+    # calib_sec. < 1.0 = faster this round like-for-like.
+    vs_prev = {}
+    prev_meta = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(p) as f:
+                prev = json.load(f)
+        except Exception:
+            continue
+        # driver-recorded files wrap our JSON line under "parsed"
+        if isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]
+        if prev.get("calib_sec") and prev.get("queries") and prev.get("sf") == sf:
+            prev_meta = {"file": os.path.basename(p), "calib_sec": prev["calib_sec"]}
+            for name, t in timings.items():
+                pt = prev["queries"].get(name)
+                if pt:
+                    vs_prev[name] = round((t / calib) / (pt / prev["calib_sec"]), 3)
+            break
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calib_sec": round(calib, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calib_sec": round(calib, 3),
+    }
+    if vs_prev:
+        out["vs_prev_normalized"] = vs_prev
+        out["vs_prev_baseline"] = prev_meta
+    print(json.dumps(out))
     spark.stop()
 
 
