@@ -792,7 +792,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
     )
     pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn("cs", F.expr(_DOT_AB_SPARK) / (F.col("an") * F.col("bn")))
+    scored = pairs.withColumn("cs", F.try_divide(F.expr(_DOT_AB_SPARK), F.col("an") * F.col("bn")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -921,11 +921,17 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
         for vid, v in samp:
             vn = math.sqrt(dot(v, v))
             best_cid, best_cc = -1, None
-            # ascending cent_id + strict > == ORDER BY cc DESC, cent_id
+            # ascending cent_id + strict > == ORDER BY cc DESC, cent_id;
+            # zero-norm vector/centroid => cosine NULL in DuckDB (x/0
+            # is NULL there), which sorts LAST under DESC — mirror by
+            # skipping None and falling back to the lowest cent_id
             for cid in sorted(cent):
-                cc = dot(v, cent[cid]) / (vn * cn[cid])
-                if best_cc is None or cc > best_cc:
+                den = vn * cn[cid]
+                cc = dot(v, cent[cid]) / den if den > 0 else None
+                if cc is not None and (best_cc is None or cc > best_cc):
                     best_cid, best_cc = cid, cc
+            if best_cid == -1:
+                best_cid = sorted(cent)[0]
             members.setdefault(best_cid, []).append(v)
         # a centroid that loses every member drops out, exactly like the
         # oracle's GROUP BY
@@ -1010,7 +1016,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = _ivf_centroids(emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
     pairs = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "cc", F.expr(_DOT_VC_SPARK) / (F.col("nrm") * F.col("cn"))
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
     )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
     # assign and qprobe both branch off this window — persist the (tiny,
@@ -1044,7 +1050,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(qe), "query_id")
         .join(ne, "neighbor_id")
-        .withColumn("cs", F.expr(_DOT_AB_SPARK) / (F.col("an") * F.col("bn")))
+        .withColumn("cs", F.try_divide(F.expr(_DOT_AB_SPARK), F.col("an") * F.col("bn")))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
     return (
@@ -1108,7 +1114,7 @@ def emb_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = _ivf_centroids(emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
     pairs = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "cc", F.expr(_DOT_VC_SPARK) / (F.col("nrm") * F.col("cn"))
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
     )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
     # the assignment is scanned twice (stats, survivor count) — persist
@@ -1770,7 +1776,9 @@ agg AS (
 SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
        coalesce(a.n_spans, 0) AS n_spans,
        coalesce(a.dup_chars, 0) AS dup_chars,
-       floor((coalesce(a.dup_chars, 0) * 1.0 / d.n) * 1e6 + 0.5) / 1e6 AS dup_frac
+       CASE WHEN coalesce(d.n, 0) > 0
+            THEN floor((coalesce(a.dup_chars, 0) * 1.0 / d.n) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS dup_frac
 FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
@@ -1844,6 +1852,12 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_spans"), F.sum(F.col("e") - F.col("s")).alias("dup_chars")
     )
     dup_chars = F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long")
+    # empty/null-text docs: dup_frac defined as 0.0 (no chars, none
+    # duplicated) — ANSI mode would otherwise raise DIVIDE_BY_ZERO
+    frac = F.when(
+        F.coalesce(F.col("n_chars"), F.lit(0)) > 0,
+        stable_round(dup_chars / F.col("n_chars"), 6),
+    ).otherwise(F.lit(0.0))
     return (
         d.select("doc_id", F.col("n").alias("n_chars"))
         .join(agg, "doc_id", "left")
@@ -1852,7 +1866,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
             dup_chars.alias("dup_chars"),
-            stable_round(dup_chars / F.col("n_chars"), 6).alias("dup_frac"),
+            frac.alias("dup_frac"),
         )
     )
 

@@ -296,10 +296,12 @@ def x17_timecode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x20_variant_json",
     oracle="""
-SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7
-FROM events WHERE event_id < 2000
+SELECT event_id, k, k % 7 AS k_mod7 FROM (
+  SELECT event_id,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events WHERE event_id < 2000
+) t
 """,
     doc="Spark 4 VARIANT ingestion of the semi-structured props "
     "column: parse_json once into a VARIANT value, then typed "
@@ -311,7 +313,9 @@ FROM events WHERE event_id < 2000
 )
 def x20_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    v = F.parse_json("props")
+    # try_parse_json: malformed/empty/null props become NULL variants
+    # instead of failing the scan (real props columns are never clean)
+    v = F.try_parse_json("props")
     k = F.variant_get(v, "$.k", "bigint")
     return ev.select(
         "event_id",
