@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Two-point scale curve for the heavy dedup/similarity queries
+(VERDICT r4 Next #7): run each at sf0.1 and at a synthesized
+sf1-equivalent (10x documents/embeddings) and report the wall-time
+growth ratio. Sub-quadratic plans must grow well under ~12x on 10x
+rows; anything above gets a root-cause note in the sidecar.
+
+The sf1-equivalent is built by replicating the sf0.1 tables 10x with
+DETERMINISTIC content perturbation that keeps replicas mutually
+unrelated (every word carries its replica index; embeddings get a
+seeded noise rotation), so the near-dup edge density scales linearly —
+the engine is measured on 10x rows and ~10x edges, which is what the
+growth ratio is meant to isolate. Nothing under /root/testdata is
+touched; the synthesized tables live in /tmp.
+
+Usage:
+    python scripts/scale_probe.py            # writes SCALE_CURVE.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from talknet_segmentation_batchprocessing_spark import registry  # noqa: E402
+from talknet_segmentation_batchprocessing_spark.session import get_spark  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.1"
+SF_BIG = "/tmp/scale_sf1"
+REPLICAS = 10
+
+HEAVY = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_cc_star",
+    "dedup_keep_canonical",
+    "dedup_exact_substring",
+    "dedup_char_ngram",
+    "graph_triangle_count",
+    "dedup_simhash",
+    "dedup_incremental",
+    "sim_lsh_bucketed",
+    "dedup_semantic_keep",
+    "curation_pipeline",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events",
+]
+
+
+def synthesize() -> None:
+    os.makedirs(SF_BIG, exist_ok=True)
+    for t in TABLES:
+        dst = f"{SF_BIG}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{SF_SMALL}/{t}.parquet", dst)
+
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()
+    n_docs = len(docs)
+    out = [docs]
+    for k in range(1, REPLICAS):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * 10_000_000
+        # every word carries the replica index: replicas share no
+        # shingles with each other, so edge count scales linearly
+        d["text"] = d["text"].map(
+            lambda t, k=k: " ".join(w + str(k) for w in t.split())
+        )
+        d["n_chars"] = d["text"].str.len()
+        out.append(d)
+    big_docs = pd.concat(out, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(big_docs, preserve_index=False),
+        f"{SF_BIG}/documents.parquet",
+    )
+
+    emb = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pandas()
+    vecs = np.stack(emb["embedding"].map(np.asarray))
+    out_e = [emb]
+    for k in range(1, REPLICAS):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + k * 10_000_000
+        rng = np.random.default_rng(1000 + k)
+        noise = rng.normal(scale=1.0, size=vecs.shape).astype("float32")
+        mixed = (0.3 * vecs + noise * 0.15).astype("float32")
+        e["embedding"] = list(mixed)
+        out_e.append(e)
+    big_emb = pd.concat(out_e, ignore_index=True)
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+         ("label", pa.int32())]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(big_emb, schema=schema, preserve_index=False),
+        f"{SF_BIG}/embeddings.parquet",
+    )
+    print(f"synthesized {len(big_docs)} docs / {len(big_emb)} vecs "
+          f"({n_docs} x {REPLICAS}) under {SF_BIG}")
+
+
+def main() -> int:
+    synthesize()
+    spark = get_spark(app_name="scale-probe")
+    registry._ensure_loaded()
+    # warm
+    registry.REGISTRY["q1_pricing_summary"].fn(spark, SF_SMALL).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    curve: dict[str, dict] = {}
+    for name in HEAVY:
+        spec = registry.REGISTRY[name]
+        times = {}
+        for label, sf_dir in (("sf0.1", SF_SMALL), ("sf1", SF_BIG)):
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                registry.release_persisted()
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            times[label] = round(best, 3)
+        ratio = round(times["sf1"] / times["sf0.1"], 2)
+        curve[name] = {**times, "ratio_10x_rows": ratio}
+        print(f"  {name}: {times['sf0.1']}s -> {times['sf1']}s  ({ratio}x)")
+
+    sidecar = {
+        "metric": "scale_curve_10x",
+        "replicas": REPLICAS,
+        "note": "10x documents/embeddings with linear edge density; "
+        "ratio_10x_rows is wall growth on 10x input — sub-quadratic "
+        "plans stay well under ~12x",
+        "queries": curve,
+    }
+    out_path = os.path.join(os.path.dirname(__file__), "..", "SCALE_CURVE.json")
+    with open(out_path, "w") as f:
+        json.dump(sidecar, f, indent=2)
+    print(json.dumps({"written": "SCALE_CURVE.json",
+                      "max_ratio": max(c["ratio_10x_rows"] for c in curve.values())}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
