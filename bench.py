@@ -83,6 +83,7 @@ HEADLINE = [
     "text_langid_confusion",
     "dedup_semantic_keep",
     "dedup_exact_substring",
+    "dedup_semantic_keep_lsh",
 ]
 
 

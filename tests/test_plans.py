@@ -108,6 +108,7 @@ TWO_PHASE_QUERIES = [
     "dedup_semantic_keep",
     # round-5 additions
     "dedup_exact_substring",
+    "dedup_semantic_keep_lsh",
 ]
 
 
