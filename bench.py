@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_semantic_keep",
     "dedup_exact_substring",
     "dedup_semantic_keep_lsh",
+    "sketch_countmin_topk",
 ]
 
 

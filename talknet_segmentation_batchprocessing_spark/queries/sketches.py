@@ -302,3 +302,115 @@ def sketch_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_abs_err"
         ),
     )
+
+
+_CM_D = 4    # hash rows
+_CM_W = 512  # counters per row
+
+# word-shingle OCCURRENCES (with multiplicity — frequencies, not the
+# distinct set the KMV/HLL queries sketch)
+_SQL_SHINGLE_OCC = """
+  SELECT unnest(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))) AS tok
+  FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+
+_SQL_CM_HASH = (
+    "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 12)) AS BIGINT)"
+    f" % {_CM_W}"
+)
+
+_COUNTMIN_ORACLE = f"""
+WITH toks AS ({_SQL_SHINGLE_OCC}),
+rows_ AS (SELECT unnest(range(0, {_CM_D})) AS i),
+cells AS (
+  SELECT i, {_SQL_CM_HASH} AS h, count(*) AS c
+  FROM toks CROSS JOIN rows_ GROUP BY 1, 2
+),
+dtoks AS (SELECT DISTINCT tok FROM toks),
+est AS (
+  SELECT t.tok, min(c.c) AS n_est
+  FROM dtoks t CROSS JOIN rows_ AS r
+  JOIN cells c ON c.i = r.i AND c.h = (
+    CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.tok), 1, 12)) AS BIGINT)
+    % {_CM_W})
+  GROUP BY t.tok
+),
+exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok)
+SELECT e.tok, s.n_est, e.n_exact, s.n_est - e.n_exact AS overestimate
+FROM exact e JOIN est s ON s.tok = e.tok
+ORDER BY s.n_est DESC, e.tok
+LIMIT 10
+"""
+
+
+@query(
+    "sketch_countmin_topk",
+    oracle=_COUNTMIN_ORACLE,
+    doc=f"Count-Min frequency sketch + heavy hitters: {_CM_D} md5-salted "
+    f"hash rows x {_CM_W} counters built in ONE map-side-combinable "
+    "aggregation over the shingle occurrence stream (the shuffle "
+    "carries at most d*w counters per partition, never tokens); each "
+    "distinct shingle's estimate is the MIN over its d counters — the "
+    "classic conservative overestimate, exposed in the overestimate "
+    "audit column (always >= 0 by construction). Top-10 heavy hitters "
+    "by estimate via TakeOrderedAndProject, ties broken by token. At "
+    "100 TB the candidate set for the top-k comes from per-partition "
+    "heavy hitters (SpaceSaving-style) instead of estimating every "
+    "distinct token; the sketch build is identical. Bit-identical "
+    "md5-derived hashing on both engines",
+    tags=("sketch", "dataset", "ext"),
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.shingles import word_shingles
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = track_persist(
+        docs.select(F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(F.explode(word_shingles("w", 3)).alias("tok"))
+    )
+    rows = F.broadcast(
+        spark.range(0, _CM_D).select(F.col("id").alias("i"))
+    )
+    cm_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CM_W
+    )
+    cells = track_persist(
+        toks.crossJoin(rows)
+        .select("i", cm_hash.alias("h"))
+        .groupBy("i", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    est = (
+        toks.distinct()
+        .crossJoin(rows)
+        .select("tok", "i", cm_hash.alias("h"))
+        .join(F.broadcast(cells), ["i", "h"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("n_est"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    return (
+        exact.join(est, "tok")
+        .select(
+            "tok",
+            "n_est",
+            "n_exact",
+            (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
+        )
+        .orderBy(F.desc("n_est"), "tok")
+        .limit(10)
+    )

@@ -171,9 +171,9 @@ _DRIVER_WINDOW = [
     "dedup_cc_labelprop", "sim_lsh_bucketed", "sim_ivf_topk",
     "sim_pq_topk", "a6_average_precision", "j1_equijoin_ranked",
     "j9_asof_join", "w10_sessionize",
-    "doc_char_entropy",
     # new round-5 queries (driver-checked the round they land)
     "dedup_exact_substring", "dedup_semantic_keep_lsh",
+    "sketch_countmin_topk",
 ]
 
 

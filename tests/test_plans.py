@@ -109,6 +109,7 @@ TWO_PHASE_QUERIES = [
     # round-5 additions
     "dedup_exact_substring",
     "dedup_semantic_keep_lsh",
+    "sketch_countmin_topk",
 ]
 
 
