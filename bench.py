@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_exact_substring",
     "dedup_semantic_keep_lsh",
     "sketch_countmin_topk",
+    "w15_event_pattern",
 ]
 
 

@@ -556,3 +556,89 @@ def w14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+_W15_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+clicks AS (
+  SELECT user_id, rn, us,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, grp, min(rn) AS s, max(rn) AS e,
+         CAST(count(*) AS BIGINT) AS n_clicks
+  FROM clicks GROUP BY user_id, grp
+)
+SELECT r.user_id, a.us AS start_us, c.us AS end_us, r.n_clicks,
+       c.us - a.us AS span_us
+FROM runs r
+JOIN seq a ON a.user_id = r.user_id AND a.rn = r.s - 1
+          AND a.event_type = 'error'
+JOIN seq c ON c.user_id = r.user_id AND c.rn = r.e + 1
+          AND c.event_type = 'purchase'
+"""
+
+
+@query(
+    "w15_event_pattern",
+    oracle=_W15_ORACLE,
+    doc="MATCH_RECOGNIZE-style event-pattern detection (the CEP "
+    "operator family): pattern ERROR CLICK+ PURCHASE, contiguous in "
+    "each user's event sequence, greedy on the CLICK run — exactly "
+    "AFTER MATCH SKIP PAST LAST ROW semantics, since maximal click "
+    "runs cannot overlap. Relational rewrite: one sequence-number "
+    "window, gaps-and-islands on the click rows (the flagship "
+    "pattern, reused on ordinal positions), then two equi-joins "
+    "checking the run's immediate predecessor/successor symbols. "
+    "Every stage partitions on user_id — no per-row state machine, "
+    "no UDF; emitted timestamps are exact integer microseconds. At "
+    "100 TB this is the plan a streaming CEP engine materializes per "
+    "key, here as one batch pass",
+    tags=("W15", "ext"),
+)
+def w15_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("rn")
+    clicks = seq.filter(F.col("event_type") == "click").withColumn(
+        "grp", F.col("rn") - F.row_number().over(wrun)
+    )
+    runs = clicks.groupBy("user_id", "grp").agg(
+        F.min("rn").alias("s"),
+        F.max("rn").alias("e"),
+        F.count("*").alias("n_clicks"),
+    )
+    a = seq.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("a_uid"),
+        F.col("rn").alias("a_rn"),
+        F.col("us").alias("start_us"),
+    )
+    c = seq.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("rn").alias("c_rn"),
+        F.col("us").alias("end_us"),
+    )
+    return (
+        runs.join(a, (F.col("a_uid") == F.col("user_id")) & (F.col("a_rn") == F.col("s") - 1))
+        .join(c, (F.col("c_uid") == F.col("user_id")) & (F.col("c_rn") == F.col("e") + 1))
+        .select(
+            "user_id",
+            "start_us",
+            "end_us",
+            "n_clicks",
+            (F.col("end_us") - F.col("start_us")).alias("span_us"),
+        )
+    )

@@ -110,6 +110,7 @@ TWO_PHASE_QUERIES = [
     "dedup_exact_substring",
     "dedup_semantic_keep_lsh",
     "sketch_countmin_topk",
+    "w15_event_pattern",
 ]
 
 
