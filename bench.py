@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_semantic_keep_lsh",
     "sketch_countmin_topk",
     "w15_event_pattern",
+    "dedup_containment",
 ]
 
 

@@ -91,6 +91,65 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("canonical_id", "n_copies", "n_chars")
 
 
+_CONTAINMENT_THRESHOLD = 0.5
+
+_CONTAINMENT_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS sub_id, y.doc_id AS sup_id, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT c.sub_id, c.sup_id,
+       floor((c.n_common * 1.0 / s.n) * 1e6 + 0.5) / 1e6 AS containment,
+       CAST(s.n AS BIGINT) AS n_sub_shingles,
+       CAST(c.n_common AS BIGINT) AS n_common
+FROM common c JOIN sizes s ON s.doc_id = c.sub_id
+WHERE c.n_common * 1.0 / s.n >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    doc="DIRECTIONAL shingle containment |A-and-B| / |A| — the "
+    "asymmetric companion to Jaccard: a short document quoted or "
+    "wrapped inside a longer one scores near 1.0 as the contained "
+    "side while its Jaccard stays low (the union is dominated by the "
+    "container), so symmetric near-dup passes miss exactly the "
+    "quote/boilerplate-wrapper mass this catches. Same shingle "
+    "equi-join + size join as the Jaccard pipeline (never all-pairs, "
+    "the shared scale shape); emits (contained, container) ordered "
+    "pairs above the threshold with the audit counts",
+    tags=("dedup", "text", "ext"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = track_persist(sh.groupBy("doc_id").agg(F.count("*").alias("n")))
+    x = sh.select(F.col("doc_id").alias("sub_id"), "shingle")
+    y = sh.select(F.col("doc_id").alias("sup_id"), "shingle")
+    common = (
+        x.join(y, "shingle")
+        .filter(F.col("sub_id") != F.col("sup_id"))
+        .groupBy("sub_id", "sup_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s = sizes.select(F.col("doc_id").alias("sub_id"), F.col("n").alias("n_sub"))
+    cont = F.col("n_common") / F.col("n_sub")
+    return (
+        common.join(s, "sub_id")
+        .filter(cont >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "sub_id",
+            "sup_id",
+            stable_round(cont, 6).alias("containment"),
+            F.col("n_sub").alias("n_sub_shingles"),
+            "n_common",
+        )
+    )
+
+
 _NGRAM_JACCARD_ORACLE = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -111,6 +111,7 @@ TWO_PHASE_QUERIES = [
     "dedup_semantic_keep_lsh",
     "sketch_countmin_topk",
     "w15_event_pattern",
+    "dedup_containment",
 ]
 
 
