@@ -261,3 +261,42 @@ def streaming_hll_registers(
     return hashed.groupBy(
         "grp", (F.col("h") % _HLL_M).alias("reg")
     ).agg(F.max(F.expr(_SPARK_RHO)).alias("rho"))
+
+
+def streaming_countmin_cells(token_stream: DataFrame) -> DataFrame:
+    """Continuous Count-Min: maintain the d x w counter table of
+    ``sketch_countmin_topk`` over a stream of token occurrences.
+
+    Count-Min merge is element-wise counter ADDITION, so the streaming
+    aggregation is ``groupBy(i, h).count()`` in update mode — each
+    micro-batch's partial counters fold into the standing cells
+    exactly like map-side partials fold in the batch build. State is
+    bounded BY CONSTRUCTION at d*w cells (no watermark needed:
+    counters only ever add), which is the sketch's point on an
+    unbounded stream: frequency state in O(d*w), not O(distinct
+    tokens). Any token's estimate is read off the standing table as
+    min over its d cells, identical to the batch query.
+    """
+    from ..queries.sketches import _CM_D, _CM_W
+
+    spark = token_stream.sparkSession
+    rows = F.broadcast(spark.range(0, _CM_D).select(F.col("id").alias("i")))
+    cm_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CM_W
+    )
+    return (
+        token_stream.select("tok")
+        .crossJoin(rows)
+        .select("i", cm_hash.alias("h"))
+        .groupBy("i", "h")
+        .agg(F.count("*").alias("c"))
+    )

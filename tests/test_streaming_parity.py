@@ -590,3 +590,83 @@ def test_streaming_hll_restart_recovers_registers(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """streaming/pipeline.streaming_countmin_cells across 2 batches +
+    a mid-stream restart before a 3rd: the standing counter table
+    (last emission per cell across runs) equals the batch cells of
+    sketch_countmin_topk exactly — counter addition is batching- and
+    restart-insensitive."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.functions.shingles import (
+        word_shingles,
+    )
+    from talknet_segmentation_batchprocessing_spark.queries.sketches import (
+        _CM_D,
+        _CM_W,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.pipeline import (
+        streaming_countmin_cells,
+    )
+
+    docs = load(spark, SF_CORRECT, "documents")
+    toks = (
+        docs.select(F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(F.explode(word_shingles("w", 3)).alias("tok"))
+    )
+    cm_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
+                1, 12,
+            ), 16, 10,
+        ).cast("bigint") % _CM_W
+    )
+    rows = spark.range(0, _CM_D).select(F.col("id").alias("i"))
+    want = (
+        toks.crossJoin(rows)
+        .select("i", cm_hash.alias("h"))
+        .groupBy("i", "h")
+        .agg(F.count("*").alias("c"))
+        .toPandas()
+        .sort_values(["i", "h"])
+        .reset_index(drop=True)
+    )
+
+    drop = tmp_path / "toks"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt_cm"
+    part = F.length("tok") % 3
+    toks.filter(part == 0).coalesce(1).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    toks.filter(part == 1).coalesce(1).write.parquet(str(drop / "b1"))
+
+    def stream():
+        s = (
+            spark.readStream.schema(toks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(drop / "*"))
+        )
+        return streaming_countmin_cells(s)
+
+    got1 = _run_batches(stream(), tmp_path, "cm_r1", ckpt, mode="update")
+    time.sleep(1.1)
+    toks.filter(part == 2).coalesce(1).write.parquet(str(drop / "b2"))
+    got2 = _run_batches(stream(), tmp_path, "cm_r2", ckpt, mode="update")
+    assert len(got1) > 0 and len(got2) > 0
+
+    # update mode re-emits a cell whenever its counter grows; counters
+    # only grow, so the LAST emission (= max) per cell is the standing
+    # value. got2's emissions supersede got1's for cells it touched.
+    both = pd.concat([got1, got2], ignore_index=True)
+    got = (
+        both.groupby(["i", "h"], as_index=False)["c"]
+        .max()
+        .sort_values(["i", "h"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
