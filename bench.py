@@ -87,6 +87,7 @@ HEADLINE = [
     "sketch_countmin_topk",
     "w15_event_pattern",
     "dedup_containment",
+    "dedup_keep_lsh_recall",
 ]
 
 

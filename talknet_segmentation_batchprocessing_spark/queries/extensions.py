@@ -2286,3 +2286,61 @@ def dedup_semantic_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(F.col("component") == F.col("vec_id"))
         .select("vec_id", F.col("component").alias("cluster_id"))
     )
+
+
+def _keep_lsh_recall_oracle() -> str:
+    """Composed from the two registered SemDeDup oracles (exact-pair
+    baseline vs LSH-candidate scale path) — shared definitions, not
+    re-derivations."""
+    exact = _EXT_REG["dedup_semantic_keep"].oracle
+    lsh = _EXT_REG["dedup_semantic_keep_lsh"].oracle
+    return f"""
+WITH ex AS ({exact}),
+ls AS ({lsh}),
+agree AS (SELECT count(*) AS n FROM ex JOIN ls ON ls.vec_id = ex.vec_id)
+SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_lsh,
+       CAST(a.n AS BIGINT) AS n_common,
+       floor((a.n * 1.0 / (SELECT count(*) FROM ls)) * 1e6 + 0.5) / 1e6
+         AS keep_precision
+FROM agree a
+"""
+
+
+@query(
+    "dedup_keep_lsh_recall",
+    oracle=None,  # late-bound below: composes two registered oracles
+    doc="SemDeDup quality audit — survivor-set agreement of the "
+    "LSH-candidate scale path (dedup_semantic_keep_lsh) against the "
+    "exact all-pairs baseline (dedup_semantic_keep): the metric that "
+    "justifies shipping the LSH variant at scale, exactly as "
+    "sim_recall_eval justifies IVF. LSH edges are a SUBSET of exact "
+    "edges, so LSH clusters refine exact clusters and every exact "
+    "survivor survives LSH too (recall is 1.0 by construction); the "
+    "informative number is keep_precision = |exact ∩ lsh| / |lsh| — "
+    "the fraction of LSH-kept docs the exact pass would also keep "
+    "(1 - over-keep rate from missed merges). Both sides are the "
+    "registered queries; the oracle composes their proven oracles",
+    tags=("dedup", "similarity", "eval", "ext"),
+)
+def dedup_keep_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = dedup_semantic_keep(spark, sf_dir).select("vec_id")
+    ls = dedup_semantic_keep_lsh(spark, sf_dir).select("vec_id")
+    n_common = ex.join(ls, "vec_id").count()
+    n_exact = ex.count()
+    n_lsh = ls.count()
+    spark_df = spark.createDataFrame(
+        [(n_exact, n_lsh, n_common)],
+        "n_exact long, n_lsh long, n_common long",
+    )
+    return spark_df.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        stable_round(F.col("n_common") / F.col("n_lsh"), 6).alias(
+            "keep_precision"
+        ),
+    )
+
+
+_EXT_REG["dedup_keep_lsh_recall"].oracle = _keep_lsh_recall_oracle()

@@ -170,10 +170,10 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard", "dedup_exact", "dedup_embedding_cosine",
     "dedup_cc_labelprop", "sim_lsh_bucketed", "sim_ivf_topk",
     "a6_average_precision", "j1_equijoin_ranked",
-    "j9_asof_join",
     # new round-5 queries (driver-checked the round they land)
     "dedup_exact_substring", "dedup_semantic_keep_lsh",
     "sketch_countmin_topk", "w15_event_pattern", "dedup_containment",
+    "dedup_keep_lsh_recall",
 ]
 
 
