@@ -2264,16 +2264,20 @@ def dedup_semantic_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    av = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
-    bv = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
+    # norms computed ONCE per vector (identical doubles to a per-pair
+    # recompute, so the oracle threshold compare is unaffected) — the
+    # per-pair work is one dot fold, not three
+    normed = emb.withColumn("nrm", F.expr(_NORM_SPARK))
+    av = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("nrm").alias("na")
+    )
+    bv = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"), F.col("nrm").alias("nb")
+    )
     dot_ab = (
         "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
     )
-    norm = "sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))"
-    cs = F.try_divide(
-        F.expr(dot_ab),
-        F.expr(norm.format("av")) * F.expr(norm.format("bv")),
-    )
+    cs = F.try_divide(F.expr(dot_ab), F.col("na") * F.col("nb"))
     pairs = (
         cand.join(av, "vec_a")
         .join(bv, "vec_b")
