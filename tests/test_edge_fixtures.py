@@ -58,6 +58,12 @@ EDGE_QUERIES = [
     "curation_pipeline",
     "graph_triangle_count",
     "x21_zorder_value",
+    # round-5 additions
+    "dedup_semantic_keep_lsh",
+    "sketch_countmin_topk",
+    "w15_event_pattern",
+    "dedup_containment",
+    "dedup_keep_lsh_recall",
 ]
 
 TABLES = [
