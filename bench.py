@@ -88,6 +88,7 @@ HEADLINE = [
     "w15_event_pattern",
     "dedup_containment",
     "dedup_keep_lsh_recall",
+    "graph_pagerank",
 ]
 
 

@@ -2348,3 +2348,115 @@ def dedup_keep_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXT_REG["dedup_keep_lsh_recall"].oracle = _keep_lsh_recall_oracle()
+
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85  # exactly representable? 0.85 is not dyadic; both engines parse the same double from '0.85' — identical constant
+
+
+def _pagerank_oracle() -> str:
+    """Fixed-iteration PageRank CTE chain (same construction as the
+    IVF k-means oracle: one CTE per iteration, every score rounded to
+    a 1e-9 grid on BOTH engines so summation order cannot split the
+    hash)."""
+    parts = [
+        f"sh AS ({_SQL_SHINGLES}),",
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),",
+        """p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+e1 AS (
+  SELECT p.a, p.b FROM p0 p
+  JOIN sizes sa ON sa.doc_id = p.a
+  JOIN sizes sb ON sb.doc_id = p.b
+  WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2
+),
+ed AS (SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1),
+deg AS (SELECT u, count(*) AS d FROM ed GROUP BY u),
+nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT doc_id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),""",
+    ]
+    for it in range(1, _PR_ITERS + 1):
+        prev = f"r{it - 1}"
+        parts.append(
+            f"""c{it} AS (
+  SELECT ed.v AS doc_id, sum({prev}.r / deg.d) AS cin
+  FROM ed JOIN {prev} ON {prev}.doc_id = ed.u JOIN deg ON deg.u = ed.u
+  GROUP BY ed.v
+),
+r{it} AS (
+  SELECT n.doc_id,
+         floor(((1 - {_PR_DAMP}) / nn.n
+                + {_PR_DAMP} * coalesce(c{it}.cin, 0)) * 1e9 + 0.5) / 1e9 AS r
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{it} ON c{it}.doc_id = n.doc_id
+),"""
+        )
+    body = "\n".join(parts).rstrip(",\n") + ","
+    return f"""
+WITH {body}
+final AS (SELECT doc_id, r FROM r{_PR_ITERS})
+SELECT doc_id, floor(r * 1e6 + 0.5) / 1e6 AS pagerank
+FROM final
+"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=None,  # late-bound below (generated CTE chain)
+    doc=f"PageRank on the near-dup similarity graph, {_PR_ITERS} fixed "
+    f"iterations, damping {_PR_DAMP}: per iteration one equi-join of "
+    "the rank vector against the (materialized, degree-annotated) "
+    "edge table + one groupBy-sum — both hash-partitioned on node "
+    "keys, localCheckpoint per iteration for constant-depth lineage, "
+    "exactly the CC round shape. Unlinked nodes hold the teleport "
+    "term. Each iteration's scores are rounded to a 1e-9 grid on BOTH "
+    "engines (the IVF k-means parity trick) so partition summation "
+    "order cannot split the hash; the dangling-mass term is zero here "
+    "because the symmetrized similarity graph has no zero-out-degree "
+    "node with rank inflow. The canonical iterative-graph workload "
+    "beyond CC: same keyed-shuffle posture, O(iters) rounds",
+    tags=("graph", "ext"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = _near_dup_edges(spark, sf_dir)
+    ed = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = ed.groupBy("u").agg(F.count("*").alias("d"))
+    # degree-annotated edge table materialized once; every iteration
+    # reads stored partitions
+    edd = ed.join(deg, "u").localCheckpoint()
+    n = docs.count()
+    r = docs.select("doc_id", (F.lit(1.0) / n).alias("r")).localCheckpoint()
+    for _ in range(_PR_ITERS):
+        cin = (
+            edd.join(r.withColumnRenamed("doc_id", "u"), "u")
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("cin"))
+        )
+        r = (
+            docs.join(cin, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.floor(
+                        (
+                            (1 - _PR_DAMP) / n
+                            + _PR_DAMP * F.coalesce(F.col("cin"), F.lit(0.0))
+                        )
+                        * 1e9
+                        + F.lit(0.5)
+                    )
+                    / 1e9
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return r.select("doc_id", stable_round("r", 6).alias("pagerank"))
+
+
+_EXT_REG["graph_pagerank"].oracle = _pagerank_oracle()

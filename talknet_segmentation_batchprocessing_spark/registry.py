@@ -169,11 +169,11 @@ _DRIVER_WINDOW = [
     # replace entries from this block as they land)
     "dedup_ngram_jaccard", "dedup_exact", "dedup_embedding_cosine",
     "dedup_cc_labelprop", "sim_lsh_bucketed", "sim_ivf_topk",
-    "a6_average_precision", "j1_equijoin_ranked",
+    "a6_average_precision",
     # new round-5 queries (driver-checked the round they land)
     "dedup_exact_substring", "dedup_semantic_keep_lsh",
     "sketch_countmin_topk", "w15_event_pattern", "dedup_containment",
-    "dedup_keep_lsh_recall",
+    "dedup_keep_lsh_recall", "graph_pagerank",
 ]
 
 

@@ -112,6 +112,7 @@ TWO_PHASE_QUERIES = [
     "sketch_countmin_topk",
     "w15_event_pattern",
     "dedup_containment",
+    "graph_pagerank",
 ]
 
 
