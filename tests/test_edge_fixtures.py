@@ -64,6 +64,7 @@ EDGE_QUERIES = [
     "w15_event_pattern",
     "dedup_containment",
     "dedup_keep_lsh_recall",
+    "graph_pagerank",
 ]
 
 TABLES = [
