@@ -670,3 +670,66 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_event_pattern_matches_batch_w15(spark, tmp_path):
+    """streaming/pattern.streaming_event_pattern across 2 micro-batches
+    + a restart before a 3rd: the union of emitted matches equals the
+    batch w15_event_pattern rows exactly, including matches whose
+    error/click prefix landed before the restart (state recovery)."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.pattern import (
+        streaming_event_pattern,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cuts = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), array(0.34, 0.67)) p"
+    ).collect()[0]["p"]
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt_w15"
+    ev.filter(tsd <= cuts[0]).coalesce(1).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    ev.filter((tsd > cuts[0]) & (tsd <= cuts[1])).coalesce(1).write.parquet(
+        str(drop / "b1")
+    )
+
+    def stream():
+        s = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(drop / "*"))
+        )
+        return streaming_event_pattern(s)
+
+    got1 = _run_batches(stream(), tmp_path, "w15_r1", ckpt)
+    time.sleep(1.1)
+    ev.filter(tsd > cuts[1]).coalesce(1).write.parquet(str(drop / "b2"))
+    got2 = _run_batches(stream(), tmp_path, "w15_r2", ckpt)
+    assert len(got1) > 0 and len(got2) > 0
+
+    got = (
+        pd.concat([got1, got2], ignore_index=True)
+        .sort_values(["user_id", "start_us"])
+        .reset_index(drop=True)
+    )
+    want = (
+        registry.REGISTRY["w15_event_pattern"]
+        .fn(spark, SF_CORRECT)
+        .toPandas()
+        .sort_values(["user_id", "start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "start_us", "end_us", "n_clicks", "span_us"]],
+        want[["user_id", "start_us", "end_us", "n_clicks", "span_us"]],
+        check_dtype=False,
+    )
+    # at least one post-restart match began before the restart boundary
+    assert (got2["start_us"] <= cuts[1] * 1e6 + 1).any()
