@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_keep_lsh_recall",
     "graph_pagerank",
+    "dedup_keep_canonical_lsh",
 ]
 
 

@@ -2460,3 +2460,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXT_REG["graph_pagerank"].oracle = _pagerank_oracle()
+
+
+def _keep_canonical_lsh_oracle() -> str:
+    """Composed: minhash-LSH candidate pairs (the registered oracle's
+    definition) thresholded at true Jaccard >= 0.2, then the same
+    recursive CC + canonical-survivor tail as dedup_keep_canonical."""
+    return f"""
+WITH RECURSIVE
+mh_pairs AS ({_MINHASH_ORACLE.strip()}),
+jac AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= 0.2),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL SELECT doc_b, doc_a FROM jac
+),
+cc(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id
+),
+lbl AS (SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN lbl l ON l.doc_id = d.doc_id
+WHERE l.cluster_id = d.doc_id
+"""
+
+
+@query(
+    "dedup_keep_canonical_lsh",
+    oracle=None,  # late-bound below (composes the minhash oracle)
+    doc="The complete text dedup pass at the 100 TB CANDIDATE shape — "
+    "dedup_keep_canonical with the pair stage swapped from the exact "
+    "shingle self-join to minhash-LSH band candidates (true-Jaccard "
+    "verified, so every surviving edge is exact; only RECALL can "
+    "differ, and LSH clusters refine exact clusters, so exact "
+    "survivors always survive here too). Mirrors "
+    "dedup_semantic_keep_lsh on the embedding side: band join -> "
+    "verify candidates only -> star CC -> canonical survivors, never "
+    "an all-pairs stage",
+    tags=("dedup", "text", "ext", "pipeline"),
+)
+def dedup_keep_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    out = connected_components_star(
+        docs.select("doc_id"), pairs, edges_distinct=True
+    )
+    keep = out.filter(F.col("component") == F.col("doc_id")).select("doc_id")
+    return docs.join(keep, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+_EXT_REG["dedup_keep_canonical_lsh"].oracle = _keep_canonical_lsh_oracle()

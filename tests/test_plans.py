@@ -113,6 +113,7 @@ TWO_PHASE_QUERIES = [
     "w15_event_pattern",
     "dedup_containment",
     "graph_pagerank",
+    "dedup_keep_canonical_lsh",
 ]
 
 
