@@ -52,6 +52,11 @@ HEAVY = [
     "sim_lsh_bucketed",
     "dedup_semantic_keep",
     "curation_pipeline",
+    "dedup_containment",
+    "sketch_countmin_topk",
+    "graph_pagerank",
+    "dedup_keep_canonical_lsh",
+    "dedup_semantic_keep_lsh",
 ]
 
 TABLES = [

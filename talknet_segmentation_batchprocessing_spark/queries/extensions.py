@@ -2166,23 +2166,31 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SKL_BANDS = 4  # LSH bands
-_SKL_BITS = 4   # hyperplane sign bits per band -> 16 buckets per band
+_SKL_BANDS = 4         # LSH bands
+_SKL_TARGET_BUCKET = 256  # target vectors per bucket -> bits scale with n
 
 _SEMANTIC_KEEP_LSH_ORACLE = f"""
 WITH RECURSIVE
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+params AS (
+  SELECT greatest(4, least(12,
+    CASE WHEN m <= 1 THEN 1
+         ELSE length(bin(CAST(m - 1 AS BIGINT))) END)) AS bits
+  FROM (SELECT ((SELECT count(*) FROM e) + {_SKL_TARGET_BUCKET - 1})
+               // {_SKL_TARGET_BUCKET} AS m)
+),
 proj AS (
   SELECT vec_id, j,
          list_sum(list_transform(range(1, 65), i -> v[i] * {_HYPERPLANE_DUCK})) AS dot
-  FROM e CROSS JOIN (SELECT unnest(range(0, {_SKL_BANDS * _SKL_BITS})) AS j)
+  FROM e CROSS JOIN (
+    SELECT unnest(range(0, (SELECT {_SKL_BANDS} * bits FROM params))) AS j)
 ),
 sig AS (
-  SELECT vec_id, j // {_SKL_BITS} AS band,
+  SELECT vec_id, j // (SELECT bits FROM params) AS band,
          CAST(sum(CASE WHEN dot > 0
-                       THEN CAST(power(2, j % {_SKL_BITS}) AS BIGINT)
+                       THEN CAST(power(2, j % (SELECT bits FROM params)) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id, j // {_SKL_BITS}
+  FROM proj GROUP BY vec_id, j // (SELECT bits FROM params)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -2217,10 +2225,15 @@ WHERE l.cluster_id = e.vec_id
     oracle=_SEMANTIC_KEEP_LSH_ORACLE,
     doc="SemDeDup at the 100 TB shape — the swap the dedup_semantic_keep "
     "docstring promises, made real: candidate pairs come from "
-    f"{_SKL_BANDS} LSH bands of {_SKL_BITS} hyperplane sign bits "
-    "(vectors sharing ANY band bucket are candidates — banding trades "
-    "a per-band 16-way split against multi-band recall exactly like "
-    "minhash LSH), candidates alone are exact-cosine verified "
+    f"{_SKL_BANDS} LSH bands of ADAPTIVE hyperplane sign bits — bits "
+    f"= ceil(log2(n / {_SKL_TARGET_BUCKET})) clamped [4, 12], computed "
+    "with integer bit-length arithmetic IDENTICALLY on both engines, "
+    "so bucket count scales with n and expected bucket occupancy "
+    "stays ~constant: candidate volume grows LINEARLY in n (a fixed "
+    "bucket count would make within-bucket pairs quadratic — the "
+    "round-5 scale probe caught exactly that at 13x wall on 10x "
+    "rows). Vectors sharing ANY band bucket are candidates; "
+    "candidates alone are exact-cosine verified "
     "(JVM-side sequential fold, identical to the oracle's list_sum "
     "order), then star CC + canonical-per-cluster survivors. Cost is "
     "O(sum of bucket^2) per band instead of O(n^2): the bucket join, "
@@ -2235,7 +2248,11 @@ def dedup_semantic_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    js = spark.range(0, _SKL_BANDS * _SKL_BITS).select(F.col("id").alias("j"))
+    # adaptive bits, integer-exact mirror of the oracle's params CTE
+    n = emb.count()
+    m = (n + _SKL_TARGET_BUCKET - 1) // _SKL_TARGET_BUCKET
+    bits = max(4, min(12, (m - 1).bit_length() if m > 1 else 1))
+    js = spark.range(0, _SKL_BANDS * bits).select(F.col("id").alias("j"))
     proj = emb.crossJoin(F.broadcast(js)).withColumn(
         "dot",
         F.expr(
@@ -2244,12 +2261,12 @@ def dedup_semantic_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sig = track_persist(
-        proj.groupBy("vec_id", F.expr(f"j div {_SKL_BITS}").alias("band"))
+        proj.groupBy("vec_id", F.expr(f"j div {bits}").alias("band"))
         .agg(
             F.sum(
                 F.when(
                     F.col("dot") > 0,
-                    F.expr(f"shiftleft(1, cast(j % {_SKL_BITS} as int))"),
+                    F.expr(f"shiftleft(1, cast(j % {bits} as int))"),
                 ).otherwise(F.lit(0))
             )
             .cast("bigint")
