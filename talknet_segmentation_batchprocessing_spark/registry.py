@@ -145,7 +145,12 @@ _LOADED = False
 # Displaced to make room: the r4 re-confirm block (w10/w11/j9/x19/...,
 # all driver-green in r3 AND r4 with unchanged code) and the r4-fix
 # proofs (mix_domain_weights etc., green in r4). With r1-r5 together,
-# every registered query has at least one driver-green row.
+# every registered query has at least one driver-green row, and every
+# round-5 ADDITION (dedup_exact_substring, dedup_semantic_keep_lsh,
+# sketch_countmin_topk, w15_event_pattern, dedup_containment,
+# dedup_keep_lsh_recall, graph_pagerank, dedup_keep_canonical_lsh)
+# sits in-window for its first driver row THIS round — zero rotation
+# debt going into round 6.
 _DRIVER_WINDOW = [
     # anchors: flagship + e2e + eval arm + kernels
     "w1_speaking_segments", "pipeline_scores_to_segments",
