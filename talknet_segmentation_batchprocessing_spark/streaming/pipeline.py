@@ -300,3 +300,54 @@ def streaming_countmin_cells(token_stream: DataFrame) -> DataFrame:
         .groupBy("i", "h")
         .agg(F.count("*").alias("c"))
     )
+
+
+def streaming_kmv_minima(token_stream: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Continuous KMV: maintain sketch_kmv_distinct's k-minimum-values
+    per group over a stream of tokens.
+
+    KMV merge is union-then-retake-k-smallest, so per-group state is
+    BOUNDED at k hash values by construction — distinct-count state in
+    O(k) on an unbounded stream (the third mergeable sketch family
+    next to the HLL registers and Count-Min cells). Each micro-batch
+    folds its token hashes into the standing minima via GroupState; a
+    row (n_kept, hk) is emitted whenever the sketch improves (n_kept
+    grows, or hk shrinks once full), and the standing row per group —
+    max n_kept, then min hk — equals the batch sketch exactly. The
+    estimate reads off as (k-1) * 2^48 / hk, identical to the batch
+    query's formula.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..deploy import ensure_worker_imports
+    from ..queries.sketches import _KMV_K, _tok_hash
+
+    ensure_worker_imports(token_stream)
+
+    def _fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (grp,) = key
+        prev = list(state.get[0]) if state.exists else []
+        vals = set(prev)
+        for pdf in pdfs:
+            vals.update(int(h) for h in pdf["h"])
+        merged = sorted(vals)[:_KMV_K]
+        state.update((merged,))
+        if merged != prev:
+            yield pd.DataFrame(
+                [(grp, len(merged), merged[-1])],
+                columns=["grp", "n_kept", "hk"],
+            )
+
+    hashed = token_stream.select(
+        F.col(group_col).alias("grp"), _tok_hash("tok").alias("h")
+    )
+    return hashed.groupBy("grp").applyInPandasWithState(
+        _fold,
+        outputStructType="grp string, n_kept long, hk long",
+        stateStructType="vals array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -733,3 +733,68 @@ def test_streaming_event_pattern_matches_batch_w15(spark, tmp_path):
     )
     # at least one post-restart match began before the restart boundary
     assert (got2["start_us"] <= cuts[1] * 1e6 + 1).any()
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """streaming/pipeline.streaming_kmv_minima across 2 batches + a
+    restart before a 3rd: the standing (n_kept, hk) per language —
+    max n_kept then min hk, since the sketch only improves — equals
+    the batch k-minimum-values sketch exactly."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.queries.sketches import (
+        _KMV_K,
+        _lang_shingles,
+        _tok_hash,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.pipeline import (
+        streaming_kmv_minima,
+    )
+
+    toks = _lang_shingles(spark, SF_CORRECT)
+    wk = Window.partitionBy("lang").orderBy("h")
+    want = (
+        toks.select("lang", _tok_hash().alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy(F.col("lang").alias("grp"))
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("hk"))
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+
+    drop = tmp_path / "toks"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt_kmv"
+    part = F.length("tok") % 3
+    toks.filter(part == 0).coalesce(1).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    toks.filter(part == 1).coalesce(1).write.parquet(str(drop / "b1"))
+
+    def stream():
+        s = (
+            spark.readStream.schema(toks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(drop / "*"))
+        )
+        return streaming_kmv_minima(s)
+
+    got1 = _run_batches(stream(), tmp_path, "kmv_r1", ckpt)
+    time.sleep(1.1)
+    toks.filter(part == 2).coalesce(1).write.parquet(str(drop / "b2"))
+    got2 = _run_batches(stream(), tmp_path, "kmv_r2", ckpt)
+    assert len(got1) > 0 and len(got2) > 0
+
+    both = pd.concat([got1, got2], ignore_index=True)
+    # standing sketch = the best emission: n_kept grows, then hk shrinks
+    got = (
+        both.sort_values(["grp", "n_kept", "hk"], ascending=[True, False, True])
+        .groupby("grp", as_index=False)
+        .first()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
