@@ -1,0 +1,154 @@
+"""Hypothesis property tests for the round-5 pure-Python kernels: the
+streaming fold state machines must be BATCHING-INVARIANT (folding the
+event sequence in any chunking, with state carried between calls,
+yields the same final state and the same emitted rows as one pass) —
+that invariance is exactly what makes micro-batch boundaries and
+restarts semantically invisible. Plus the adaptive-CC union-find vs
+the brute-force labeling."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+_TYPES = ["view", "click", "purchase", "error", "search", None]
+
+
+def _events(min_size=0, max_size=40):
+    return st.lists(
+        st.sampled_from(_TYPES), min_size=min_size, max_size=max_size
+    ).map(lambda ts: [(i * 10, t) for i, t in enumerate(ts)])
+
+
+def _splits(n):
+    return st.lists(st.integers(0, max(0, n)), max_size=4).map(
+        lambda cuts: sorted(set(c for c in cuts if 0 < c < n))
+    )
+
+
+def _chunk(events, cuts):
+    out, prev = [], 0
+    for c in cuts + [len(events)]:
+        out.append(events[prev:c])
+        prev = c
+    return [c for c in out if c]
+
+
+def _run_funnel(chunks):
+    from talknet_segmentation_batchprocessing_spark.streaming.funnel import (
+        _fold_batch,
+    )
+
+    state = _FakeState()
+    rows = []
+    for ch in chunks:
+        pdf = pd.DataFrame(
+            {"us": [u for u, _ in ch], "event_type": [t for _, t in ch]}
+        )
+        rows += [
+            tuple(r)
+            for out in _fold_batch((1,), iter([pdf]), state)
+            for r in out.itertuples(index=False)
+        ]
+    return state._v, rows
+
+
+def _run_pattern(chunks):
+    from talknet_segmentation_batchprocessing_spark.streaming.pattern import (
+        _fold_batch,
+    )
+
+    state = _FakeState()
+    rows = []
+    for ch in chunks:
+        pdf = pd.DataFrame(
+            {
+                "us": [u for u, _ in ch],
+                "event_id": list(range(len(ch))),
+                "event_type": [t for _, t in ch],
+            }
+        )
+        rows += [
+            tuple(r)
+            for out in _fold_batch((1,), iter([pdf]), state)
+            for r in out.itertuples(index=False)
+        ]
+    return state._v, rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_funnel_fold_batching_invariant(data):
+    events = data.draw(_events(min_size=1))
+    cuts = data.draw(_splits(len(events)))
+    one_state, one_rows = _run_funnel([events])
+    chunked_state, chunked_rows = _run_funnel(_chunk(events, cuts))
+    assert chunked_state == one_state
+    # the LAST emission (standing funnel row) must agree; chunked runs
+    # may emit intermediate stage rows a single pass never surfaces
+    if one_rows:
+        assert chunked_rows and chunked_rows[-1] == one_rows[-1]
+    # and emissions only ever advance the stage
+    stages = [r[1] for r in chunked_rows]
+    assert stages == sorted(stages)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_pattern_fold_batching_invariant(data):
+    events = data.draw(_events(min_size=1))
+    cuts = data.draw(_splits(len(events)))
+    one_state, one_rows = _run_pattern([events])
+    chunked_state, chunked_rows = _run_pattern(_chunk(events, cuts))
+    # completed matches are emitted exactly once regardless of chunking
+    assert chunked_rows == one_rows
+    assert chunked_state == one_state
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(1, 40).flatmap(
+        lambda n: st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            max_size=80,
+        ).map(lambda es: (n, es))
+    )
+)
+def test_union_find_labels_match_bruteforce(ne):
+    from talknet_segmentation_batchprocessing_spark.operators.graph import (
+        _union_find_labels,
+    )
+
+    from .test_graph import union_find_components
+
+    n, edges = ne
+    edges = [(u, v) for u, v in edges if u != v]
+    want = union_find_components(n, edges)
+    got = _union_find_labels(
+        [u for u, _ in edges], [v for _, v in edges]
+    )
+    for node, lbl in got.items():
+        assert want[node] == lbl
+    # nodes absent from got are singletons
+    touched = set(got)
+    for v in range(n):
+        if v not in touched:
+            assert want[v] == v
