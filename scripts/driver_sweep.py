@@ -46,7 +46,11 @@ def main() -> int:
 
     registry._ensure_loaded()
     if "--only" in sys.argv:
-        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv):
+            print("usage: driver_sweep.py --only name1,name2,...")
+            return 2
+        wanted = sys.argv[i + 1].split(",")
         unknown = [n for n in wanted if n not in registry.REGISTRY]
         if unknown:
             print(f"unknown queries: {unknown}")

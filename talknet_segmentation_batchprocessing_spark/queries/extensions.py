@@ -1803,10 +1803,12 @@ WITH d AS (
   SELECT doc_id, lower(text) AS t, len(lower(text)) AS n FROM documents
 ),
 g AS (
+  -- lateral per-row range: every position, no document-length cap
+  -- (a fixed cap here silently diverged from the uncapped Spark side
+  -- for docs longer than cap + W; round-5 review finding)
   SELECT doc_id, i AS pos,
          CAST(('0x' || substr(md5(substr(t, CAST(i + 1 AS INTEGER), {_ESS_W})), 1, 12)) AS BIGINT) AS gh
-  FROM d CROSS JOIN (SELECT unnest(range(0, 800)) AS i)
-  WHERE n >= {_ESS_W} AND i <= n - {_ESS_W}
+  FROM d, unnest(range(0, greatest(n - {_ESS_W} + 1, 0))) AS u(i)
 ),
 dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
 hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
@@ -2459,16 +2461,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.join(cin, "doc_id", "left")
             .select(
                 "doc_id",
-                (
-                    F.floor(
-                        (
-                            (1 - _PR_DAMP) / n
-                            + _PR_DAMP * F.coalesce(F.col("cin"), F.lit(0.0))
-                        )
-                        * 1e9
-                        + F.lit(0.5)
-                    )
-                    / 1e9
+                stable_round(
+                    (1 - _PR_DAMP) / n
+                    + _PR_DAMP * F.coalesce(F.col("cin"), F.lit(0.0)),
+                    9,
                 ).alias("r"),
             )
             .localCheckpoint()

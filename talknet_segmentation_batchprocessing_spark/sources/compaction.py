@@ -24,7 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .upsert import _publish, current_version
+from .upsert import _claim, _publish, current_version
 
 _TARGET_FILE_BYTES = 128 * 1024 * 1024  # the usual HDFS/parquet sweet spot
 
@@ -59,6 +59,9 @@ def compact(
     else:
         out = df.coalesce(n_files)
     new_v = v + 1
+    # claim BEFORE writing: a concurrent merge/compact that read the
+    # same base version loses here, not after clobbering our files
+    _claim(table_dir, new_v)
     out.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{new_v}"))
     _publish(table_dir, new_v)
     return new_v

@@ -9,10 +9,20 @@ references (same crash-safety discipline as sources/bootstrap.py's
 download-then-rename). At 100 TB the rewrite cost is bounded by
 partitioning the table and merging only affected partitions; the
 pointer-swap publish is identical.
+
+Write protocol (optimistic, Delta-style): a writer CLAIMS version
+``N+1`` with an O_EXCL marker file BEFORE writing any data — the
+exactly-one-creator guarantee means a concurrent writer that read the
+same base version fails at the claim, before it can clobber anything.
+A claim that crashes pre-publish leaves an orphan ``_CLAIM_v<N+1>``
+marker (the table stays readable at ``v<N>``); :func:`recover` clears
+claims above the published pointer once the operator has confirmed no
+writer is in flight.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,13 +31,19 @@ from pyspark.sql import functions as F
 _POINTER = "_LATEST"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed this version first (or crashed holding
+    the claim — see :func:`recover`)."""
+
+
 def merge_frames(target: DataFrame, updates: DataFrame, on: str) -> DataFrame:
     """MERGE semantics as one relational operator: full outer join on
     ``on``; matched rows take the update's values (INCLUDING explicit
-    NULLs — the gate is the update side's key presence, not per-column
-    coalesce, so ``UPDATE SET c = NULL`` works), unmatched updates
-    insert, unmatched target rows carry over. Adds a ``merge_action``
-    audit column ('kept' | 'updated' | 'inserted').
+    NULLs — the gate is side PRESENCE, not per-column coalesce, so
+    ``UPDATE SET c = NULL`` works and NULL-KEYED rows on either side
+    keep their own payload), unmatched updates insert, unmatched
+    target rows carry over. Adds a ``merge_action`` audit column
+    ('kept' | 'updated' | 'inserted').
 
     Deviation from SQL MERGE: duplicate keys in ``updates`` fan the
     full-outer join out into duplicate output rows instead of raising
@@ -35,18 +51,20 @@ def merge_frames(target: DataFrame, updates: DataFrame, on: str) -> DataFrame:
     path, where MERGE's error semantics matter) guards against this
     with an explicit uniqueness check."""
     cols = [c for c in target.columns if c != on]
-    t = target.alias("t")
-    u = updates.alias("u")
-    matched = F.col(f"u.{on}").isNotNull()
+    # side-presence sentinels: a NULL merge key never joins, so key
+    # nullness cannot distinguish "row absent from this side" from
+    # "row present with a NULL key" — the sentinel can
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    u = updates.withColumn("_u_present", F.lit(True)).alias("u")
+    t_here = F.col("t._t_present").isNotNull()
+    u_here = F.col("u._u_present").isNotNull()
     action = (
-        F.when(F.col(f"t.{on}").isNull(), "inserted")
-        .when(~matched, "kept")
-        .otherwise("updated")
+        F.when(~t_here, "inserted").when(~u_here, "kept").otherwise("updated")
     )
     return t.join(u, F.col(f"t.{on}") == F.col(f"u.{on}"), "full_outer").select(
-        F.coalesce(F.col(f"t.{on}"), F.col(f"u.{on}")).alias(on),
+        F.when(u_here, F.col(f"u.{on}")).otherwise(F.col(f"t.{on}")).alias(on),
         *[
-            F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            F.when(u_here, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             for c in cols
         ],
         action.alias("merge_action"),
@@ -71,6 +89,7 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
 def init_table(df: DataFrame, table_dir: str) -> int:
     """Publish version 0 of a table."""
     os.makedirs(table_dir, exist_ok=True)
+    _claim(table_dir, 0)
     df.write.mode("overwrite").parquet(os.path.join(table_dir, "v0"))
     _publish(table_dir, 0)
     return 0
@@ -82,16 +101,17 @@ def merge_into(
     """Merge ``updates`` into the table's latest version and publish a
     new version. Returns the new version number.
 
-    Write order is crash-safe: the FULL v<N+1> data lands first (Spark
-    writes to a _temporary dir and renames per-file, so a torn job
-    leaves no pointer change), the pointer file is replaced LAST via
-    os.replace (atomic on POSIX). A concurrent READER either sees
-    v<N> or v<N+1>, never a mix.
-
-    Concurrency contract: SINGLE WRITER. Publish is conditional — the
-    pointer-advance loses (raises) if another merge published first
-    (per-version commit marker created with O_EXCL), so a lost race
-    fails loudly instead of silently deleting the winner's files.
+    Order of operations is both race- and crash-safe:
+    1. CLAIM ``v<N+1>`` via O_EXCL marker — a concurrent merge that
+       read the same base loses HERE, before any data could be
+       clobbered (lost-update prevention, not just lost-publish);
+    2. write the full ``v<N+1>`` data (Spark lands files under a
+       _temporary dir and renames, so a torn job changes nothing a
+       reader can resolve);
+    3. atomically swap the pointer (os.replace, POSIX-atomic).
+    A concurrent READER either sees v<N> or v<N+1>, never a mix. A
+    crash between 1 and 3 leaves the table readable at v<N> with an
+    orphan claim; clear it with :func:`recover`.
 
     Duplicate keys in ``updates`` raise ValueError, matching SQL
     MERGE's multiple-match error (merge_frames alone would fan out)."""
@@ -105,21 +125,46 @@ def merge_into(
     target = read_table(spark, table_dir)
     merged = merge_frames(target, updates, on).drop("merge_action")
     new_v = v + 1
+    _claim(table_dir, new_v)
     merged.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{new_v}"))
     _publish(table_dir, new_v)
     return new_v
 
 
-def _publish(table_dir: str, version: int) -> None:
-    """Atomically advance the pointer to ``version``, conditional on
-    being the FIRST publisher of that version: an O_EXCL commit marker
-    is the mutual-exclusion primitive (exactly-one-creator on POSIX),
-    so two racing merges that both read v and both wrote v+1 data
-    cannot both publish — the loser raises FileExistsError with its
-    orphan data dir left unreferenced (same as a crashed merge)."""
-    marker = os.path.join(table_dir, f"_COMMIT_v{version}")
-    fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+def recover(table_dir: str) -> list[int]:
+    """Remove claim markers ABOVE the published pointer — the debris of
+    a writer that crashed between claim and publish. Only call after
+    confirming no writer is in flight (the markers are what protects a
+    live one). Returns the versions whose claims were cleared."""
+    v = current_version(table_dir)
+    cleared = []
+    for m in glob.glob(os.path.join(table_dir, "_CLAIM_v*")):
+        mv = int(os.path.basename(m)[len("_CLAIM_v"):])
+        if mv > v:
+            os.remove(m)
+            cleared.append(mv)
+    return sorted(cleared)
+
+
+def _claim(table_dir: str, version: int) -> None:
+    """Claim ``version`` with an O_EXCL marker (exactly-one-creator on
+    POSIX) BEFORE any data is written — the loser of a race fails
+    loudly here with the winner's files untouched."""
+    marker = os.path.join(table_dir, f"_CLAIM_v{version}")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise ConcurrentWriteError(
+            f"version {version} of {table_dir} is already claimed — "
+            "either a concurrent writer is in flight, or a previous "
+            "writer crashed pre-publish (run recover() after confirming "
+            "no writer is active)"
+        ) from e
     os.close(fd)
+
+
+def _publish(table_dir: str, version: int) -> None:
+    """Atomically advance the pointer to ``version`` (os.replace)."""
     tmp = os.path.join(table_dir, f"{_POINTER}.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))

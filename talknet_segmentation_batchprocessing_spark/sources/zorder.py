@@ -51,9 +51,12 @@ def file_z_ranges(path: str) -> list[tuple[int, int]]:
 
     import pyarrow.parquet as pq
 
+    # union of flat and recursive matches: a mixed layout (top-level
+    # files plus partition subdirs, e.g. mid-migration) must surface
+    # every file — an either/or here silently dropped the nested ones
     files = sorted(
-        glob.glob(os.path.join(path, "*.parquet"))
-        or glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        set(glob.glob(os.path.join(path, "*.parquet")))
+        | set(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     )
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")

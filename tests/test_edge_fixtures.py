@@ -137,6 +137,11 @@ def _edge_documents() -> pa.Table:
         (9, None, "en", "src0"),  # null text
         (10, "word " * 20, None, "src1"),  # null lang
         (11, "sentences. more sentences! questions? yes. end", "es", "src2"),
+        # long docs sharing a span positioned far past any fixed
+        # position cap (round-5 review: the oracle's old 800-position
+        # range silently diverged from the uncapped engine)
+        (12, "x" * 900 + " " + "lorem ipsum dolor sit amet " * 20 + "tail one", "en", "src0"),
+        (13, "z" * 1000 + " " + "lorem ipsum dolor sit amet " * 20 + "tail two", "en", "src1"),
     ]
     pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
     pdf["n_chars"] = pdf["text"].map(lambda t: len(t) if isinstance(t, str) else None)

@@ -89,17 +89,60 @@ def test_merge_into_rejects_duplicate_update_keys(spark, tmp_path):
     assert current_version(table) == 0
 
 
-def test_publish_is_single_winner(spark, tmp_path):
-    """Two racing merges that both computed v1: the second publish of
-    the SAME version must fail loudly (O_EXCL commit marker), never
-    silently overwrite the winner's pointer/files."""
+def test_claim_is_single_winner_before_any_write(spark, tmp_path):
+    """Two racing writers that read the same base version: the second
+    CLAIM of v1 must fail loudly BEFORE any data write could clobber
+    the winner's files (lost-update prevention, not just
+    lost-publish)."""
     import pytest
 
-    from talknet_segmentation_batchprocessing_spark.sources.upsert import _publish
+    from talknet_segmentation_batchprocessing_spark.sources.upsert import (
+        ConcurrentWriteError,
+        _claim,
+    )
 
     table = str(tmp_path / "tbl")
     init_table(spark.createDataFrame([(1, 10)], "k long, v long"), table)
-    _publish(table, 1)
-    with pytest.raises(FileExistsError):
-        _publish(table, 1)
-    assert current_version(table) == 1
+    _claim(table, 1)
+    with pytest.raises(ConcurrentWriteError):
+        _claim(table, 1)
+    assert current_version(table) == 0
+
+
+def test_crashed_claim_recovers(spark, tmp_path):
+    """A writer that crashed between claim and publish leaves an orphan
+    marker; the table stays readable, the next merge fails loudly, and
+    recover() restores writability without touching published data."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.sources.upsert import (
+        ConcurrentWriteError,
+        _claim,
+        recover,
+    )
+
+    table = str(tmp_path / "tbl")
+    init_table(spark.createDataFrame([(1, 10)], "k long, v long"), table)
+    _claim(table, 1)  # simulated crash: claim exists, never published
+    assert read_table(spark, table).count() == 1  # still readable at v0
+    up = spark.createDataFrame([(2, 20)], "k long, v long")
+    with pytest.raises(ConcurrentWriteError):
+        merge_into(spark, table, up, "k")
+    assert recover(table) == [1]
+    assert merge_into(spark, table, up, "k") == 1
+    assert read_table(spark, table).count() == 2
+
+
+def test_merge_frames_null_keyed_rows_keep_payload(spark):
+    """A NULL merge key never joins; rows with NULL keys on either side
+    must keep their OWN payload (side-presence sentinels, not key
+    nullness)."""
+    target = spark.createDataFrame([(None, "t", 1)], "k long, s string, v long")
+    updates = spark.createDataFrame([(None, "u", 2)], "k long, s string, v long")
+    got = sorted(
+        merge_frames(target, updates, "k").collect(), key=lambda r: r.s
+    )
+    assert [(r.s, r.v, r.merge_action) for r in got] == [
+        ("t", 1, "kept"),
+        ("u", 2, "inserted"),
+    ]
