@@ -68,14 +68,106 @@ def remap_state_dict(
     return out, unknown, mismatched
 
 
+_STORAGE_DTYPES = {
+    "FloatStorage": np.float32,
+    "DoubleStorage": np.float64,
+    "HalfStorage": np.float16,
+    "LongStorage": np.int64,
+    "IntStorage": np.int32,
+    "ShortStorage": np.int16,
+    "CharStorage": np.int8,
+    "ByteStorage": np.uint8,
+    "BoolStorage": np.bool_,
+}
+
+
+def load_torch_zip(path: str) -> dict[str, np.ndarray]:
+    """Pure-numpy reader for the torch >= 1.6 ZIP checkpoint format —
+    no torch import, so the conversion path runs in this image.
+
+    The format is public and simple: a zip holding
+    ``<archive>/data.pkl`` (the pickled object graph, where each
+    tensor is a ``torch._utils._rebuild_tensor_v2(storage, offset,
+    size, stride, ...)`` call and each storage is a pickle PERSISTENT
+    ID ``('storage', <StorageType>, <key>, <location>, <numel>)``)
+    plus ``<archive>/data/<key>`` files of raw little-endian element
+    bytes. A custom ``Unpickler`` maps the torch globals to local
+    shims: storages resolve to (dtype, key) handles, and the rebuild
+    call slices ``np.frombuffer`` of the zip member with
+    element-strides — torch never touches memory.
+
+    Legacy (pre-1.6, non-zip) files raise with a clear message.
+    """
+    import io
+    import pickle
+    import zipfile
+
+    if not zipfile.is_zipfile(path):
+        raise ValueError(
+            f"{path} is not a torch zip-format checkpoint (pre-1.6 "
+            "legacy pickle streams are not supported by the no-torch "
+            "reader; re-save with a modern torch)"
+        )
+    zf = zipfile.ZipFile(path)
+    pkl_name = next(
+        n for n in zf.namelist() if n == "data.pkl" or n.endswith("/data.pkl")
+    )
+    prefix = pkl_name[: -len("data.pkl")]
+
+    class _Shim:
+        """Inert stand-in for any torch global the pickle references."""
+
+        def __init__(self, name: str):
+            self.name = name
+
+        def __call__(self, *a, **k):  # e.g. dtype objects, OrderedDict hooks
+            return self
+
+    def _rebuild_tensor_v2(storage, offset, size, stride, *_args):
+        dtype, key = storage
+        arr = np.frombuffer(zf.read(f"{prefix}data/{key}"), dtype=dtype)
+        itemsize = arr.dtype.itemsize  # torch strides/offsets are in ELEMENTS
+        out = np.lib.stride_tricks.as_strided(
+            arr[offset:],
+            shape=tuple(int(s) for s in size),
+            strides=tuple(int(s) * itemsize for s in stride),
+        )
+        return out.copy()  # own the memory; drop the buffer view
+
+    def _rebuild_parameter(tensor, *_args):
+        return tensor
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "torch._utils" and name == "_rebuild_tensor_v2":
+                return _rebuild_tensor_v2
+            if module == "torch._utils" and name == "_rebuild_parameter":
+                return _rebuild_parameter
+            if module.startswith("torch"):
+                return _Shim(name)
+            return super().find_class(module, name)
+
+        def persistent_load(self, pid):
+            kind, st, key = pid[0], pid[1], pid[2]
+            if kind != "storage":  # pragma: no cover - format guard
+                raise ValueError(f"unknown persistent id kind: {kind!r}")
+            name = st.name if isinstance(st, _Shim) else str(st)
+            name = name.rsplit(".", 1)[-1]
+            return (_STORAGE_DTYPES[name], key)
+
+    state = _Unpickler(io.BytesIO(zf.read(pkl_name))).load()
+    if hasattr(state, "state_dict"):  # a full module was pickled
+        state = state.state_dict()
+    return {k: v for k, v in dict(state).items() if isinstance(v, np.ndarray)}
+
+
 def _torch_load(path: str) -> Mapping[str, object]:
     try:
         import torch  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover - torch absent in CI image
-        raise ImportError(
-            "converting a torch checkpoint requires torch; install it or "
-            "convert on a machine that has it, then ship the .npz"
-        ) from e
+    except ImportError:
+        # no torch in this image: the pure-numpy zip reader handles the
+        # modern (>= 1.6) checkpoint format end-to-end
+        return load_torch_zip(path)
     state = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(state, "state_dict"):  # a full module was pickled
         state = state.state_dict()
