@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_keep_lsh_recall",
     "graph_pagerank",
     "dedup_keep_canonical_lsh",
+    "contamination_bloom",
 ]
 
 

@@ -1318,3 +1318,128 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h < F.col("keep_ppm"))
         .select("doc_id", "lang", "n_chars", F.col("keep_ppm").cast("bigint"))
     )
+
+
+_BLOOM_M = 4096  # bloom bits
+_BLOOM_K = 4     # hash functions (md5-salted)
+
+_BLOOM_HASH = (
+    "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || shingle), 1, 12)) AS BIGINT)"
+    f" % {_BLOOM_M}"
+)
+
+_CONTAM_BLOOM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(w) - {_CONTAM_K - 2}),
+                   i -> array_to_string(w[i:i+{_CONTAM_K - 1}], ' '))) AS shingle
+    FROM toks WHERE len(w) >= {_CONTAM_K}
+  )
+),
+js AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+bloom AS (
+  SELECT DISTINCT {_BLOOM_HASH} AS bit
+  FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_DOCS}) CROSS JOIN js
+),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {_BENCH_DOCS}),
+probe AS (
+  SELECT c.doc_id, c.shingle, count(bl.bit) AS n_set
+  FROM corpus c CROSS JOIN js
+  LEFT JOIN bloom bl ON bl.bit = {_BLOOM_HASH.replace('shingle', 'c.shingle')}
+  GROUP BY c.doc_id, c.shingle
+),
+flags AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (n_set = {_BLOOM_K}) AS BIGINT) AS n_bloom_hits,
+         CAST(count(*) AS BIGINT) AS n_shingles
+  FROM probe GROUP BY doc_id
+),
+exact AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+  FROM corpus c JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_DOCS}) b
+    ON b.shingle = c.shingle
+  GROUP BY c.doc_id
+)
+SELECT f.doc_id, f.n_shingles, f.n_bloom_hits,
+       coalesce(e.n_exact_hits, 0) AS n_exact_hits,
+       f.n_bloom_hits - coalesce(e.n_exact_hits, 0) AS n_false_positives,
+       f.n_bloom_hits > 0 AS needs_verify
+FROM flags f LEFT JOIN exact e ON e.doc_id = f.doc_id
+"""
+
+
+@query(
+    "contamination_bloom",
+    oracle=_CONTAM_BLOOM_ORACLE,
+    doc=f"Bloom-filter contamination PREFILTER — the semi-join "
+    "reduction Spark's own runtime filters apply, made explicit: the "
+    f"benchmark shingle set compresses to a {_BLOOM_M}-bit bloom "
+    f"({_BLOOM_K} md5-salted hashes, identical on both engines), the "
+    "corpus probes the broadcast bit set in ONE scan, and only "
+    "bloom-hit docs would proceed to the exact equi-join — at 100 TB "
+    "that cuts the expensive verify's input by the bloom's "
+    "selectivity while the bit table stays KB-sized however large the "
+    "benchmark grows (vs broadcasting every benchmark shingle). "
+    "Bloom guarantees no false negatives; the per-doc false-positive "
+    "count (bloom hits minus exact hits, always >= 0) is the built-in "
+    "FPR audit, same pattern as the sketch error columns",
+    tags=("dataset", "contamination", "sketch", "ext"),
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _CONTAM_K
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w")).filter(
+        F.size("w") >= k
+    )
+    sh = track_persist(
+        d.select("doc_id", F.explode(word_shingles("w", k)).alias("shingle")).distinct()
+    )
+    bench = sh.filter(F.col("doc_id") < _BENCH_DOCS).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") >= _BENCH_DOCS)
+    js = F.broadcast(spark.range(0, _BLOOM_K).select(F.col("id").alias("j")))
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit("#"), F.col("shingle"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+    bloom = bench.crossJoin(js).select(bit.alias("bit")).distinct()
+    probe = (
+        corpus.crossJoin(js)
+        .select("doc_id", "shingle", bit.alias("bit"))
+        .join(F.broadcast(bloom).withColumn("_set", F.lit(1)), "bit", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("_set").alias("n_set"))
+    )
+    flags = probe.groupBy("doc_id").agg(
+        F.count(F.when(F.col("n_set") == _BLOOM_K, 1)).alias("n_bloom_hits"),
+        F.count("*").alias("n_shingles"),
+    )
+    exact = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_hits"))
+    )
+    ne = F.coalesce(F.col("n_exact_hits"), F.lit(0))
+    return (
+        flags.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            ne.alias("n_exact_hits"),
+            (F.col("n_bloom_hits") - ne).alias("n_false_positives"),
+            (F.col("n_bloom_hits") > 0).alias("needs_verify"),
+        )
+    )

@@ -173,13 +173,13 @@ _DRIVER_WINDOW = [
     # and CC trim touch, plus eval-arm anchors (new round-5 queries
     # replace entries from this block as they land)
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_cc_labelprop", "sim_lsh_bucketed", "sim_ivf_topk",
+    "dedup_cc_labelprop", "sim_ivf_topk",
     "a6_average_precision",
     # new round-5 queries (driver-checked the round they land)
     "dedup_exact_substring", "dedup_semantic_keep_lsh",
     "sketch_countmin_topk", "w15_event_pattern", "dedup_containment",
     "dedup_keep_lsh_recall", "graph_pagerank",
-    "dedup_keep_canonical_lsh",
+    "dedup_keep_canonical_lsh", "contamination_bloom",
 ]
 
 

@@ -65,6 +65,7 @@ EDGE_QUERIES = [
     "dedup_containment",
     "dedup_keep_lsh_recall",
     "graph_pagerank",
+    "contamination_bloom",
 ]
 
 TABLES = [

@@ -114,6 +114,7 @@ TWO_PHASE_QUERIES = [
     "dedup_containment",
     "graph_pagerank",
     "dedup_keep_canonical_lsh",
+    "contamination_bloom",
 ]
 
 
