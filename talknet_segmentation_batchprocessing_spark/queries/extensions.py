@@ -2347,8 +2347,10 @@ FROM agree a
     tags=("dedup", "similarity", "eval", "ext"),
 )
 def dedup_keep_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = dedup_semantic_keep(spark, sf_dir).select("vec_id")
-    ls = dedup_semantic_keep_lsh(spark, sf_dir).select("vec_id")
+    # three scalar actions consume each survivor frame — persist both
+    # so each SemDeDup pipeline runs once, not per-action
+    ex = track_persist(dedup_semantic_keep(spark, sf_dir).select("vec_id"))
+    ls = track_persist(dedup_semantic_keep_lsh(spark, sf_dir).select("vec_id"))
     n_common = ex.join(ls, "vec_id").count()
     n_exact = ex.count()
     n_lsh = ls.count()
