@@ -91,6 +91,11 @@ HEADLINE = [
     "graph_pagerank",
     "dedup_keep_canonical_lsh",
     "contamination_bloom",
+    "sketch_kmv_setops",
+    "sketch_hll_merge",
+    "text_gopher_rules",
+    "text_perplexity_bucket",
+    "dedup_cluster_stats",
 ]
 
 

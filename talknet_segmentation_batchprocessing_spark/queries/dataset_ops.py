@@ -1443,3 +1443,197 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bloom_hits") > 0).alias("needs_verify"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filtering
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MIN_STOPWORDS = 2
+_GOPHER_MAX_TOP_FRAC = 0.10
+
+_SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + ")"
+
+_GOPHER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+freq AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_words,
+         sum(len(tok) * cnt) * 1.0 / sum(cnt) AS mean_word_len,
+         CAST(sum(CASE WHEN tok IN {_SQL_STOPLIST} THEN cnt ELSE 0 END) AS BIGINT)
+           AS stopword_hits,
+         max(cnt) * 1.0 / sum(cnt) AS top_tok_frac
+  FROM freq GROUP BY doc_id
+),
+flags AS (
+  SELECT doc_id, n_words,
+         floor(mean_word_len * 1e4 + 0.5) / 1e4 AS mean_word_len,
+         stopword_hits,
+         floor(top_tok_frac * 1e6 + 0.5) / 1e6 AS top_tok_frac,
+         CAST(n_words < {_GOPHER_MIN_WORDS} OR n_words > {_GOPHER_MAX_WORDS}
+              AS INTEGER)
+         + CAST(mean_word_len < {_GOPHER_MIN_MEAN_LEN}
+                OR mean_word_len > {_GOPHER_MAX_MEAN_LEN} AS INTEGER)
+         + CAST(stopword_hits < {_GOPHER_MIN_STOPWORDS} AS INTEGER)
+         + CAST(top_tok_frac > {_GOPHER_MAX_TOP_FRAC} AS INTEGER)
+           AS n_rules_failed
+  FROM per_doc
+)
+SELECT doc_id, n_words, mean_word_len, stopword_hits, top_tok_frac,
+       CAST(n_rules_failed AS BIGINT) AS n_rules_failed,
+       n_rules_failed = 0 AS keep
+FROM flags
+"""
+
+
+@query(
+    "text_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    doc="Gopher-style rule-based quality battery (Rae et al. 2021 "
+    "table A1, the rules the testdata can exercise): word count in "
+    f"[{_GOPHER_MIN_WORDS}, {_GOPHER_MAX_WORDS}], mean word length in "
+    f"[{_GOPHER_MIN_MEAN_LEN}, {_GOPHER_MAX_MEAN_LEN}], >= "
+    f"{_GOPHER_MIN_STOPWORDS} stopword occurrences, and max "
+    f"single-token frequency <= {_GOPHER_MAX_TOP_FRAC} (the "
+    "repetition rule). Per-doc verdict with every rule input exposed "
+    "plus the failure count — the auditable form a curation pipeline "
+    "wants (filter + WHY). Shape: one explode + two doc_id-keyed "
+    "aggregations, no window, no UDF — at 100 TB this is a single "
+    "map-side-combinable pass per doc shard. Rule thresholds on the "
+    "ROUNDED stats on both engines so boundary docs cannot split on "
+    "float noise",
+    tags=("text", "dataset", "ext"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    per_doc = freq.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        (
+            F.sum(F.length("tok") * F.col("cnt")) * F.lit(1.0) / F.sum("cnt")
+        ).alias("mean_word_len_raw"),
+        F.sum(
+            F.when(F.col("tok").isin(*_GOPHER_STOPWORDS), F.col("cnt")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("stopword_hits"),
+        (F.max("cnt") * F.lit(1.0) / F.sum("cnt")).alias("top_tok_frac_raw"),
+    )
+    flags = per_doc.select(
+        "doc_id",
+        "n_words",
+        stable_round("mean_word_len_raw", 4).alias("mean_word_len"),
+        "stopword_hits",
+        stable_round("top_tok_frac_raw", 6).alias("top_tok_frac"),
+    )
+    n_failed = (
+        (
+            (F.col("n_words") < _GOPHER_MIN_WORDS)
+            | (F.col("n_words") > _GOPHER_MAX_WORDS)
+        ).cast("int")
+        + (
+            (F.col("mean_word_len") < _GOPHER_MIN_MEAN_LEN)
+            | (F.col("mean_word_len") > _GOPHER_MAX_MEAN_LEN)
+        ).cast("int")
+        + (F.col("stopword_hits") < _GOPHER_MIN_STOPWORDS).cast("int")
+        + (F.col("top_tok_frac") > _GOPHER_MAX_TOP_FRAC).cast("int")
+    )
+    return flags.withColumn("n_rules_failed", n_failed.cast("bigint")).withColumn(
+        "keep", F.col("n_rules_failed") == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKET_ORACLE = f"""
+WITH scored AS ({_LM_ORACLE}),
+with_lang AS (
+  SELECT s.doc_id, d.lang, s.mean_neg_logprob
+  FROM scored s JOIN documents d USING (doc_id)
+),
+bucketed AS (
+  SELECT lang, mean_neg_logprob,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY mean_neg_logprob, doc_id) AS tile
+  FROM with_lang
+)
+SELECT lang,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(min(mean_neg_logprob) * 1e4 + 0.5) / 1e4 AS min_nlp,
+       floor(max(mean_neg_logprob) * 1e4 + 0.5) / 1e4 AS max_nlp,
+       floor(sum(CAST(floor(mean_neg_logprob * 1e4 + 0.5) AS BIGINT)) * 1.0
+             / count(*) + 0.5) / 1e4 AS mean_nlp
+FROM bucketed
+GROUP BY lang, tile
+"""
+
+
+@query(
+    "text_perplexity_bucket",
+    oracle=_PPL_BUCKET_ORACLE,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
+    "every document with the corpus-unigram mean -log2 p (the "
+    "text_unigram_logprob operator), then split each language into "
+    "head/middle/tail TERCILES by score — the standard way quality "
+    "tiers are cut before mixing pretraining data. ntile(3) over a "
+    "lang-PARTITIONED window (deterministic doc_id tiebreak, no "
+    "global sort); per-bucket doc counts + min/max/mean score so the "
+    "cut points are auditable. Bucket means aggregate the 1e-4-grid "
+    "scores as exact integers (sum of bigints, one final division) so "
+    "the cross-engine hash cannot split on summation order. At 100 TB "
+    "the terciles come from approx quantiles of the score histogram "
+    "instead of a per-lang window, the scoring pass is unchanged",
+    tags=("text", "dataset", "ext"),
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = text_unigram_logprob(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("mean_neg_logprob", "doc_id")
+    bucketed = (
+        scored.join(docs, "doc_id")
+        .withColumn("tile", F.ntile(3).over(w))
+    )
+    bucket_name = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    grid = F.floor(F.col("mean_neg_logprob") * 1e4 + 0.5).cast("bigint")
+    return (
+        bucketed.groupBy("lang", F.col("tile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            stable_round(F.min("mean_neg_logprob"), 4).alias("min_nlp"),
+            stable_round(F.max("mean_neg_logprob"), 4).alias("max_nlp"),
+            (
+                F.floor(F.sum(grid) * F.lit(1.0) / F.count("*") + 0.5) / F.lit(1e4)
+            ).alias("mean_nlp"),
+        )
+        .select(
+            "lang",
+            bucket_name.alias("bucket"),
+            "n_docs",
+            "min_nlp",
+            "max_nlp",
+            "mean_nlp",
+        )
+    )

@@ -2532,3 +2532,46 @@ def dedup_keep_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXT_REG["dedup_keep_canonical_lsh"].oracle = _keep_canonical_lsh_oracle()
+
+
+_CLUSTER_STATS_ORACLE = f"""
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM ({_CC_ORACLE}) GROUP BY cluster_id
+)
+GROUP BY cluster_size
+"""
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=_CLUSTER_STATS_ORACLE,
+    doc="Duplicate-cluster SIZE HISTOGRAM — the report every dedup run "
+    "ships: how many components of each size the near-dup graph has "
+    "(size 1 = unique docs; the tail is the boilerplate/mirror mass). "
+    "Composes the shared materialized edge table + star CC "
+    "(_near_dup_edges -> connected_components_star) with two keyed "
+    "aggregations (component -> size, size -> count); output is "
+    "bounded by the largest component size, so it stays tiny at any "
+    "corpus scale. The n_docs column makes the histogram "
+    "self-auditing: sum(n_docs) == corpus size",
+    tags=("dedup", "diagnostics", "ext"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = _near_dup_edges(spark, sf_dir)
+    cc = connected_components_star(
+        docs, pairs, edges_distinct=True, edges_materialized=True
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )

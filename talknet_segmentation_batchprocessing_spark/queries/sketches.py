@@ -414,3 +414,304 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_est"), "tok")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch SET ALGEBRA: union / intersection / Jaccard between corpora
+# ---------------------------------------------------------------------------
+
+# Two disjoint corpora by source id: A = src0..src9, B = src10..src19.
+_SQL_IS_A = "CAST(substr(source, 4) AS INTEGER) < 10"
+
+# distinct (corpus-membership, word-3-shingle) pairs
+_SQL_CORPUS_TOKS = f"""
+  SELECT DISTINCT ({_SQL_IS_A}) AS is_a,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))) AS tok
+  FROM (SELECT source, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+
+_SETOP_ORACLE = f"""
+WITH toks AS ({_SQL_CORPUS_TOKS}),
+hashed AS (
+  SELECT {_SQL_TOK_HASH} AS h,
+         max(CASE WHEN is_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN is_a THEN 0 ELSE 1 END) AS in_b
+  FROM toks GROUP BY 1
+),
+exact AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a_exact,
+         CAST(sum(in_b) AS BIGINT) AS n_b_exact,
+         CAST(count(*) AS BIGINT) AS n_union_exact,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_exact
+  FROM hashed
+),
+ka AS (SELECT max(h) AS hk, count(*) AS n_kept
+       FROM (SELECT h FROM hashed WHERE in_a = 1 ORDER BY h LIMIT {_KMV_K})),
+kb AS (SELECT max(h) AS hk, count(*) AS n_kept
+       FROM (SELECT h FROM hashed WHERE in_b = 1 ORDER BY h LIMIT {_KMV_K})),
+ku AS (SELECT max(h) AS hk, CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+              count(*) AS n_kept
+       FROM (SELECT h, in_a, in_b FROM hashed ORDER BY h LIMIT {_KMV_K})),
+est AS (
+  SELECT
+    CAST(CASE WHEN ka.n_kept < {_KMV_K} THEN e.n_a_exact
+         ELSE floor(({_KMV_K} - 1) * {_HASH_SPACE} / ka.hk + 0.5) END AS BIGINT)
+      AS est_a,
+    CAST(CASE WHEN kb.n_kept < {_KMV_K} THEN e.n_b_exact
+         ELSE floor(({_KMV_K} - 1) * {_HASH_SPACE} / kb.hk + 0.5) END AS BIGINT)
+      AS est_b,
+    CAST(CASE WHEN ku.n_kept < {_KMV_K} THEN e.n_union_exact
+         ELSE floor(({_KMV_K} - 1) * {_HASH_SPACE} / ku.hk + 0.5) END AS BIGINT)
+      AS est_union,
+    ku.n_both AS n_both,
+    e.*
+  FROM exact e CROSS JOIN ka CROSS JOIN kb CROSS JOIN ku
+)
+SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+       est_a, est_b, est_union,
+       CAST(floor(n_both * est_union * 1.0 / {_KMV_K} + 0.5) AS BIGINT) AS est_inter,
+       floor(n_inter_exact * 1.0 / n_union_exact * 1e6 + 0.5) / 1e6 AS jaccard_exact,
+       floor(n_both * 1.0 / {_KMV_K} * 1e6 + 0.5) / 1e6 AS jaccard_est,
+       floor(abs(est_union - n_union_exact) * 1.0 / n_union_exact * 1e6 + 0.5) / 1e6
+         AS union_rel_err
+FROM est
+"""
+
+
+@query(
+    "sketch_kmv_setops",
+    oracle=_SETOP_ORACLE,
+    doc="KMV sketch SET ALGEBRA between two corpora (sources src0-9 vs "
+    "src10-19): per-corpus distinct-shingle KMV sketches, the UNION "
+    "sketch (k smallest of the combined hash set — exactly the merge "
+    "rule, so it is computable from the two corpus sketches alone), "
+    "Jaccard estimated as the fraction of the union sketch's k values "
+    "present in both corpora (Bar-Yossef et al. 2002), and "
+    "|A-and-B| ~= jaccard * |A-or-B|. THE shape for 'how much does "
+    "crawl B overlap crawl A' at 100 TB: each corpus keeps a k-value "
+    "sketch (k=64 bigints), the overlap estimate needs NO join "
+    "between the corpora — sketches merge on the driver. Every "
+    "k-smallest here is a TakeOrderedAndProject (per-partition top-k, "
+    "merge of k-sized heads — a partial aggregate, never a global "
+    "sort). Exact counts + estimates + rel-err audit in one row, "
+    "bit-identical md5 hashing on both engines",
+    tags=("sketch", "dataset", "ext"),
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    from ..functions.shingles import word_shingles
+
+    is_a = F.substring("source", 4, 10).cast("int") < 10
+    toks = (
+        docs.select(is_a.alias("is_a"), F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("is_a", F.explode(word_shingles("w", 3)).alias("tok"))
+        .distinct()
+    )
+    hashed = track_persist(
+        toks.groupBy(_tok_hash().alias("h")).agg(
+            F.max(F.when(F.col("is_a"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("is_a"), 0).otherwise(1)).alias("in_b"),
+        )
+    )
+    exact = hashed.agg(
+        F.sum("in_a").cast("bigint").alias("n_a_exact"),
+        F.sum("in_b").cast("bigint").alias("n_b_exact"),
+        F.count("*").cast("bigint").alias("n_union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_inter_exact"),
+    )
+
+    def _kmv(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.orderBy("h")
+            .limit(_KMV_K)
+            .agg(
+                F.max("h").alias(f"hk_{prefix}"),
+                F.count("*").alias(f"n_kept_{prefix}"),
+            )
+        )
+
+    ka = _kmv(hashed.filter(F.col("in_a") == 1).select("h"), "a")
+    kb = _kmv(hashed.filter(F.col("in_b") == 1).select("h"), "b")
+    ku = (
+        hashed.orderBy("h")
+        .limit(_KMV_K)
+        .agg(
+            F.max("h").alias("hk_u"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+            F.count("*").alias("n_kept_u"),
+        )
+    )
+
+    def _est(hk: str, n_kept: str, n_exact: str):
+        return (
+            F.when(F.col(n_kept) < _KMV_K, F.col(n_exact))
+            .otherwise(
+                F.floor((_KMV_K - 1) * F.lit(_HASH_SPACE) / F.col(hk) + 0.5)
+            )
+            .cast("bigint")
+        )
+
+    row = exact.crossJoin(ka).crossJoin(kb).crossJoin(ku)
+    return row.select(
+        "n_a_exact",
+        "n_b_exact",
+        "n_union_exact",
+        "n_inter_exact",
+        _est("hk_a", "n_kept_a", "n_a_exact").alias("est_a"),
+        _est("hk_b", "n_kept_b", "n_b_exact").alias("est_b"),
+        _est("hk_u", "n_kept_u", "n_union_exact").alias("est_union"),
+        "n_both",
+    ).withColumn(
+        "est_inter",
+        F.floor(
+            F.col("n_both") * F.col("est_union") * F.lit(1.0) / _KMV_K + 0.5
+        ).cast("bigint"),
+    ).select(
+        "n_a_exact",
+        "n_b_exact",
+        "n_union_exact",
+        "n_inter_exact",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_inter",
+        stable_round(F.col("n_inter_exact") / F.col("n_union_exact"), 6).alias(
+            "jaccard_exact"
+        ),
+        stable_round(F.col("n_both") / F.lit(float(_KMV_K)), 6).alias("jaccard_est"),
+        stable_round(
+            F.abs(F.col("est_union") - F.col("n_union_exact"))
+            / F.col("n_union_exact"),
+            6,
+        ).alias("union_rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL MERGE: per-source partial sketches -> register-max -> one estimate
+# ---------------------------------------------------------------------------
+
+# distinct (source, word-3-shingle) pairs — each source's own token set
+_SQL_SOURCE_TOKS = """
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))) AS tok
+  FROM (SELECT source, string_split(lower(text), ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+
+_SQL_HLL_EST = (
+    f"CAST(floor(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}"
+    f" / (sum(power(2.0, -rho)) + ({_HLL_M} - count(*)) * 1.0) + 0.5)"
+    " AS BIGINT)"
+)
+
+_HLL_MERGE_ORACLE = f"""
+WITH toks AS ({_SQL_SOURCE_TOKS}),
+hashed AS (
+  SELECT DISTINCT source, {_SQL_TOK_HASH} AS h FROM toks
+),
+src_regs AS (
+  SELECT source, h % {_HLL_M} AS reg, max({_SQL_RHO}) AS rho
+  FROM hashed GROUP BY source, h % {_HLL_M}
+),
+merged_regs AS (
+  SELECT reg, max(rho) AS rho FROM src_regs GROUP BY reg
+),
+direct_regs AS (
+  SELECT h % {_HLL_M} AS reg, max({_SQL_RHO}) AS rho
+  FROM (SELECT DISTINCT h FROM hashed) GROUP BY h % {_HLL_M}
+),
+merged AS (SELECT {_SQL_HLL_EST} AS n_est_merged FROM merged_regs),
+direct AS (SELECT {_SQL_HLL_EST} AS n_est_direct FROM direct_regs),
+exact AS (
+  SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_exact,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM hashed
+)
+SELECT e.n_sources, e.n_exact, d.n_est_direct, m.n_est_merged,
+       d.n_est_direct = m.n_est_merged AS merge_identical,
+       floor(abs(m.n_est_merged - e.n_exact) * 1.0 / e.n_exact * 1e6 + 0.5) / 1e6
+         AS rel_err
+FROM exact e CROSS JOIN direct d CROSS JOIN merged m
+"""
+
+
+@query(
+    "sketch_hll_merge",
+    oracle=_HLL_MERGE_ORACLE,
+    doc="HLL MERGEABILITY, proven in-query: each source builds its own "
+    "1024-register sketch over its distinct shingle set (the partial "
+    "aggregate a 100 TB scan keeps per partition/day/shard), the "
+    "partials merge by element-wise register MAX, and the merged "
+    "estimate is compared against the sketch built directly over the "
+    "global distinct set. merge_identical is TRUE by the algebra "
+    "(max of per-source maxima == global max per register) — the "
+    "exact property that lets cardinality roll up across shards "
+    "without ever re-reading data. Shape: one groupBy(source, reg) "
+    "pass + a 1024-row register merge; the global exact count is the "
+    "audit column. Bit-identical on both engines (binary-string rho, "
+    "dyadic 2^-rho sums)",
+    tags=("sketch", "dataset", "ext"),
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    from ..functions.shingles import word_shingles
+
+    toks = (
+        docs.select("source", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("source", F.explode(word_shingles("w", 3)).alias("tok"))
+        .distinct()
+    )
+    hashed = track_persist(toks.select("source", _tok_hash().alias("h")).distinct())
+
+    def _hll_est(regs: DataFrame, out: str) -> DataFrame:
+        return regs.agg(
+            F.floor(
+                F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+                / (
+                    F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                    + (F.lit(_HLL_M) - F.count("*")) * F.lit(1.0)
+                )
+                + 0.5
+            )
+            .cast("bigint")
+            .alias(out)
+        )
+
+    src_regs = hashed.groupBy(
+        "source", (F.col("h") % _HLL_M).alias("reg")
+    ).agg(F.max(F.expr(_SPARK_RHO)).alias("rho"))
+    merged_regs = src_regs.groupBy("reg").agg(F.max("rho").alias("rho"))
+    direct_regs = (
+        hashed.select("h")
+        .distinct()
+        .groupBy((F.col("h") % _HLL_M).alias("reg"))
+        .agg(F.max(F.expr(_SPARK_RHO)).alias("rho"))
+    )
+    exact = hashed.agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("h").cast("bigint").alias("n_exact"),
+    )
+    return (
+        exact.crossJoin(_hll_est(direct_regs, "n_est_direct"))
+        .crossJoin(_hll_est(merged_regs, "n_est_merged"))
+        .select(
+            "n_sources",
+            "n_exact",
+            "n_est_direct",
+            "n_est_merged",
+            (F.col("n_est_direct") == F.col("n_est_merged")).alias("merge_identical"),
+            stable_round(
+                F.abs(F.col("n_est_merged") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )

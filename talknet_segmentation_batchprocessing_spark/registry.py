@@ -149,8 +149,11 @@ _LOADED = False
 # round-5 ADDITION (dedup_exact_substring, dedup_semantic_keep_lsh,
 # sketch_countmin_topk, w15_event_pattern, dedup_containment,
 # dedup_keep_lsh_recall, graph_pagerank, dedup_keep_canonical_lsh)
-# sits in-window for its first driver row THIS round — zero rotation
-# debt going into round 6.
+# sits in-window for its first driver row THIS round. Rotation debt
+# going into round 6: the five late-round-5 additions registered
+# after the window filled (sketch_kmv_setops, sketch_hll_merge,
+# text_gopher_rules, text_perplexity_bucket, dedup_cluster_stats) —
+# all repo-parity green at sf0.01, rotate them in next round.
 _DRIVER_WINDOW = [
     # anchors: flagship + e2e + eval arm + kernels
     "w1_speaking_segments", "pipeline_scores_to_segments",

@@ -115,6 +115,11 @@ TWO_PHASE_QUERIES = [
     "graph_pagerank",
     "dedup_keep_canonical_lsh",
     "contamination_bloom",
+    "sketch_kmv_setops",
+    "sketch_hll_merge",
+    "text_gopher_rules",
+    "text_perplexity_bucket",
+    "dedup_cluster_stats",
 ]
 
 
