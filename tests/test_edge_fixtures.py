@@ -66,6 +66,11 @@ EDGE_QUERIES = [
     "dedup_keep_lsh_recall",
     "graph_pagerank",
     "contamination_bloom",
+    "sketch_kmv_setops",  # corpus B (src10+) is EMPTY on this fixture
+    "sketch_hll_merge",
+    "text_gopher_rules",
+    "text_perplexity_bucket",
+    "dedup_cluster_stats",
 ]
 
 TABLES = [
