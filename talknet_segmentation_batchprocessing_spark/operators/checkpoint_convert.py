@@ -137,6 +137,12 @@ def load_torch_zip(path: str) -> dict[str, np.ndarray]:
     def _rebuild_parameter(tensor, *_args):
         return tensor
 
+    # Checkpoints are untrusted input: never fall through to the default
+    # find_class (which would let a crafted pickle import os.system etc.).
+    # Allow exactly the torch rebuild hooks we implement, inert shims for
+    # other torch globals (dtypes, storage classes), and OrderedDict.
+    _ALLOWED_STDLIB = {("collections", "OrderedDict")}
+
     class _Unpickler(pickle.Unpickler):
         def find_class(self, module, name):
             if module == "torch._utils" and name == "_rebuild_tensor_v2":
@@ -145,7 +151,13 @@ def load_torch_zip(path: str) -> dict[str, np.ndarray]:
                 return _rebuild_parameter
             if module.startswith("torch"):
                 return _Shim(name)
-            return super().find_class(module, name)
+            if (module, name) in _ALLOWED_STDLIB:
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"checkpoint pickle references disallowed global "
+                f"{module}.{name}; only torch rebuild hooks and "
+                f"collections.OrderedDict are permitted"
+            )
 
         def persistent_load(self, pid):
             kind, st, key = pid[0], pid[1], pid[2]
@@ -153,6 +165,14 @@ def load_torch_zip(path: str) -> dict[str, np.ndarray]:
                 raise ValueError(f"unknown persistent id kind: {kind!r}")
             name = st.name if isinstance(st, _Shim) else str(st)
             name = name.rsplit(".", 1)[-1]
+            if name not in _STORAGE_DTYPES:
+                raise ValueError(
+                    f"unsupported torch storage type {name!r}; the "
+                    "no-torch reader handles "
+                    f"{sorted(_STORAGE_DTYPES)} (numpy-representable "
+                    "dtypes only — re-save bfloat16/complex weights as "
+                    "float32 before converting)"
+                )
             return (_STORAGE_DTYPES[name], key)
 
     state = _Unpickler(io.BytesIO(zf.read(pkl_name))).load()

@@ -1470,17 +1470,24 @@ freq AS (
 per_doc AS (
   SELECT doc_id,
          CAST(sum(cnt) AS BIGINT) AS n_words,
-         sum(len(tok) * cnt) * 1.0 / sum(cnt) AS mean_word_len,
+         sum(len(tok) * cnt) * 1.0 / sum(cnt) AS mean_word_len_raw,
          CAST(sum(CASE WHEN tok IN {_SQL_STOPLIST} THEN cnt ELSE 0 END) AS BIGINT)
            AS stopword_hits,
-         max(cnt) * 1.0 / sum(cnt) AS top_tok_frac
+         max(cnt) * 1.0 / sum(cnt) AS top_tok_frac_raw
   FROM freq GROUP BY doc_id
 ),
-flags AS (
+rounded AS (
+  -- rounding in its OWN level so the rule predicates below cannot
+  -- resolve to the raw per_doc columns (DuckDB: column beats a
+  -- same-named sibling alias; Spark thresholds the rounded values)
   SELECT doc_id, n_words,
-         floor(mean_word_len * 1e4 + 0.5) / 1e4 AS mean_word_len,
+         floor(mean_word_len_raw * 1e4 + 0.5) / 1e4 AS mean_word_len,
          stopword_hits,
-         floor(top_tok_frac * 1e6 + 0.5) / 1e6 AS top_tok_frac,
+         floor(top_tok_frac_raw * 1e6 + 0.5) / 1e6 AS top_tok_frac
+  FROM per_doc
+),
+flags AS (
+  SELECT doc_id, n_words, mean_word_len, stopword_hits, top_tok_frac,
          CAST(n_words < {_GOPHER_MIN_WORDS} OR n_words > {_GOPHER_MAX_WORDS}
               AS INTEGER)
          + CAST(mean_word_len < {_GOPHER_MIN_MEAN_LEN}
@@ -1488,7 +1495,7 @@ flags AS (
          + CAST(stopword_hits < {_GOPHER_MIN_STOPWORDS} AS INTEGER)
          + CAST(top_tok_frac > {_GOPHER_MAX_TOP_FRAC} AS INTEGER)
            AS n_rules_failed
-  FROM per_doc
+  FROM rounded
 )
 SELECT doc_id, n_words, mean_word_len, stopword_hits, top_tok_frac,
        CAST(n_rules_failed AS BIGINT) AS n_rules_failed,

@@ -131,58 +131,48 @@ _LOADED = False
 # parity suite (tests/test_oracle_parity.py, all queries) — the
 # overflow is chosen to be queries that are either trivial projections
 # or already driver-green in round 1.
-# Round-5 rotation (VERDICT r4 Next #1): the twenty-five queries
-# registered after the r4 window was cut get their FIRST driver-green
-# rows — all were already repo-parity green at sf0.001/sf0.01/sf0.1 in
-# the r4 sweep, this rotation converts that into the hard signal.
-# Anchors kept: the seven flagship/e2e/eval/kernel queries plus the
-# queries whose PLANS change this round (CC per-round cost trim +
-# shared near-dup edge table: dedup_cc_star, dedup_cc_clusters,
-# dedup_minhash_lsh; u5_merge_upsert's MERGE semantics fix is in the
-# overflow list already; graph_triangle_count / dedup_keep_canonical /
-# dedup_semantic_keep likewise). Remaining slots carry the new
-# round-5 queries so they are driver-checked the round they land.
-# Displaced to make room: the r4 re-confirm block (w10/w11/j9/x19/...,
-# all driver-green in r3 AND r4 with unchanged code) and the r4-fix
-# proofs (mix_domain_weights etc., green in r4). With r1-r5 together,
-# every registered query has at least one driver-green row, and every
-# round-5 ADDITION (dedup_exact_substring, dedup_semantic_keep_lsh,
-# sketch_countmin_topk, w15_event_pattern, dedup_containment,
-# dedup_keep_lsh_recall, graph_pagerank, dedup_keep_canonical_lsh)
-# sits in-window for its first driver row THIS round. Rotation debt
-# going into round 6: the five late-round-5 additions registered
-# after the window filled (sketch_kmv_setops, sketch_hll_merge,
-# text_gopher_rules, text_perplexity_bucket, dedup_cluster_stats) —
-# all repo-parity green at sf0.01, rotate them in next round.
+# Round-6 rotation (VERDICT r5 Next #1): the five late-round-5
+# curation queries (sketch_kmv_setops, sketch_hll_merge,
+# text_gopher_rules, text_perplexity_bucket, dedup_cluster_stats) get
+# their FIRST driver-green rows — all repo-parity green at sf0.01 in
+# the r5 judge's independent sweep; text_gopher_rules ALSO carries the
+# r5 ADVICE oracle fix (rounded-alias shadowing) so its in-window slot
+# is load-bearing. Anchors kept: the seven flagship/e2e/eval/kernel
+# queries. Also in-window: every query whose PLAN changes this round
+# (graph_triangle_count + graph_pagerank over the bucketed oriented
+# edge table; dedup_keep_lsh_recall's sampled audit; dedup_char_ngram
+# regression chase) and the new round-6 operators, driver-checked the
+# round they land. Displaced: the r5 first-driver-row block (all green
+# in r5 with unchanged code). With r1-r6 together, every registered
+# query has at least one driver-green row.
 _DRIVER_WINDOW = [
     # anchors: flagship + e2e + eval arm + kernels
     "w1_speaking_segments", "pipeline_scores_to_segments",
     "q1_pricing_summary", "ava_map_eval", "columbia_f1_eval",
     "j6_greedy_tracking", "w6_nms_greedy",
-    # anchors: plans change this round (CC round-cost trim + shared
-    # edge table)
+    # rotation debt: the five late-round-5 queries, first driver rows
+    "sketch_kmv_setops", "sketch_hll_merge", "text_gopher_rules",
+    "text_perplexity_bucket", "dedup_cluster_stats",
+    # plans change this round: bucketed oriented edge table (graph
+    # family), sampled keep-precision audit, char-ngram plan check
+    "graph_triangle_count", "graph_pagerank", "dedup_keep_lsh_recall",
+    "dedup_char_ngram",
+    # re-confirms: heavy flagships that consume the shared near-dup
+    # edge table or sit adjacent to this round's plan changes (new
+    # round-6 queries replace entries from this block as they land)
     "dedup_cc_clusters", "dedup_cc_star", "dedup_minhash_lsh",
-    # first driver rows: the 25 registered after the r4 window was cut
-    "dedup_keep_canonical", "text_sentence_stats", "emb_dim_stats",
-    "text_bigram_topk", "x20_variant_json", "ts_sax_similarity",
-    "doc_chunk_overlap", "dedup_incremental", "emb_cluster_balance",
-    "shuffle_shard_assign", "sketch_kmv_distinct", "sketch_hll_distinct",
-    "sketch_quantile_sampled", "x21_zorder_value", "curation_pipeline",
-    "u5_merge_upsert", "w12_funnel_steps", "dedup_char_ngram",
-    "j10_interval_join", "agg_time_rollup", "graph_triangle_count",
-    "w14_cohort_retention", "sample_weighted_hash", "sim_recall_eval",
-    "text_langid_confusion", "dedup_semantic_keep",
-    # re-confirms: dedup/sim family whose plans the shared edge table
-    # and CC trim touch, plus eval-arm anchors (new round-5 queries
-    # replace entries from this block as they land)
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_cc_labelprop", "sim_ivf_topk",
-    "a6_average_precision",
-    # new round-5 queries (driver-checked the round they land)
-    "dedup_exact_substring", "dedup_semantic_keep_lsh",
-    "sketch_countmin_topk", "w15_event_pattern", "dedup_containment",
-    "dedup_keep_lsh_recall", "graph_pagerank",
-    "dedup_keep_canonical_lsh", "contamination_bloom",
+    "dedup_keep_canonical", "dedup_semantic_keep_lsh",
+    "dedup_keep_canonical_lsh", "dedup_exact_substring",
+    "dedup_containment", "dedup_ngram_jaccard", "dedup_incremental",
+    "curation_pipeline", "sketch_countmin_topk", "w15_event_pattern",
+    "contamination_bloom", "sim_recall_eval", "sim_ivf_topk",
+    "a6_average_precision", "u5_merge_upsert", "w12_funnel_steps",
+    "j10_interval_join", "agg_time_rollup", "w14_cohort_retention",
+    "sample_weighted_hash", "text_langid_confusion",
+    "text_sentence_stats", "emb_dim_stats", "text_bigram_topk",
+    "x20_variant_json", "ts_sax_similarity", "doc_chunk_overlap",
+    "emb_cluster_balance", "shuffle_shard_assign",
+    "sketch_quantile_sampled", "x21_zorder_value",
 ]
 
 

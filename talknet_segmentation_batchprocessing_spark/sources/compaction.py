@@ -56,8 +56,12 @@ def compact(
         out: DataFrame = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(
             sort_col
         )
-    else:
+    elif n_files <= df.rdd.getNumPartitions():
         out = df.coalesce(n_files)
+    else:
+        # coalesce can only REDUCE partition count: an oversized single
+        # file must be split back up, which needs a real repartition
+        out = df.repartition(n_files)
     new_v = v + 1
     # claim BEFORE writing: a concurrent merge/compact that read the
     # same base version loses here, not after clobbering our files
