@@ -96,6 +96,8 @@ HEADLINE = [
     "text_gopher_rules",
     "text_perplexity_bucket",
     "dedup_cluster_stats",
+    "pack_token_sequences",
+    "dedup_line_corpus",
 ]
 
 

@@ -1644,3 +1644,214 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_nlp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing (pretraining "sample packing")
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_TOKENS = 128  # fixed token budget per training sequence
+_PACK_SEQS_PER_SHARD = 8  # sequences per output shard file
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS en
+  FROM sized
+),
+spans AS (
+  SELECT doc_id, en - n_tok AS st, en FROM cum WHERE n_tok > 0
+),
+ex AS (
+  SELECT doc_id, st, en,
+         unnest(range(st // {_PACK_SEQ_TOKENS},
+                      (en - 1) // {_PACK_SEQ_TOKENS} + 1)) AS seq_id
+  FROM spans
+)
+SELECT CAST(seq_id // {_PACK_SEQS_PER_SHARD} AS BIGINT) AS shard_id,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(greatest(0, seq_id * {_PACK_SEQ_TOKENS} - st) AS BIGINT) AS tok_offset,
+       CAST(least(en, (seq_id + 1) * {_PACK_SEQ_TOKENS})
+            - greatest(st, seq_id * {_PACK_SEQ_TOKENS}) AS BIGINT) AS n_tokens
+FROM ex
+"""
+
+
+@query(
+    "pack_token_sequences",
+    oracle=_PACK_ORACLE,
+    doc="Token-budget sequence packing — the reference's dynamic batch "
+    "packing (dataLoader.py:89-108, W7) lifted to the token level: "
+    "concatenate the corpus in a deterministic length-desc order and "
+    f"chunk it into fixed {_PACK_SEQ_TOKENS}-token training sequences "
+    "(GPT-style sample packing; docs straddling a boundary are split "
+    "and emit one row per overlapped sequence with the in-doc offset). "
+    f"Output: (shard_id [{_PACK_SEQS_PER_SHARD} seqs/shard], seq_id, "
+    "doc_id, tok_offset, n_tokens) — the manifest a tokenizer shard "
+    "writer consumes. Scale shape: the ONLY ordered step is the global "
+    "running token sum, which runs through plans/two_phase.global_cumsum "
+    "(bucket-local cumsum + per-bucket offsets above the crossover — "
+    "never a single-partition window); everything after is stateless "
+    "integer arithmetic + one explode, no UDF, no text in any shuffle "
+    "(the packing plan carries doc ids and token counts only).",
+    tags=("dataset", "W7", "ext"),
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.two_phase import global_cumsum, parquet_rows
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    B, S = _PACK_SEQ_TOKENS, _PACK_SEQS_PER_SHARD
+    cum = global_cumsum(
+        sized,
+        "n_tok",
+        "n_tok",
+        tiebreak_cols=("doc_id",),
+        descending=True,
+        out_col="en",
+        n_upper=parquet_rows(sf_dir, "documents"),
+    )
+    spans = cum.select(
+        "doc_id",
+        (F.col("en") - F.col("n_tok")).alias("st"),
+        F.col("en").cast("bigint").alias("en"),
+    )
+    ex = spans.select(
+        "doc_id",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / B).cast("bigint"),
+                F.floor((F.col("en") - 1) / B).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    )
+    return ex.select(
+        F.floor(F.col("seq_id") / S).cast("bigint").alias("shard_id"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        F.greatest(F.lit(0), F.col("seq_id") * B - F.col("st"))
+        .cast("bigint")
+        .alias("tok_offset"),
+        (
+            F.least(F.col("en"), (F.col("seq_id") + 1) * B)
+            - F.greatest(F.col("st"), F.col("seq_id") * B)
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# line-level corpus dedup (CCNet / Lee et al. repeated-line removal)
+# ---------------------------------------------------------------------------
+
+_LINE_W = 3  # tokens per pseudo-line (the corpus has no newlines)
+_LINE_DUP_MIN = 5  # corpus-wide occurrence count that marks boilerplate
+
+_LINE_DEDUP_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, w, CAST(ceil(len(w) * 1.0 / {_LINE_W}) AS BIGINT) AS n_lines
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+lines AS (
+  SELECT doc_id, p,
+         array_to_string(w[p * {_LINE_W} + 1 : p * {_LINE_W} + {_LINE_W}], ' ')
+           AS line
+  FROM (SELECT doc_id, w, unnest(range(0, n_lines)) AS p FROM sized)
+),
+dup AS (
+  SELECT line FROM (SELECT line, count(*) AS c FROM lines GROUP BY line)
+  WHERE c >= {_LINE_DUP_MIN}
+),
+re AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY p) AS text_kept,
+         count(*) AS n_kept
+  FROM lines WHERE line NOT IN (SELECT line FROM dup)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_lines,
+       CAST(s.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dup_lines,
+       floor((s.n_lines - coalesce(r.n_kept, 0)) * 1.0 / s.n_lines * 1e6 + 0.5)
+         / 1e6 AS removed_frac,
+       coalesce(r.text_kept, '') AS text_kept
+FROM sized s LEFT JOIN re r USING (doc_id)
+"""
+
+
+@query(
+    "dedup_line_corpus",
+    oracle=_LINE_DEDUP_ORACLE,
+    doc="Line-level corpus dedup (CCNet Wenzek et al. 2020 §3.1 / Lee "
+    "et al. 2022 repeated-line removal — the curation step between the "
+    "reference's repeated-content quirks and doc-level dedup): split "
+    f"each doc into {_LINE_W}-token pseudo-lines (the synthetic corpus "
+    "has no newlines; the operator shape is identical), count each "
+    "line's occurrences CORPUS-WIDE, drop lines appearing >= "
+    f"{_LINE_DUP_MIN} times (boilerplate), reassemble docs in original "
+    "line order with an auditable removed-fraction column. Scale shape: "
+    "the corpus-wide count groups 128-bit md5 line digests, never line "
+    "text; the duplicated set joins back to (doc_id, position, digest) "
+    "triples — the only stage that shuffles text is the final doc_id "
+    "reassembly join, the irreducible cost of emitting rewritten docs. "
+    "No UDF; slice/transform/filter higher-order functions capture the "
+    "materialized token array (not a re-evaluated split).",
+    tags=("dedup", "dataset", "ext"),
+)
+def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L, T = _LINE_W, _LINE_DUP_MIN
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).withColumn("n_lines", F.ceil(F.size("w") / F.lit(L)).cast("bigint"))
+    lines = sized.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_lines") - 1)).alias("p"),
+        "w",
+    ).select(
+        "doc_id",
+        "p",
+        F.array_join(F.slice("w", F.col("p") * L + 1, F.lit(L)), " ").alias("line"),
+    )
+    # corpus-wide occurrence count over digests — text never shuffles
+    hashed = lines.select("doc_id", "p", "line", F.md5("line").alias("h"))
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= T)
+        .select("h")
+    )
+    kept = hashed.join(dup, "h", "left_anti")
+    re = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text_kept"),
+        F.count("*").alias("n_kept"),
+    )
+    joined = sized.select("doc_id", "n_lines").join(re, "doc_id", "left")
+    nk = F.coalesce(F.col("n_kept"), F.lit(0))
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - nk).cast("bigint").alias("n_dup_lines"),
+        (
+            F.floor((F.col("n_lines") - nk) * F.lit(1.0) / F.col("n_lines") * 1e6 + 0.5)
+            / 1e6
+        ).alias("removed_frac"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+    )

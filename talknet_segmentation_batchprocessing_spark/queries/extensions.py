@@ -689,7 +689,9 @@ FROM pairs WHERE {_COS_EXPR_DUCK} > {_COS_NEAR_DUP_THRESHOLD}
     "is the scale path (bucket first, verify within bucket)",
     tags=("dedup", "similarity", "ext"),
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, stratum_mod: int | None = None
+) -> DataFrame:
     """Executor-side block self-join — the driver never touches data.
 
     All-pairs brute force is inherently O(n²) compute; the scalable
@@ -727,6 +729,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if stratum_mod is not None:
+        # deterministic audit stratum: restrict the n^2 baseline to
+        # vec_id % K == 0 (dedup_keep_lsh_recall's sampled-audit mode)
+        emb = emb.filter(F.col("vec_id") % stratum_mod == 0)
     ensure_worker_imports(emb)
     n = emb.count()  # one scalar action: sizes the block grid
     n_blocks = max(1, -(-n // _COS_TILE_ROWS))
@@ -2156,11 +2162,17 @@ WHERE l.cluster_id = e.vec_id
     "identical downstream clustering",
     tags=("dedup", "similarity", "ext", "pipeline"),
 )
-def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_keep(
+    spark: SparkSession, sf_dir: str, stratum_mod: int | None = None
+) -> DataFrame:
     from ..operators.graph import connected_components_star
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id")
-    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    if stratum_mod is not None:
+        emb = emb.filter(F.col("vec_id") % stratum_mod == 0)
+    pairs = dedup_embedding_cosine(spark, sf_dir, stratum_mod).select(
+        "vec_a", "vec_b"
+    )
     out = connected_components_star(emb, pairs, edges_distinct=True)
     return (
         out.filter(F.col("component") == F.col("vec_id"))
@@ -2244,13 +2256,19 @@ WHERE l.cluster_id = e.vec_id
     "sim_recall_eval)",
     tags=("dedup", "similarity", "ext", "pipeline"),
 )
-def dedup_semantic_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_keep_lsh(
+    spark: SparkSession, sf_dir: str, stratum_mod: int | None = None
+) -> DataFrame:
     from ..operators.graph import connected_components_star
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if stratum_mod is not None:
+        emb = emb.filter(F.col("vec_id") % stratum_mod == 0)
     # adaptive bits, integer-exact mirror of the oracle's params CTE
+    # (on the restricted corpus when a stratum is set, so bucket
+    # occupancy matches what the audit's oracle computes)
     n = emb.count()
     m = (n + _SKL_TARGET_BUCKET - 1) // _SKL_TARGET_BUCKET
     bits = max(4, min(12, (m - 1).bit_length() if m > 1 else 1))
@@ -2311,12 +2329,27 @@ def dedup_semantic_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic audit stratum for dedup_keep_lsh_recall: both SemDeDup
+# pipelines run on vec_id % K == 0 only, so the exact n^2 baseline
+# inside the audit costs O((n/K)^2) instead of O(n^2) — at 100 TB the
+# keep-precision estimate comes from a fixed-rate hash sample, the
+# standard audit posture (same reason sim_recall_eval samples queries).
+_AUDIT_STRATUM_K = 4
+
+
 def _keep_lsh_recall_oracle() -> str:
     """Composed from the two registered SemDeDup oracles (exact-pair
     baseline vs LSH-candidate scale path) — shared definitions, not
-    re-derivations."""
+    re-derivations — with the audit's deterministic ``vec_id % K``
+    stratum injected into each oracle's single ``FROM embeddings``
+    site (asserted, so an oracle refactor cannot silently desync)."""
+    stratum = f"FROM embeddings WHERE vec_id % {_AUDIT_STRATUM_K} = 0"
     exact = _EXT_REG["dedup_semantic_keep"].oracle
     lsh = _EXT_REG["dedup_semantic_keep_lsh"].oracle
+    assert exact.count("FROM embeddings") == 1, "exact oracle shape changed"
+    assert lsh.count("FROM embeddings") == 1, "lsh oracle shape changed"
+    exact = exact.replace("FROM embeddings", stratum)
+    lsh = lsh.replace("FROM embeddings", stratum)
     return f"""
 WITH ex AS ({exact}),
 ls AS ({lsh}),
@@ -2343,14 +2376,23 @@ FROM agree a
     "informative number is keep_precision = |exact ∩ lsh| / |lsh| — "
     "the fraction of LSH-kept docs the exact pass would also keep "
     "(1 - over-keep rate from missed merges). Both sides are the "
-    "registered queries; the oracle composes their proven oracles",
+    "registered queries' pipelines restricted to the deterministic "
+    f"vec_id % {_AUDIT_STRATUM_K} == 0 stratum, so the exact baseline "
+    "inside the audit is O((n/K)^2) — a corpus-wide exact pass would "
+    "defeat the point of auditing the scale path. The oracle composes "
+    "the two proven oracles with the same stratum injected",
     tags=("dedup", "similarity", "eval", "ext"),
 )
 def dedup_keep_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _AUDIT_STRATUM_K
     # three scalar actions consume each survivor frame — persist both
     # so each SemDeDup pipeline runs once, not per-action
-    ex = track_persist(dedup_semantic_keep(spark, sf_dir).select("vec_id"))
-    ls = track_persist(dedup_semantic_keep_lsh(spark, sf_dir).select("vec_id"))
+    ex = track_persist(
+        dedup_semantic_keep(spark, sf_dir, stratum_mod=K).select("vec_id")
+    )
+    ls = track_persist(
+        dedup_semantic_keep_lsh(spark, sf_dir, stratum_mod=K).select("vec_id")
+    )
     n_common = ex.join(ls, "vec_id").count()
     n_exact = ex.count()
     n_lsh = ls.count()

@@ -172,7 +172,8 @@ _DRIVER_WINDOW = [
     "text_sentence_stats", "emb_dim_stats", "text_bigram_topk",
     "x20_variant_json", "ts_sax_similarity", "doc_chunk_overlap",
     "emb_cluster_balance", "shuffle_shard_assign",
-    "sketch_quantile_sampled", "x21_zorder_value",
+    # new round-6 queries (driver-checked the round they land)
+    "pack_token_sequences", "dedup_line_corpus",
 ]
 
 

@@ -120,6 +120,9 @@ TWO_PHASE_QUERIES = [
     "text_gopher_rules",
     "text_perplexity_bucket",
     "dedup_cluster_stats",
+    # round-6 additions
+    "pack_token_sequences",
+    "dedup_line_corpus",
 ]
 
 
