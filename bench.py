@@ -98,6 +98,7 @@ HEADLINE = [
     "dedup_cluster_stats",
     "pack_token_sequences",
     "dedup_line_corpus",
+    "talkset_generate",
 ]
 
 

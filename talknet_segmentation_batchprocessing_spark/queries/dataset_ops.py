@@ -1855,3 +1855,313 @@ def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("removed_frac"),
         F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TalkSet generation as ONE e2e flow (generate_TalkSet.py:306-391)
+# ---------------------------------------------------------------------------
+
+_TK_CAP = 600  # 6 s fusion cap in cents (generate_TalkSet.py:376-387)
+_TK_LIMIT = 1000  # list head, the [:30000] analog (F9)
+_TK_S_MAX = 300  # LRS3_S <= 3 s filter in cents (F8)
+
+
+def _tk_sql_u(tag: str, mod: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{tag}' || CAST(event_id AS VARCHAR)), 1, 12))"
+        f" AS BIGINT) % {mod}"
+    )
+
+
+def _tk_layout_sql(pool: str, variant: str) -> str:
+    """TFAudio/TSilence/FSilence two-sided layout: changepoint at
+    len*(0.25 + u*0.5) on the cents grid, T-first when the hash bit is
+    1 (generate_TalkSet.py:145-168 seed branch), exact integer math."""
+    u = _tk_sql_u(variant + "#", 10000)
+    seed = _tk_sql_u(variant + "@", 2)
+    return f"""
+  SELECT '{variant}' AS variant, event_id AS src_id, event_id AS audio_id,
+         user_id AS video_id, len,
+         CASE WHEN seed = 1 THEN 0 ELSE cp END AS st,
+         CASE WHEN seed = 1 THEN cp ELSE len END AS et,
+         CASE WHEN seed = 1 THEN cp ELSE 0 END AS sf,
+         CASE WHEN seed = 1 THEN len ELSE cp END AS ef
+  FROM (
+    SELECT *, (len * (250000 + 50 * ({u}))) // 1000000 AS cp,
+           {seed} AS seed
+    FROM {pool}
+  )
+"""
+
+
+_TALKSET_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) % 1000 + 1 AS len
+  FROM events
+),
+t_pool AS (SELECT event_id, user_id, len FROM ev WHERE event_type = 'click'),
+f_pool AS (SELECT event_id, user_id, len FROM ev WHERE event_type = 'error'),
+st_pool AS (
+  SELECT event_id, user_id, len FROM ev WHERE event_type = 'view'
+  ORDER BY event_id LIMIT {_TK_LIMIT}
+),
+s_pool AS (
+  SELECT event_id, user_id, len FROM ev
+  WHERE event_type = 'view' AND len <= {_TK_S_MAX}
+  ORDER BY event_id LIMIT {_TK_LIMIT}
+),
+ta AS (
+  SELECT 'TAudio' AS variant, event_id AS src_id, event_id AS audio_id,
+         user_id AS video_id, len, 0 AS st, len AS et, 0 AS sf, 0 AS ef
+  FROM t_pool
+),
+fa AS (
+  SELECT 'FAudio' AS variant, event_id AS src_id, event_id AS audio_id,
+         user_id AS video_id, len, 0 AS st, 0 AS et, 0 AS sf, len AS ef
+  FROM f_pool
+),
+tf AS ({_tk_layout_sql("f_pool", "TFAudio")}),
+tsl AS ({_tk_layout_sql("st_pool", "TSilence")}),
+fs_pick AS (
+  SELECT s.event_id, s.user_id, s.len,
+         d.event_id AS donor_id
+  FROM s_pool s JOIN t_pool d ON d.len >= s.len
+  QUALIFY row_number() OVER (PARTITION BY s.event_id
+                             ORDER BY d.len, d.event_id) = 1
+),
+fs AS (
+  SELECT 'FSilence' AS variant, event_id AS src_id, donor_id AS audio_id,
+         user_id AS video_id, len,
+         CASE WHEN seed = 1 THEN 0 ELSE cp END AS st,
+         CASE WHEN seed = 1 THEN cp ELSE len END AS et,
+         CASE WHEN seed = 1 THEN cp ELSE 0 END AS sf,
+         CASE WHEN seed = 1 THEN len ELSE cp END AS ef
+  FROM (
+    SELECT *, (len * (250000 + 50 * ({_tk_sql_u("FSilence#", 10000)})))
+              // 1000000 AS cp,
+           {_tk_sql_u("FSilence@", 2)} AS seed
+    FROM fs_pick
+  )
+),
+fused AS (
+  SELECT variant, src_id, audio_id, video_id,
+         CAST(least(len, {_TK_CAP}) AS BIGINT) AS len_cents,
+         CAST(least(st, {_TK_CAP}) AS BIGINT) AS start_t,
+         CAST(least(et, {_TK_CAP}) AS BIGINT) AS end_t,
+         CAST(least(sf, {_TK_CAP}) AS BIGINT) AS start_f,
+         CAST(least(ef, {_TK_CAP}) AS BIGINT) AS end_f
+  FROM (
+    SELECT * FROM ta UNION ALL SELECT * FROM fa UNION ALL
+    SELECT * FROM tf UNION ALL SELECT * FROM tsl UNION ALL SELECT * FROM fs
+  )
+),
+numbered AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY shuf, variant, src_id) - 1
+                 AS BIGINT) AS num
+  FROM (
+    SELECT *, CAST(('0x' || substr(md5('shuffle' || variant || '#'
+                 || CAST(src_id AS VARCHAR)), 1, 12)) AS BIGINT) AS shuf
+    FROM fused
+  )
+)
+SELECT variant, src_id, audio_id, video_id, len_cents,
+       start_t, end_t, start_f, end_f, num,
+       CASE WHEN num % 100 < 90 THEN 'train' ELSE 'test' END AS split
+FROM numbered
+"""
+
+
+@query(
+    "talkset_generate",
+    oracle=_TALKSET_ORACLE,
+    doc="The reference's ENTIRE TalkSet generation as one declarative "
+    "flow (TalkSet/generate_TalkSet.py:306-391), composing the proven "
+    "pieces the way curation_pipeline composes the text ops: label-"
+    "split source pools (read_Vox_lines), the F8 <=3 s filter and F9 "
+    "list-head limit, the five variant projections (TAudio/FAudio/"
+    "TFAudio/TSilence/FSilence) with the changepoint-at-len*(0.25+"
+    "0.5u) two-sided layouts (:145-168) on an EXACT integer cents "
+    "grid, the J8 length-constrained donor pick for FSilence "
+    "(:219-224, resample-until-long-enough replaced by the "
+    "deterministic smallest-qualifying rule), the 6 s Fusion cap "
+    "(F10, :376-387) and the deterministic md5 shuffle + modulo "
+    "train/test split (U2, :388-391). Every RNG call becomes an md5 "
+    "hash, so the set regenerates byte-identically (the reference "
+    "README calls its own output non-reproducible). Scale shape: the "
+    "donor pick never theta-joins — donor lengths live on a bounded "
+    "1/100-second grid, so a <=1000-row filled grid (suffix-first "
+    "window over the grid only) broadcast-joins to the pickers; the "
+    "shuffle rank is the two-phase global_rank; everything else is "
+    "stateless projections + one union",
+    tags=("dataset", "pipeline", "J8", "U2", "F8", "F9", "F10", "ext"),
+)
+def talkset_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.two_phase import global_rank, one_partition_col, parquet_rows
+
+    CAP, LIM, SMAX = _TK_CAP, _TK_LIMIT, _TK_S_MAX
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.floor(F.col("value") * 100).cast("bigint") % 1000 + 1).alias("len"),
+    )
+    t_pool = ev.filter(F.col("event_type") == "click").drop("event_type")
+    f_pool = ev.filter(F.col("event_type") == "error").drop("event_type")
+    view = ev.filter(F.col("event_type") == "view").drop("event_type")
+    nu_ev = parquet_rows(sf_dir, "events")
+
+    def head(pool: DataFrame) -> DataFrame:
+        # the [:30000] list head as rank<=K over unique event_id: a
+        # mid-plan orderBy().limit() would compile to Sort +
+        # GlobalLimit over Exchange SinglePartition — the exact hazard
+        # the two-phase rank avoids
+        return (
+            global_rank(pool, "event_id", out_col="_hr", n_upper=nu_ev)
+            .filter(F.col("_hr") <= LIM)
+            .drop("_hr")
+        )
+
+    st_pool = head(view)
+    s_pool = head(view.filter(F.col("len") <= SMAX))
+
+    def u_of(tag: str, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("event_id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % mod
+        )
+
+    def layout(pool: DataFrame, variant: str, audio_id=None) -> DataFrame:
+        u = u_of(variant + "#", 10000)
+        seed = u_of(variant + "@", 2)
+        cp = F.expr("(len * (250000 + 50 * _u)) div 1000000")
+        base = pool.withColumn("_u", u).withColumn("_seed", seed).withColumn(
+            "_cp", cp
+        )
+        t_first = F.col("_seed") == 1
+        return base.select(
+            F.lit(variant).alias("variant"),
+            F.col("event_id").alias("src_id"),
+            (audio_id if audio_id is not None else F.col("event_id")).alias(
+                "audio_id"
+            ),
+            F.col("user_id").alias("video_id"),
+            "len",
+            F.when(t_first, F.lit(0)).otherwise(F.col("_cp")).alias("st"),
+            F.when(t_first, F.col("_cp")).otherwise(F.col("len")).alias("et"),
+            F.when(t_first, F.col("_cp")).otherwise(F.lit(0)).alias("sf"),
+            F.when(t_first, F.col("len")).otherwise(F.col("_cp")).alias("ef"),
+        )
+
+    zero = F.lit(0).cast("bigint")
+    ta = t_pool.select(
+        F.lit("TAudio").alias("variant"),
+        F.col("event_id").alias("src_id"),
+        F.col("event_id").alias("audio_id"),
+        F.col("user_id").alias("video_id"),
+        "len",
+        zero.alias("st"), F.col("len").alias("et"),
+        zero.alias("sf"), zero.alias("ef"),
+    )
+    fa = f_pool.select(
+        F.lit("FAudio").alias("variant"),
+        F.col("event_id").alias("src_id"),
+        F.col("event_id").alias("audio_id"),
+        F.col("user_id").alias("video_id"),
+        "len",
+        zero.alias("st"), zero.alias("et"),
+        zero.alias("sf"), F.col("len").alias("ef"),
+    )
+    tf = layout(f_pool, "TFAudio")
+    tsl = layout(st_pool, "TSilence")
+
+    # J8 donor pick, grid form: donor lengths live on the bounded
+    # 1..1000 cents grid -> fill each grid point with the smallest
+    # qualifying (donor_len, donor_id) via ONE suffix-first window over
+    # the <=1000-row grid, then broadcast-join the pickers. Never a
+    # theta join, never a donor-sized window.
+    dsum = t_pool.groupBy(F.col("len").alias("dlen")).agg(
+        F.min("event_id").alias("donor_id")
+    )
+    grid = spark.range(1, 1001).select(F.col("id").alias("len"))
+    g = grid.join(dsum.withColumnRenamed("dlen", "len"), "len", "left")
+    gw = (
+        Window.partitionBy(one_partition_col())
+        .orderBy("len")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    donor = F.first(
+        F.when(
+            F.col("donor_id").isNotNull(),
+            F.struct(F.col("donor_id").alias("donor_id")),
+        ),
+        ignorenulls=True,
+    ).over(gw)
+    filled = (
+        g.withColumn("_d", donor)
+        .filter(F.col("_d").isNotNull())
+        .select("len", F.col("_d.donor_id").alias("donor_id"))
+    )
+    fs_pick = s_pool.join(F.broadcast(filled), "len").select(
+        "event_id", "user_id", "len", "donor_id"
+    )
+    fs = layout(fs_pick, "FSilence", audio_id=F.col("donor_id"))
+
+    fused = ta.unionByName(fa).unionByName(tf).unionByName(tsl).unionByName(fs)
+    capped = fused.select(
+        "variant",
+        "src_id",
+        "audio_id",
+        "video_id",
+        F.least("len", F.lit(CAP)).cast("bigint").alias("len_cents"),
+        F.least("st", F.lit(CAP)).cast("bigint").alias("start_t"),
+        F.least("et", F.lit(CAP)).cast("bigint").alias("end_t"),
+        F.least("sf", F.lit(CAP)).cast("bigint").alias("start_f"),
+        F.least("ef", F.lit(CAP)).cast("bigint").alias("end_f"),
+    )
+    shuf = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("shuffle"),
+                    F.col("variant"),
+                    F.lit("#"),
+                    F.col("src_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    nu = parquet_rows(sf_dir, "events")
+    ranked = global_rank(
+        capped.withColumn("_shuf", shuf),
+        "_shuf",
+        tiebreak_cols=("variant", "src_id"),
+        out_col="_rn",
+        n_upper=5 * nu if nu else None,
+    )
+    num = (F.col("_rn") - 1).cast("bigint")
+    return ranked.select(
+        "variant",
+        "src_id",
+        "audio_id",
+        "video_id",
+        "len_cents",
+        "start_t",
+        "end_t",
+        "start_f",
+        "end_f",
+        num.alias("num"),
+        F.when(num % 100 < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )

@@ -219,6 +219,85 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAPH_BUCKETS = 8  # scale knob: pick O(cluster cores) at 100 TB
+
+
+def _graph_table_name(spark: SparkSession, base: str) -> str:
+    """Session-scoped catalog name (concurrent sessions each write
+    their own table; reruns within a session overwrite)."""
+    import re
+
+    app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    return f"{base}_{app}"
+
+
+def _write_graph_table(
+    spark: SparkSession, df: DataFrame, base: str, key: str
+) -> DataFrame:
+    """Publish ``df`` as a bucketed+bucket-sorted parquet table on
+    ``key`` (sources/bucketed.py) and return the catalog scan. Every
+    downstream self-join / keyed join on ``key`` then plans with ZERO
+    exchange on the table side — the pay-the-shuffle-once storage
+    posture the graph family needs: the edge table is written by one
+    job and consumed by wedge/close/iteration joins that would
+    otherwise each re-shuffle it."""
+    import os
+    import tempfile
+
+    from ..sources.bucketed import write_bucketed
+
+    name = _graph_table_name(spark, base)
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_graph_tables", name
+    )
+    write_bucketed(df, name, [key], _GRAPH_BUCKETS, sort_cols=[key], path=path)
+    return spark.table(name)
+
+
+def _oriented_edges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented near-dup edge table (s -> t with s_rk < t_rk,
+    rk = degree * 2^32 + id) written through sources/bucketed.py on
+    ``s_rk``: the wedge self-join at the heart of triangle counting
+    becomes a zero-exchange bucket-local sort-merge join. doc_ids are
+    32-bit-bounded here; at larger id domains pack a struct key."""
+    e = _near_dup_edges(spark, sf_dir)
+    sym = e.unionAll(
+        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = (
+        sym.groupBy("doc_a")
+        .agg(F.count("*").alias("d"))
+        .select(
+            F.col("doc_a").alias("node"),
+            (F.col("d") * F.lit(2**32) + F.col("doc_a")).alias("rk"),
+        )
+    )
+    ranked = (
+        e.join(deg.withColumnsRenamed({"node": "doc_a", "rk": "ra"}), "doc_a")
+        .join(deg.withColumnsRenamed({"node": "doc_b", "rk": "rb"}), "doc_b")
+    )
+    lo = F.col("ra") < F.col("rb")
+    o = ranked.select(
+        F.when(lo, F.col("doc_a")).otherwise(F.col("doc_b")).alias("s"),
+        F.when(lo, F.col("ra")).otherwise(F.col("rb")).alias("s_rk"),
+        F.when(lo, F.col("doc_b")).otherwise(F.col("doc_a")).alias("t"),
+        F.when(lo, F.col("rb")).otherwise(F.col("ra")).alias("t_rk"),
+    )
+    return _write_graph_table(spark, o, "graph_oriented_edges", "s_rk")
+
+
+def _sym_edges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized, degree-annotated edge table (u, v, d) bucketed on
+    ``u``: the per-iteration rank join in PageRank reads matching
+    buckets directly — only the (tiny) rank vector moves per round."""
+    e = _near_dup_edges(spark, sf_dir)
+    ed = e.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        e.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = ed.groupBy("u").agg(F.count("*").alias("d"))
+    return _write_graph_table(spark, ed.join(deg, "u"), "graph_sym_edges", "u")
+
+
 _MINHASH_ORACLE = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 ds AS (
@@ -1987,32 +2066,9 @@ SELECT node, n_triangles FROM pernode
     tags=("graph", "dedup", "ext"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _near_dup_edges(spark, sf_dir)
-    # total order (degree, id) packed into one long: doc_ids are
-    # 32-bit-bounded here; at larger id domains use a struct key
-    sym = e.unionAll(e.select(F.col("doc_b").alias("doc_a"),
-                              F.col("doc_a").alias("doc_b")))
-    deg = track_persist(
-        sym.groupBy("doc_a")
-        .agg(F.count("*").alias("d"))
-        .select(
-            F.col("doc_a").alias("node"),
-            (F.col("d") * F.lit(2**32) + F.col("doc_a")).alias("rk"),
-        )
-    )
-    ranked = (
-        e.join(deg.withColumnsRenamed({"node": "doc_a", "rk": "ra"}), "doc_a")
-        .join(deg.withColumnsRenamed({"node": "doc_b", "rk": "rb"}), "doc_b")
-    )
-    lo = F.col("ra") < F.col("rb")
-    o = track_persist(
-        ranked.select(
-            F.when(lo, F.col("doc_a")).otherwise(F.col("doc_b")).alias("s"),
-            F.when(lo, F.col("ra")).otherwise(F.col("rb")).alias("s_rk"),
-            F.when(lo, F.col("doc_b")).otherwise(F.col("doc_a")).alias("t"),
-            F.when(lo, F.col("rb")).otherwise(F.col("ra")).alias("t_rk"),
-        )
-    )
+    # total order (degree, id) packed into one long, oriented edges
+    # published once as a bucketed table on s_rk (pay-the-shuffle-once)
+    o = _oriented_edges_bucketed(spark, sf_dir)
     # wedges at the lowest-order vertex: both out-edges of s, ordered
     w1 = o.select("s", "s_rk", F.col("t").alias("b"), F.col("t_rk").alias("b_rk"))
     w2 = o.select(F.col("s").alias("s2"), F.col("s_rk"),
@@ -2485,14 +2541,10 @@ FROM final
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = _near_dup_edges(spark, sf_dir)
-    ed = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    )
-    deg = ed.groupBy("u").agg(F.count("*").alias("d"))
-    # degree-annotated edge table materialized once; every iteration
-    # reads stored partitions
-    edd = ed.join(deg, "u").localCheckpoint()
+    # degree-annotated symmetric edge table published once as a
+    # bucketed table on u: each iteration's rank join reads matching
+    # buckets directly — only the rank vector moves per round
+    edd = _sym_edges_bucketed(spark, sf_dir)
     n = docs.count()
     r = docs.select("doc_id", (F.lit(1.0) / n).alias("r")).localCheckpoint()
     for _ in range(_PR_ITERS):

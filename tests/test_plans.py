@@ -123,6 +123,7 @@ TWO_PHASE_QUERIES = [
     # round-6 additions
     "pack_token_sequences",
     "dedup_line_corpus",
+    "talkset_generate",
 ]
 
 
@@ -198,3 +199,50 @@ def test_ap_one_phase_sorts_exactly_twice(spark):
         plan = q(name, spark)._jdf.queryExecution().executedPlan().toString()
         n_sorts = plan.count("+- Sort ") + plan.count(":- Sort ")
         assert n_sorts <= 2, f"{name}: {n_sorts} Sort nodes\n{plan}"
+
+
+def test_triangle_bucketed_wedge_join_zero_exchange(spark):
+    """Round 6: the oriented near-dup edge table is published bucketed
+    on s_rk (sources/bucketed.py), so the wedge SELF-join — the hot
+    join of triangle counting — must plan with zero Exchange on either
+    side (broadcast disabled to expose the SMJ the 100 TB plan uses)."""
+    from pyspark.sql import functions as F
+
+    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+        _oriented_edges_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = _oriented_edges_bucketed(spark, SF_SMOKE)
+        w1 = o.select("s_rk", F.col("t").alias("b"))
+        w2 = o.select("s_rk", F.col("t").alias("c"))
+        plan = (
+            w1.join(w2, "s_rk")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, f"bucketed wedge join shuffles:\n{plan}"
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_triangle_executed_exchanges_bounded(spark):
+    """The full triangle query's EXECUTED plan must stay at or below 8
+    exchanges (was 18 in round 5 before the bucketed edge table)."""
+    df = q("graph_triangle_count", spark)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    ids, noid = set(), set()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            m = re.search(r"plan_id=(\d+)", line)
+            (ids.add(m.group(1)) if m else noid.add(line))
+    n = len(ids) + len(noid)
+    assert n <= 8, f"triangle executed plan has {n} exchanges"
