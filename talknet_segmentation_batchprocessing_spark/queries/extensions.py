@@ -1868,14 +1868,26 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ghs"),
     ).select("doc_id", F.col("ghs").cast("bigint").alias("gh")).distinct()
     g = track_persist(grams)
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    dup = g.groupBy("gh").agg(F.count("*").alias("_n")).filter(F.col("_n") > 1).select("gh")
-    hits = g.join(dup, "gh").groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
-    frac = F.coalesce(F.col("n_dup_grams"), F.lit(0)) / F.col("n_grams")
-    return sizes.join(hits, "doc_id", "left").select(
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("gh", F.lit(1).alias("_isdup"))
+    )
+    # one doc-keyed aggregation over the dup-flagged grams replaces the
+    # round-5 plan's two per-doc aggs + doc_id join (r6: one fewer
+    # shuffle of g, one fewer SMJ; the flag join reuses the gh
+    # partitioning the dup agg already established)
+    flagged = g.join(dup, "gh", "left")
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("_isdup").alias("n_dup_grams"),
+    )
+    frac = F.col("n_dup_grams") / F.col("n_grams")
+    return agg.select(
         "doc_id",
         "n_grams",
-        F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+        "n_dup_grams",
         stable_round(frac, 6).alias("dup_frac"),
         (frac > 0.5).alias("mostly_duplicated"),
     )

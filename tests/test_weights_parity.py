@@ -1,0 +1,128 @@
+"""Weights-parity harness (round 6): IF a converted real checkpoint +
+its golden torch activations are present on disk, assert the numpy
+forwards (M1 s3fd_net, M3 talknet_forward) reproduce the reference
+model's outputs on the fixed seeded inputs; skip with a reason
+otherwise. Generate the artifacts off-sandbox with
+scripts/make_golden.py (see operators/parity.py docstring).
+
+Tolerance: the torch reference computes in float32, ours in float64 —
+2e-3 absolute on the final activations absorbs the float32 round-trip
+across ~100 layers while still catching any wiring/weight-mapping
+error (which shifts outputs by O(1))."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+WEIGHTS_DIR = os.environ.get(
+    "SPARK_GRAFT_WEIGHTS_DIR",
+    os.path.join(os.path.dirname(__file__), "..", "weights"),
+)
+
+_TOL = 2e-3
+
+
+def _artifacts(model: str) -> tuple[str, str]:
+    w = os.path.join(WEIGHTS_DIR, f"{model}.npz")
+    g = os.path.join(WEIGHTS_DIR, f"{model}_golden.npz")
+    if not (os.path.exists(w) and os.path.exists(g)):
+        pytest.skip(
+            f"no {model} checkpoint artifacts in {WEIGHTS_DIR} "
+            "(generate off-sandbox: scripts/make_golden.py, then set "
+            "SPARK_GRAFT_WEIGHTS_DIR)"
+        )
+    return w, g
+
+
+def test_talknet_forward_matches_reference_weights():
+    from talknet_segmentation_batchprocessing_spark.operators.parity import (
+        run_talknet_parity,
+    )
+
+    w, g = _artifacts("talknet")
+    diffs = run_talknet_parity(w, g)
+    assert diffs["scores"] < _TOL, f"talknet parity diffs {diffs}"
+
+
+def test_s3fd_forward_matches_reference_weights():
+    from talknet_segmentation_batchprocessing_spark.operators.parity import (
+        run_s3fd_parity,
+    )
+
+    w, g = _artifacts("s3fd")
+    diffs = run_s3fd_parity(w, g)
+    assert max(diffs.values()) < _TOL, f"s3fd parity diffs {diffs}"
+
+
+def test_parity_harness_runs_on_synthetic_weights(tmp_path):
+    """The harness itself is exercised every round: synthesize npz
+    weights from the seeded init, generate 'golden' activations with
+    the SAME numpy forward, and require the round-trip diff to be
+    exactly 0 — proving the loader, input spec, version stamp, and
+    comparison plumbing all work before a real checkpoint ever lands."""
+    import numpy as np
+
+    from talknet_segmentation_batchprocessing_spark.operators import parity
+    from talknet_segmentation_batchprocessing_spark.operators.checkpoint_convert import (
+        save_npz_weights,
+    )
+    from talknet_segmentation_batchprocessing_spark.operators.s3fd_net import (
+        forward,
+        init_weights as s3fd_init,
+    )
+    from talknet_segmentation_batchprocessing_spark.operators.talknet_forward import (
+        init_weights as tn_init,
+        talknet_forward,
+    )
+
+    tn_w = tn_init(seed=7)
+    save_npz_weights(str(tmp_path / "talknet.npz"), tn_w)
+    mfcc, frames = parity.golden_inputs_talknet()
+    np.savez(
+        tmp_path / "talknet_golden.npz",
+        scores=talknet_forward(tn_w, mfcc, frames),
+        inputs_version=parity.INPUTS_VERSION,
+    )
+    diffs = parity.run_talknet_parity(
+        str(tmp_path / "talknet.npz"), str(tmp_path / "talknet_golden.npz")
+    )
+    assert diffs["scores"] == 0.0
+
+    s3_w = s3fd_init(seed=13)
+    save_npz_weights(str(tmp_path / "s3fd.npz"), s3_w)
+    loc, conf, _ = forward(s3_w, parity.golden_inputs_s3fd())
+    np.savez(
+        tmp_path / "s3fd_golden.npz",
+        loc=loc,
+        conf=conf,
+        inputs_version=parity.INPUTS_VERSION,
+    )
+    diffs = parity.run_s3fd_parity(
+        str(tmp_path / "s3fd.npz"), str(tmp_path / "s3fd_golden.npz")
+    )
+    assert max(diffs.values()) == 0.0
+
+
+def test_parity_version_mismatch_fails_loudly(tmp_path):
+    import numpy as np
+
+    from talknet_segmentation_batchprocessing_spark.operators import parity
+    from talknet_segmentation_batchprocessing_spark.operators.checkpoint_convert import (
+        save_npz_weights,
+    )
+    from talknet_segmentation_batchprocessing_spark.operators.talknet_forward import (
+        init_weights as tn_init,
+    )
+
+    save_npz_weights(str(tmp_path / "talknet.npz"), tn_init(seed=7))
+    np.savez(
+        tmp_path / "talknet_golden.npz",
+        scores=np.zeros(3),
+        inputs_version=parity.INPUTS_VERSION + 99,
+    )
+    with pytest.raises(ValueError, match="inputs_version"):
+        parity.run_talknet_parity(
+            str(tmp_path / "talknet.npz"), str(tmp_path / "talknet_golden.npz")
+        )
