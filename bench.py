@@ -99,6 +99,8 @@ HEADLINE = [
     "pack_token_sequences",
     "dedup_line_corpus",
     "talkset_generate",
+    "dedup_edit_distance",
+    "bpe_merge_step",
 ]
 
 

@@ -2165,3 +2165,72 @@ def talkset_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("num"),
         F.when(num % 100 < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step (round 6): within-word symbol-pair statistics,
+# vocabulary-first
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+vocab AS (
+  -- THE BPE trick: compress the corpus to its vocabulary first;
+  -- pair statistics are per distinct word, weighted by frequency
+  SELECT word, CAST(count(*) AS BIGINT) AS wc
+  FROM words WHERE len(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 1) AS left_sym,
+         substr(word, CAST(i + 1 AS INTEGER), 1) AS right_sym,
+         wc
+  FROM vocab, unnest(range(1, len(word))) AS u(i)
+)
+SELECT left_sym, right_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+FROM pairs GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT {_BPE_TOPK}
+"""
+
+
+@query(
+    "bpe_merge_step",
+    oracle=_BPE_ORACLE,
+    doc="One BPE merge iteration (Sennrich et al.), vocabulary-first: "
+    "the corpus collapses to (word, count) FIRST — the classic BPE "
+    "optimization, and the 100 TB one: pair counting runs over the "
+    "vocab (bounded, Zipf-capped) instead of every corpus token, so "
+    "a 100x bigger corpus with the same vocabulary does the same "
+    "pair work after one map-side-combinable word count. Within each "
+    "distinct word, adjacent single-char symbol pairs weighted by "
+    "word frequency; top-20 pairs = the candidate merge table, row 1 "
+    "the merge BPE would apply. Pure higher-order functions + two "
+    "aggs + TakeOrderedAndProject, no UDF",
+    tags=("text", "tokenize", "ext"),
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+    )
+    vocab = words.groupBy("word").agg(F.count("*").cast("bigint").alias("wc"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substr(word, i, 1) AS left_sym, "
+                "substr(word, i + 1, 1) AS right_sym))"
+            )
+        ).alias("pr"),
+        "wc",
+    ).select("pr.left_sym", "pr.right_sym", "wc")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("wc").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(_BPE_TOPK)
+    )

@@ -2681,3 +2681,96 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (round 6): LSH/shingle candidates -> exact
+# Levenshtein verify
+# ---------------------------------------------------------------------------
+
+_ED_PREFIX = 200  # chars of lowercased text the DP runs over
+_ED_SIM = 0.8  # edit-similarity keep threshold
+
+_EDIT_DISTANCE_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+cand AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2
+),
+pfx AS (
+  -- byte-based DuckDB levenshtein == char-based Spark levenshtein only
+  -- on single-byte text, so both engines strip non-ASCII identically
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^\\x20-\\x7e]', '', 'g'),
+                1, {_ED_PREFIX}) AS p,
+         len(substr(regexp_replace(lower(text), '[^\\x20-\\x7e]', '', 'g'),
+                    1, {_ED_PREFIX})) AS plen
+  FROM documents
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+         greatest(a.plen, b.plen) AS maxlen
+  FROM cand c JOIN pfx a ON a.doc_id = c.doc_a
+              JOIN pfx b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, lev,
+       floor((1.0 - lev * 1.0 / greatest(maxlen, 1)) * 1e6 + 0.5) / 1e6
+         AS edit_sim,
+       (1.0 - lev * 1.0 / greatest(maxlen, 1)) >= {_ED_SIM} AS is_editdup
+FROM scored
+"""
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=_EDIT_DISTANCE_ORACLE,
+    doc="Edit-distance near-dup: the shingle-equi-join candidate set "
+    "(the same linear-in-n generator dedup_ngram_jaccard proves) "
+    "verified by EXACT Levenshtein on 200-char lowercased ASCII "
+    "prefixes — the fuzzy-dedup family member Jaccard misses "
+    "(reorderings score high on Jaccard but low on edit similarity, "
+    "small in-place edits the reverse). Scale shape: the DP cost is "
+    "capped at PREFIX^2 per candidate pair and candidates come only "
+    "from shared shingles, so total work is linear in corpus size; "
+    "the verify is JVM-side F.levenshtein, no UDF. Both engines strip "
+    "non-ASCII first (DuckDB's levenshtein is byte-based, Spark's "
+    "char-based; identical on single-byte text)",
+    tags=("dedup", "ext"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _near_dup_edges(spark, sf_dir)
+    ascii_lower = F.regexp_replace(F.lower(F.col("text")), r"[^\x20-\x7e]", "")
+    pfx = track_persist(
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.substring(ascii_lower, 1, _ED_PREFIX).alias("p"),
+        ).withColumn("plen", F.length("p"))
+    )
+    a = pfx.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"),
+                   F.col("plen").alias("la"))
+    b = pfx.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"),
+                   F.col("plen").alias("lb"))
+    lev = F.levenshtein("pa", "pb").cast("bigint")
+    maxlen = F.greatest(F.greatest("la", "lb"), F.lit(1))
+    sim = F.lit(1.0) - lev / maxlen
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("lev"),
+            stable_round(sim, 6).alias("edit_sim"),
+            (sim >= _ED_SIM).alias("is_editdup"),
+        )
+    )

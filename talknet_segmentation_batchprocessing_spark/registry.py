@@ -169,11 +169,12 @@ _DRIVER_WINDOW = [
     "a6_average_precision", "u5_merge_upsert", "w12_funnel_steps",
     "j10_interval_join", "agg_time_rollup", "w14_cohort_retention",
     "sample_weighted_hash", "text_langid_confusion",
-    "text_sentence_stats", "emb_dim_stats", "text_bigram_topk",
-    "x20_variant_json", "doc_chunk_overlap",
+    "emb_dim_stats", "text_bigram_topk",
+    "doc_chunk_overlap",
     "emb_cluster_balance", "shuffle_shard_assign",
     # new round-6 queries (driver-checked the round they land)
     "pack_token_sequences", "dedup_line_corpus", "talkset_generate",
+    "dedup_edit_distance", "bpe_merge_step",
 ]
 
 
