@@ -101,6 +101,7 @@ HEADLINE = [
     "talkset_generate",
     "dedup_edit_distance",
     "bpe_merge_step",
+    "emb_kmeans_assign",
 ]
 
 

@@ -2774,3 +2774,146 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sim >= _ED_SIM).alias("is_editdup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (round 6): 2 unrolled Lloyd iterations, exact
+# integer-grid arithmetic
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_GRID = 1_000_000  # ppm quantization grid
+
+_KMEANS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_GRID} + 0.5)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS k, qv
+  FROM (
+    SELECT vec_id, qv,
+           CAST(('0x' || substr(md5('km#' || CAST(vec_id AS VARCHAR)), 1, 12))
+                AS BIGINT) AS h
+    FROM q
+  ) ORDER BY h, vec_id LIMIT {_KM_K}
+),
+a1 AS (
+  SELECT vec_id, k, qv FROM (
+    SELECT q.vec_id, s.k, q.qv,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i])))
+                AS BIGINT) AS dist
+    FROM q CROSS JOIN seeds s
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) = 1
+),
+sums AS (
+  SELECT k, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+  FROM (SELECT vec_id, k, unnest(qv) AS val,
+               generate_subscripts(qv, 1) AS pos FROM a1)
+  GROUP BY k, pos
+),
+c2 AS (
+  SELECT k, array_agg(CAST(floor(s * 1.0 / n + 0.5) AS BIGINT)
+                      ORDER BY pos) AS cm
+  FROM sums GROUP BY k
+),
+a2 AS (
+  SELECT vec_id, k AS cluster, dist FROM (
+    SELECT q.vec_id, c.k,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> (q.qv[i] - c.cm[i]) * (q.qv[i] - c.cm[i])))
+                AS BIGINT) AS dist
+    FROM q CROSS JOIN c2 c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) = 1
+)
+SELECT vec_id, cluster, dist AS dist_sq_grid FROM a2
+"""
+
+
+@query(
+    "emb_kmeans_assign",
+    oracle=_KMEANS_ORACLE,
+    doc="Distributed Lloyd k-means over the embedding table, 2 "
+    "unrolled iterations, k=8: md5-deterministic seed pick, "
+    "assignment = argmin squared L2 against the (tiny, broadcast) "
+    "centroid table, centroid update = one (cluster, dim)-keyed "
+    "integer-sum aggregation (512 keys, map-side combinable). The "
+    "iterative float-chain divergence problem is DESIGNED OUT: "
+    "coordinates quantize once to an exact ppm integer grid, every "
+    "distance/sum is exact BIGINT arithmetic (max |coord| ~5e5, 64 "
+    "dims -> dist < 2^47), and the only division — the centroid "
+    "mean — is one IEEE double op rounded straight back to the grid, "
+    "identical on both engines. Scale: per iteration the data moves "
+    "once (n x k broadcast compare + 64-per-row partial agg); "
+    "centroids never leave the executors via the driver",
+    tags=("similarity", "embedding", "ext"),
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = F.lit(_KM_GRID)
+    q = track_persist(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * grid + F.lit(0.5)).cast("bigint"),
+            ).alias("qv"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("km#"), F.col("vec_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # k seeds: global top-k by hash = TakeOrderedAndProject (k tiny)
+    seeds = (
+        q.withColumn("_h", h)
+        .orderBy("_h", "vec_id")
+        .limit(_KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1)
+            .cast("bigint")
+            .alias("k"),
+            F.col("qv").alias("cm"),
+        )
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with("qv", "cm", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        scored = q.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "qv", F.struct(dist.alias("dist"), F.col("k")).alias("dk")
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min("dk").alias("dk"), F.first("qv").alias("qv")
+        )
+        return best.select(
+            "vec_id", "qv", F.col("dk.k").alias("k"), F.col("dk.dist").alias("dist")
+        )
+
+    a1 = assign(seeds)
+    # centroid update: exact integer sums keyed by (cluster, dim)
+    sums = (
+        a1.select("k", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("k", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    c2 = sums.groupBy("k").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "s", "n"))),
+            lambda e: F.floor(e["s"] / e["n"] + F.lit(0.5)).cast("bigint"),
+        ).alias("cm")
+    )
+    return assign(c2).select(
+        "vec_id",
+        F.col("k").alias("cluster"),
+        F.col("dist").alias("dist_sq_grid"),
+    )
