@@ -168,6 +168,28 @@ def main() -> None:
         # driver-recorded files wrap our JSON line under "parsed"
         if isinstance(prev.get("parsed"), dict):
             prev = prev["parsed"]
+        # ... or under a front-TRUNCATED "tail" string (observed in
+        # BENCH_r05): recover calib_sec + whatever (query, sec) pairs
+        # survive so normalization keys off the newest round anyway
+        if not prev.get("queries") and isinstance(prev.get("tail"), str):
+            import re
+
+            tail = prev["tail"]
+            mc = re.search(r'\\?"calib_sec\\?": ([0-9.]+)', tail)
+            msf = re.search(r'\\?"sf\\?": ([0-9.]+)', tail)
+            qpart = tail.split('"sf"')[0]
+            qs = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(
+                    r'\\?"([a-z][a-z0-9_]+)\\?": ([0-9.]+)', qpart
+                )
+            }
+            if mc and qs:
+                prev = {
+                    "calib_sec": float(mc.group(1)),
+                    "queries": qs,
+                    "sf": float(msf.group(1)) if msf else prev.get("sf"),
+                }
         if prev.get("calib_sec") and prev.get("queries") and prev.get("sf") == sf:
             prev_meta = {"file": os.path.basename(p), "calib_sec": prev["calib_sec"]}
             for name, t in timings.items():

@@ -222,35 +222,47 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAPH_BUCKETS = 8  # scale knob: pick O(cluster cores) at 100 TB
 
 
-def _graph_table_name(spark: SparkSession, base: str) -> str:
-    """Session-scoped catalog name (concurrent sessions each write
-    their own table; reruns within a session overwrite)."""
+def _graph_table_name(spark: SparkSession, base: str, sf_dir: str) -> str:
+    """Session+source-scoped catalog name: concurrent sessions each
+    write their own table, and the sf_dir hash keys the cache so the
+    same session can serve multiple source dirs."""
+    import hashlib
     import re
 
     app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
-    return f"{base}_{app}"
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{base}_{app}_{h}"
 
 
 def _write_graph_table(
-    spark: SparkSession, df: DataFrame, base: str, key: str
+    spark: SparkSession, build, base: str, key: str, sf_dir: str
 ) -> DataFrame:
-    """Publish ``df`` as a bucketed+bucket-sorted parquet table on
+    """Publish ``build()`` as a bucketed+bucket-sorted parquet table on
     ``key`` (sources/bucketed.py) and return the catalog scan. Every
     downstream self-join / keyed join on ``key`` then plans with ZERO
     exchange on the table side — the pay-the-shuffle-once storage
     posture the graph family needs: the edge table is written by one
     job and consumed by wedge/close/iteration joins that would
-    otherwise each re-shuffle it."""
+    otherwise each re-shuffle it.
+
+    Within a session the table is built AT MOST ONCE per source dir
+    (testdata is immutable for a session's lifetime): repeat
+    invocations — pagerank after triangle, a second analytics pass —
+    reuse the published buckets without recomputing the similarity
+    chain. ``build`` is a thunk so the cache hit skips plan
+    construction entirely."""
     import os
     import tempfile
 
     from ..sources.bucketed import write_bucketed
 
-    name = _graph_table_name(spark, base)
+    name = _graph_table_name(spark, base, sf_dir)
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_graph_tables", name
     )
-    write_bucketed(df, name, [key], _GRAPH_BUCKETS, sort_cols=[key], path=path)
+    write_bucketed(build(), name, [key], _GRAPH_BUCKETS, sort_cols=[key], path=path)
     return spark.table(name)
 
 
@@ -260,11 +272,23 @@ def _oriented_edges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``s_rk``: the wedge self-join at the heart of triangle counting
     becomes a zero-exchange bucket-local sort-merge join. doc_ids are
     32-bit-bounded here; at larger id domains pack a struct key."""
+    return _write_graph_table(
+        spark,
+        lambda: _build_oriented_edges(spark, sf_dir),
+        "graph_oriented_edges",
+        "s_rk",
+        sf_dir,
+    )
+
+
+def _build_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _near_dup_edges(spark, sf_dir)
     sym = e.unionAll(
         e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    deg = (
+    # deg feeds BOTH sides of the ranking join — persist so the
+    # degree aggregation runs once
+    deg = track_persist(
         sym.groupBy("doc_a")
         .agg(F.count("*").alias("d"))
         .select(
@@ -283,19 +307,23 @@ def _oriented_edges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lo, F.col("doc_b")).otherwise(F.col("doc_a")).alias("t"),
         F.when(lo, F.col("rb")).otherwise(F.col("ra")).alias("t_rk"),
     )
-    return _write_graph_table(spark, o, "graph_oriented_edges", "s_rk")
+    return o
 
 
 def _sym_edges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized, degree-annotated edge table (u, v, d) bucketed on
     ``u``: the per-iteration rank join in PageRank reads matching
     buckets directly — only the (tiny) rank vector moves per round."""
-    e = _near_dup_edges(spark, sf_dir)
-    ed = e.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
-        e.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    )
-    deg = ed.groupBy("u").agg(F.count("*").alias("d"))
-    return _write_graph_table(spark, ed.join(deg, "u"), "graph_sym_edges", "u")
+
+    def build() -> DataFrame:
+        e = _near_dup_edges(spark, sf_dir)
+        ed = e.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).unionAll(e.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        deg = ed.groupBy("u").agg(F.count("*").alias("d"))
+        return ed.join(deg, "u")
+
+    return _write_graph_table(spark, build, "graph_sym_edges", "u", sf_dir)
 
 
 _MINHASH_ORACLE = f"""
