@@ -126,12 +126,24 @@ def main() -> None:
     # per query. Cache is cleared before every run so every measurement
     # is a cold plan.
     timings: dict[str, float] = {}
+
+    def drop_session_tables() -> None:
+        # the graph family publishes session-scoped bucketed edge
+        # tables and reuses them on repeat invocations (the documented
+        # pay-once posture) — drop them per measurement so the bench
+        # keeps reporting the full build+consume cost, not the cache
+        # hit
+        for t in spark.catalog.listTables():
+            if t.name.startswith(("graph_oriented_edges", "graph_sym_edges")):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
     for _ in range(3):
         for name in HEADLINE:
             spec = registry.REGISTRY.get(name)
             if spec is None:
                 continue
             spark.catalog.clearCache()
+            drop_session_tables()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
@@ -172,8 +184,6 @@ def main() -> None:
         # BENCH_r05): recover calib_sec + whatever (query, sec) pairs
         # survive so normalization keys off the newest round anyway
         if not prev.get("queries") and isinstance(prev.get("tail"), str):
-            import re
-
             tail = prev["tail"]
             mc = re.search(r'\\?"calib_sec\\?": ([0-9.]+)', tail)
             msf = re.search(r'\\?"sf\\?": ([0-9.]+)', tail)

@@ -57,6 +57,12 @@ HEAVY = [
     "graph_pagerank",
     "dedup_keep_canonical_lsh",
     "dedup_semantic_keep_lsh",
+    # round 6 additions
+    "dedup_edit_distance",
+    "emb_kmeans_assign",
+    "dedup_line_corpus",
+    "talkset_generate",
+    "dedup_keep_lsh_recall",
 ]
 
 TABLES = [

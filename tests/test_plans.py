@@ -246,3 +246,32 @@ def test_triangle_executed_exchanges_bounded(spark):
             (ids.add(m.group(1)) if m else noid.add(line))
     n = len(ids) + len(noid)
     assert n <= 8, f"triangle executed plan has {n} exchanges"
+
+
+def test_kmeans_centroids_broadcast_and_no_udf(spark):
+    """Round 6: emb_kmeans_assign's k=8 centroid compare must plan as a
+    broadcast nested-loop/hash join (never an exchange of the vector
+    side), and the whole query must stay JVM-side (no Python eval)."""
+    df = q("emb_kmeans_assign", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"python boundary in kmeans plan:\n{plan}"
+
+
+def test_edit_distance_stays_jvm_side(spark):
+    """dedup_edit_distance's Levenshtein verify is F.levenshtein —
+    whole plan must be Python-free."""
+    df = q("dedup_edit_distance", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"python boundary in plan:\n{plan}"
+
+
+def test_bpe_pairs_is_takeordered(spark):
+    """bpe_merge_step's global top-20 must compile to
+    TakeOrderedAndProject (partial per-partition top-k), not a global
+    Sort + GlobalLimit."""
+    df = q("bpe_merge_step", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
