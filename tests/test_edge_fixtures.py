@@ -71,6 +71,13 @@ EDGE_QUERIES = [
     "text_gopher_rules",
     "text_perplexity_bucket",
     "dedup_cluster_stats",
+    # round-6 additions
+    "pack_token_sequences",
+    "dedup_line_corpus",
+    "talkset_generate",
+    "dedup_edit_distance",  # unicode docs hit the byte-vs-char guard
+    "bpe_merge_step",
+    "emb_kmeans_assign",  # zero/identical/antipodal vectors, n > k ties
 ]
 
 TABLES = [
