@@ -139,6 +139,14 @@ def main() -> int:
             for _ in range(2):
                 spark.catalog.clearCache()
                 registry.release_persisted()
+                # the graph family caches its bucketed edge tables per
+                # (session, sf_dir) — drop them so both points measure
+                # full build+consume (same honesty rule as bench.py)
+                for t in spark.catalog.listTables():
+                    if t.name.startswith(
+                        ("graph_oriented_edges", "graph_sym_edges")
+                    ):
+                        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 el = time.perf_counter() - t0
