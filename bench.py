@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_edit_distance",
     "bpe_merge_step",
     "emb_kmeans_assign",
+    "basket_pair_lift",
 ]
 
 

@@ -2234,3 +2234,87 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(_BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair lift (round 6): a-priori pair mining over orders
+# ---------------------------------------------------------------------------
+
+_MB_MIN_ITEM = 10  # min orders containing an item (a-priori prefilter)
+_MB_MIN_PAIR = 3  # min orders containing the pair
+
+_BASKET_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+tot AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+freq AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS item_cnt
+  FROM b GROUP BY p HAVING count(*) >= {_MB_MIN_ITEM}
+),
+fb AS (SELECT b.o, b.p, f.item_cnt FROM b JOIN freq f USING (p)),
+pairs AS (
+  SELECT x.p AS part_a, y.p AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_cnt,
+         any_value(x.item_cnt) AS cnt_a, any_value(y.item_cnt) AS cnt_b
+  FROM fb x JOIN fb y ON x.o = y.o AND x.p < y.p
+  GROUP BY x.p, y.p HAVING count(*) >= {_MB_MIN_PAIR}
+)
+SELECT part_a, part_b, pair_cnt,
+       floor(pair_cnt * 1.0 / t.n_orders * 1e6 + 0.5) / 1e6 AS support,
+       floor(pair_cnt * 1.0 / cnt_a * 1e6 + 0.5) / 1e6 AS confidence,
+       floor(pair_cnt * 1.0 * t.n_orders / (cnt_a * cnt_b) * 1e6 + 0.5) / 1e6
+         AS lift
+FROM pairs, tot t
+"""
+
+
+@query(
+    "basket_pair_lift",
+    oracle=_BASKET_ORACLE,
+    doc="Market-basket association mining, the a-priori way: item "
+    "supports first, the ORDER-level pair self-join runs only over "
+    "items above min-support (the classic candidate-pruning step — "
+    "pair fan-out is bounded by per-basket frequent-item count "
+    "squared, never by catalog size), pair support/confidence/lift "
+    "against a 1-row broadcast order total. All thresholds integer "
+    "counts, all ratios on the 1e-6 stable grid. The co-occurrence "
+    "shape a domain-mixing or dataset-correlation audit runs at "
+    "corpus scale",
+    tags=("dataset", "analytics", "ext"),
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = track_persist(
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    tot = b.agg(F.countDistinct("o").alias("n_orders"))
+    freq = (
+        b.groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("item_cnt"))
+        .filter(F.col("item_cnt") >= _MB_MIN_ITEM)
+    )
+    fb = track_persist(b.join(F.broadcast(freq), "p"))
+    x = fb.select(F.col("o"), F.col("p").alias("part_a"), F.col("item_cnt").alias("cnt_a"))
+    y = fb.select(F.col("o"), F.col("p").alias("part_b"), F.col("item_cnt").alias("cnt_b"))
+    pairs = (
+        x.join(y, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").cast("bigint").alias("pair_cnt"),
+            F.first("cnt_a").alias("cnt_a"),
+            F.first("cnt_b").alias("cnt_b"),
+        )
+        .filter(F.col("pair_cnt") >= _MB_MIN_PAIR)
+    )
+    n = F.col("n_orders")
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "part_a",
+        "part_b",
+        "pair_cnt",
+        stable_round(F.col("pair_cnt") / n, 6).alias("support"),
+        stable_round(F.col("pair_cnt") / F.col("cnt_a"), 6).alias("confidence"),
+        stable_round(
+            F.col("pair_cnt") * n / (F.col("cnt_a") * F.col("cnt_b")), 6
+        ).alias("lift"),
+    )

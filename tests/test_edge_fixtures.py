@@ -78,6 +78,7 @@ EDGE_QUERIES = [
     "dedup_edit_distance",  # unicode docs hit the byte-vs-char guard
     "bpe_merge_step",
     "emb_kmeans_assign",  # zero/identical/antipodal vectors, n > k ties
+    "basket_pair_lift",  # empty result below support thresholds
 ]
 
 TABLES = [
