@@ -103,6 +103,7 @@ HEADLINE = [
     "bpe_merge_step",
     "emb_kmeans_assign",
     "basket_pair_lift",
+    "events_anomaly_mad",
 ]
 
 

@@ -170,12 +170,11 @@ _DRIVER_WINDOW = [
     "j10_interval_join", "agg_time_rollup", "w14_cohort_retention",
     "sample_weighted_hash",
     "text_bigram_topk",
-    "doc_chunk_overlap",
     "emb_cluster_balance", "shuffle_shard_assign",
     # new round-6 queries (driver-checked the round they land)
     "pack_token_sequences", "dedup_line_corpus", "talkset_generate",
     "dedup_edit_distance", "bpe_merge_step", "emb_kmeans_assign",
-    "basket_pair_lift",
+    "basket_pair_lift", "events_anomaly_mad",
 ]
 
 

@@ -79,6 +79,7 @@ EDGE_QUERIES = [
     "bpe_merge_step",
     "emb_kmeans_assign",  # zero/identical/antipodal vectors, n > k ties
     "basket_pair_lift",  # empty result below support thresholds
+    "events_anomaly_mad",  # null values, single-event users (MAD=0)
 ]
 
 TABLES = [
