@@ -104,6 +104,7 @@ HEADLINE = [
     "emb_kmeans_assign",
     "basket_pair_lift",
     "events_anomaly_mad",
+    "text_bigram_logprob",
 ]
 
 

@@ -2391,3 +2391,113 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round("mad", 6).alias("mad"),
         (F.col("adev") > _MAD_K * F.col("mad")).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM logprob (round 6): the conditional-probability upgrade of
+# text_unigram_logprob
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+toks AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+vsz AS (SELECT count(*) AS v FROM uni),
+bg AS (
+  SELECT doc_id, i AS pos, toks[CAST(i AS INTEGER)] AS w1,
+         toks[CAST(i + 1 AS INTEGER)] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+per_doc AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         list_sum(list_transform(
+           array_agg((ln(bc.c2 + 1) - ln(u.c1 + v.v)) / ln(2)
+                     ORDER BY bg.pos),
+           x -> x)) AS s
+  FROM bg
+  JOIN bc USING (w1, w2)
+  JOIN uni u ON u.tok = bg.w1
+  CROSS JOIN vsz v
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       floor((-s / n_bigrams) * 1e4 + 0.5) / 1e4 AS mean_neg_logprob
+FROM per_doc
+"""
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=_BIGRAM_LM_ORACLE,
+    doc="Bigram-LM quality score with add-one smoothing: mean "
+    "-log2 p(w2|w1) = -log2 ((c(w1 w2)+1) / (c(w1)+V)) under the "
+    "corpus's own counts — the conditional upgrade of "
+    "text_unigram_logprob that catches shuffled-word salad a unigram "
+    "model scores as fluent. Same determinism spine: per-element "
+    "double ops then an ORDERED sequential fold (position-sorted "
+    "collect on Spark, ORDER BY pos aggregation in the oracle), "
+    "pinned bit-identical. Scale: one corpus bigram count (map-side "
+    "combinable), one unigram count, a 1-row vocab-size broadcast; "
+    "the per-doc fold shuffles counts keyed by doc_id, never text",
+    tags=("text", "quality", "ext"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import track_persist
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # materialize the token array FIRST: a lambda capturing the raw
+    # split() expression re-evaluates it per element (O(len^2)/row —
+    # the round-4 text_bigram_topk finding)
+    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    toks = track_persist(t.select("doc_id", F.explode("toks").alias("tok")))
+    uni = track_persist(toks.groupBy("tok").agg(F.count("*").alias("c1")))
+    vsz = uni.agg(F.count("*").alias("v"))
+    # size >= 2 guard: Spark's sequence(0, -1) generates DESCENDING
+    # [0, -1] for single-token docs instead of an empty array (edge-
+    # fixture finding) — and such docs have no bigrams anyway
+    bg = track_persist(
+        t.filter(F.size("toks") >= 2).select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(element_at(toks, i + 1) AS w1, "
+                    "element_at(toks, i + 2) AS w2))"
+                )
+            ).alias("pos", "b"),
+        ).select("doc_id", "pos", "b.w1", "b.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ln2 = F.log(F.lit(2.0))
+    joined = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vsz))
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c2", "c1", "v"))),
+                lambda e: (
+                    F.log(e["c2"].cast("double") + F.lit(1.0))
+                    - F.log(e["c1"].cast("double") + e["v"].cast("double"))
+                )
+                / ln2,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        stable_round(-F.col("s") / F.col("n_bigrams"), 4).alias(
+            "mean_neg_logprob"
+        ),
+    )

@@ -80,6 +80,7 @@ EDGE_QUERIES = [
     "emb_kmeans_assign",  # zero/identical/antipodal vectors, n > k ties
     "basket_pair_lift",  # empty result below support thresholds
     "events_anomaly_mad",  # null values, single-event users (MAD=0)
+    "text_bigram_logprob",  # empty/null/single-token docs drop out identically
 ]
 
 TABLES = [
