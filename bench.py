@@ -105,6 +105,7 @@ HEADLINE = [
     "basket_pair_lift",
     "events_anomaly_mad",
     "text_bigram_logprob",
+    "sim_maxsim_groups",
 ]
 
 

@@ -2945,3 +2945,93 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("cluster"),
         F.col("dist").alias("dist_sq_grid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style MaxSim (round 6): late-interaction similarity between
+# vector groups
+# ---------------------------------------------------------------------------
+
+_MAXSIM_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, dv,
+         sqrt(list_sum(list_transform(range(1, 65),
+                                      i -> dv[i] * dv[i]))) AS nrm
+  FROM v
+),
+nz AS (SELECT * FROM n WHERE nrm > 0),
+cos AS (
+  SELECT a.label AS q_label, a.vec_id AS q_vec, b.label AS d_label,
+         CAST(floor(
+           list_sum(list_transform(range(1, 65), i -> a.dv[i] * b.dv[i]))
+           / (a.nrm * b.nrm) * 1e9 + 0.5) AS BIGINT) AS cg
+  FROM nz a JOIN nz b ON a.label <> b.label
+),
+best AS (
+  SELECT q_label, q_vec, d_label, max(cg) AS m
+  FROM cos GROUP BY q_label, q_vec, d_label
+)
+SELECT q_label, d_label,
+       floor(sum(m) * 1.0 / count(*) / 1e9 * 1e6 + 0.5) / 1e6 AS maxsim
+FROM best GROUP BY q_label, d_label
+"""
+
+
+@query(
+    "sim_maxsim_groups",
+    oracle=_MAXSIM_ORACLE,
+    doc="ColBERT-style late-interaction MaxSim between vector GROUPS "
+    "(label = multi-vector document, vec_id = token vector): "
+    "maxsim(Q, D) = mean over q in Q of max over d in D of "
+    "cos(q, d) — the retrieval score single-vector cosine can't "
+    "express. Determinism: cosines quantize to an exact 1e-9 integer "
+    "grid before max/mean, so the order-free max and the INTEGER sum "
+    "make the whole reduction engine-identical; the dot itself is the "
+    "proven sequential-fold idiom. Scale: this is the exact per-pair "
+    "baseline (every q compares to every d of paired groups, "
+    "group-keyed SMJ); at 100 TB the candidate d-set per q comes from "
+    "sim_lsh_bucketed and the same max/mean tail is unchanged. "
+    "Zero-norm vectors excluded on both engines",
+    tags=("similarity", "embedding", "ext"),
+)
+def sim_maxsim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("dv")
+    )
+    sumsq = F.aggregate(
+        F.transform("dv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    nz = track_persist(
+        v.withColumn("nrm", F.sqrt(sumsq)).filter(F.col("nrm") > 0)
+    )
+    a = nz.select(
+        F.col("label").alias("q_label"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("dv").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = nz.select(
+        F.col("label").alias("d_label"),
+        F.col("dv").alias("db"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "db", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cg = F.floor(dot / (F.col("na") * F.col("nb")) * F.lit(1e9) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    cos = a.join(b, F.col("q_label") != F.col("d_label")).select(
+        "q_label", "q_vec", "d_label", cg.alias("cg")
+    )
+    best = cos.groupBy("q_label", "q_vec", "d_label").agg(F.max("cg").alias("m"))
+    return best.groupBy("q_label", "d_label").agg(
+        stable_round(F.sum("m") / F.count("*") / F.lit(1e9), 6).alias("maxsim")
+    )

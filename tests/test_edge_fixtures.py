@@ -81,6 +81,7 @@ EDGE_QUERIES = [
     "basket_pair_lift",  # empty result below support thresholds
     "events_anomaly_mad",  # null values, single-event users (MAD=0)
     "text_bigram_logprob",  # empty/null/single-token docs drop out identically
+    "sim_maxsim_groups",  # zero vector excluded, identical/antipodal pairs
 ]
 
 TABLES = [
