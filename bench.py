@@ -106,6 +106,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "text_bigram_logprob",
     "sim_maxsim_groups",
+    "w16_ohlc_candles",
 ]
 
 

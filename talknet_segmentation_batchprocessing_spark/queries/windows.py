@@ -642,3 +642,71 @@ def w15_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("end_us") - F.col("start_us")).alias("span_us"),
         )
     )
+
+
+_OHLC_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
+         event_id, value,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY us DESC, event_id DESC) AS rn_z
+  FROM e
+)
+SELECT user_id, bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(max(CASE WHEN rn_a = 1 THEN value END) * 1e6 + 0.5) / 1e6
+         AS open,
+       floor(max(value) * 1e6 + 0.5) / 1e6 AS high,
+       floor(min(value) * 1e6 + 0.5) / 1e6 AS low,
+       floor(max(CASE WHEN rn_z = 1 THEN value END) * 1e6 + 0.5) / 1e6
+         AS close,
+       CAST(sum(qv) AS BIGINT) AS sum_value_ppm
+FROM r GROUP BY user_id, bucket
+"""
+
+
+@query(
+    "w16_ohlc_candles",
+    oracle=_OHLC_ORACLE,
+    doc="OHLC candle rollup: per (user, 1 h tumbling bucket) the "
+    "open/high/low/close of value plus event count and an EXACT "
+    "integer-ppm value sum (a double sum would be partial-order-"
+    "dependent; the quantized sum is associative, so any partitioning "
+    "gives the same bits). Open/close are min/max over the "
+    "(ts_us, event_id, value) struct — one hash aggregate, no window "
+    "function on the Spark side, ties broken by event_id identically "
+    "on both engines. The timeseries-downsampling shape (candles, "
+    "telemetry rollups) at any scale: single map-side-combinable "
+    "aggregation keyed by (user, bucket)",
+    tags=("window", "timeseries", "ext"),
+)
+def w16_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        "user_id",
+        F.floor(us / F.lit(3_600_000_000)).cast("bigint").alias("bucket"),
+        us.alias("us"),
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint").alias("qv"),
+    )
+    first_s = F.min(F.struct("us", "event_id", "value"))
+    last_s = F.max(F.struct("us", "event_id", "value"))
+    return e.groupBy("user_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        stable_round(first_s.getField("value"), 6).alias("open"),
+        stable_round(F.max("value"), 6).alias("high"),
+        stable_round(F.min("value"), 6).alias("low"),
+        stable_round(last_s.getField("value"), 6).alias("close"),
+        F.sum("qv").cast("bigint").alias("sum_value_ppm"),
+    )

@@ -169,12 +169,11 @@ _DRIVER_WINDOW = [
     "a6_average_precision", "u5_merge_upsert", "w12_funnel_steps",
     "j10_interval_join", "agg_time_rollup", "w14_cohort_retention",
     "text_bigram_topk",
-    "shuffle_shard_assign",
     # new round-6 queries (driver-checked the round they land)
     "pack_token_sequences", "dedup_line_corpus", "talkset_generate",
     "dedup_edit_distance", "bpe_merge_step", "emb_kmeans_assign",
     "basket_pair_lift", "events_anomaly_mad", "text_bigram_logprob",
-    "sim_maxsim_groups",
+    "sim_maxsim_groups", "w16_ohlc_candles",
 ]
 
 

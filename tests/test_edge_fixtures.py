@@ -82,6 +82,7 @@ EDGE_QUERIES = [
     "events_anomaly_mad",  # null values, single-event users (MAD=0)
     "text_bigram_logprob",  # empty/null/single-token docs drop out identically
     "sim_maxsim_groups",  # zero vector excluded, identical/antipodal pairs
+    "w16_ohlc_candles",  # null values, same-timestamp ties, singleton buckets
 ]
 
 TABLES = [
