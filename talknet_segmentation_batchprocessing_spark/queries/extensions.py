@@ -2952,7 +2952,9 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector groups
 # ---------------------------------------------------------------------------
 
-_MAXSIM_ORACLE = """
+_MAXSIM_Q_STRATUM = 4  # deterministic 1-in-K query-vector stratum
+
+_MAXSIM_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
@@ -2966,11 +2968,16 @@ n AS (
 ),
 nz AS (SELECT * FROM n WHERE nrm > 0),
 cos AS (
+  -- q side restricted to the deterministic vec_id stratum: the mean-
+  -- of-max over a 1-in-K query sample is the bounded-cost estimator
+  -- (same pattern as dedup_keep_lsh_recall's sampled audit); the d
+  -- side stays FULL so every max is exact
   SELECT a.label AS q_label, a.vec_id AS q_vec, b.label AS d_label,
          CAST(floor(
            list_sum(list_transform(range(1, 65), i -> a.dv[i] * b.dv[i]))
            / (a.nrm * b.nrm) * 1e9 + 0.5) AS BIGINT) AS cg
   FROM nz a JOIN nz b ON a.label <> b.label
+  WHERE a.vec_id % {_MAXSIM_Q_STRATUM} = 0
 ),
 best AS (
   SELECT q_label, q_vec, d_label, max(cg) AS m
@@ -2988,8 +2995,9 @@ FROM best GROUP BY q_label, d_label
     doc="ColBERT-style late-interaction MaxSim between vector GROUPS "
     "(label = multi-vector document, vec_id = token vector): "
     "maxsim(Q, D) = mean over q in Q of max over d in D of "
-    "cos(q, d) — the retrieval score single-vector cosine can't "
-    "express. Determinism: cosines quantize to an exact 1e-9 integer "
+    "cos(q, d) over a deterministic 1-in-4 q stratum (d side FULL, so "
+    "every max is exact; the stratum bounds cost exactly like the "
+    "sampled keep-precision audit). Determinism: cosines quantize to an exact 1e-9 integer "
     "grid before max/mean, so the order-free max and the INTEGER sum "
     "make the whole reduction engine-identical; the dot itself is the "
     "proven sequential-fold idiom. Scale: this is the exact per-pair "
@@ -3028,8 +3036,10 @@ def sim_maxsim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cg = F.floor(dot / (F.col("na") * F.col("nb")) * F.lit(1e9) + F.lit(0.5)).cast(
         "bigint"
     )
-    cos = a.join(b, F.col("q_label") != F.col("d_label")).select(
-        "q_label", "q_vec", "d_label", cg.alias("cg")
+    cos = (
+        a.filter(F.col("q_vec") % _MAXSIM_Q_STRATUM == 0)
+        .join(b, F.col("q_label") != F.col("d_label"))
+        .select("q_label", "q_vec", "d_label", cg.alias("cg"))
     )
     best = cos.groupBy("q_label", "q_vec", "d_label").agg(F.max("cg").alias("m"))
     return best.groupBy("q_label", "d_label").agg(
