@@ -38,7 +38,8 @@ def a1_ensemble_round_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
        floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+       floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                      AS BIGINT)) / 1e4 + 0.5) / 1e2 AS sum_disc_price,
        floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
        floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
        floor((avg(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc,
@@ -59,9 +60,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
             stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
+            # l_discount carries sub-cent float structure, so the
+            # disc-price product has ~4-6 decimal structure: a plain
+            # double sum rounded at 1e2 can land ON a .XX5 boundary and
+            # flip with partition summation order (the w6_nms_greedy
+            # flake class). Quantize the bit-identical per-row product
+            # to an exact 1e6 integer grid, sum associatively, round.
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * F.lit(1e6)
+                            + F.lit(0.5)
+                        ).cast("bigint")
+                    )
+                    / F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e2)
+            ).alias("sum_disc_price"),
             stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
             stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             stable_round(F.avg("l_discount"), 4).alias("avg_disc"),

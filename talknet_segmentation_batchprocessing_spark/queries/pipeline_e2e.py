@@ -222,7 +222,13 @@ final AS (
   FROM nmsrec WHERE len(boxes) = 0
 )
 SELECT video_id, count(*) AS n_kept,
-       floor((sum(k.conf)) * 1e2 + 0.5) / 1e2 AS sum_conf
+       -- conf has 4-decimal structure (2-decimal event values / 100):
+       -- sum on the exact 1e4 integer grid, THEN round to 2 decimals.
+       -- A double sum rounded at 1e2 lands exactly on .XX5 boundaries
+       -- (video 1 at sf0.01: sum*100 = 22235.49999999...) and flips
+       -- with partition summation order.
+       floor(sum(CAST(floor(k.conf * 1e4 + 0.5) AS BIGINT)) / 1e2 + 0.5) / 1e2
+         AS sum_conf
 FROM final GROUP BY video_id ORDER BY video_id
 """
 
@@ -245,9 +251,15 @@ def w6_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = nms(dets.select(
         "video_id", "frame_idx", "det_id", "x1", "y1", "x2", "y2", "conf"
     ), overlap=0.3, top_k=10)
+    # Exact-integer-grid sum (see oracle comment): per-row conf is
+    # bit-identical on both engines, so quantizing BEFORE the sum makes
+    # the aggregate associative — any partitioning yields the same bits.
+    conf_grid = F.floor(F.col("conf") * F.lit(1e4) + F.lit(0.5)).cast("bigint")
     return kept.groupBy("video_id").agg(
         F.count("*").alias("n_kept"),
-        stable_round(F.sum("conf"), 2).alias("sum_conf"),
+        (F.floor(F.sum(conf_grid) / F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).alias(
+            "sum_conf"
+        ),
     ).orderBy("video_id")
 
 
