@@ -1,0 +1,482 @@
+"""Curation audits and reporting: the queries a data-curation team
+runs ON the pipeline rather than in it — temperature-scaled mixture
+design, per-rule filter ablation, embedding-truncation quality audits,
+dataset cards, and dedup-threshold tuning curves. All pure DataFrame
+queries with DuckDB oracles; every "random" quantity is hash- or
+integer-derived so both engines agree bit-for-bit.
+
+Determinism notes follow the engine conventions (see
+dataset_ops.py header): fractions that could land on a rounding
+boundary are summed on an exact integer grid BEFORE division, and any
+sqrt/pow stays within IEEE correctly-rounded territory (sqrt, powers
+of two) so Spark's JVM and DuckDB's libm produce identical bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import stable_round
+from ..registry import REGISTRY, load, query
+
+# ---------------------------------------------------------------------------
+# temperature-scaled domain mixture (the UnifiedQA / mT5 sampling rule)
+# ---------------------------------------------------------------------------
+
+# T = 2 exactly so the temperature exponent 1/T is 0.5: sqrt is IEEE
+# correctly rounded on both engines, unlike pow(x, 1/T) for general T.
+_MIX_BUDGET = 100_000  # synthetic sampling budget (docs)
+
+_TEMP_MIX_ORACLE = f"""
+WITH stats AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+  FROM documents GROUP BY source
+),
+grid AS (
+  -- sqrt(chars)^ (=chars^(1/T), T=2) quantized to an exact 1e6 grid so
+  -- the normalizing sum is an associative BIGINT sum
+  SELECT source, n_docs, n_chars_total,
+         CAST(floor(sqrt(CAST(n_chars_total AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+  FROM stats
+),
+tot AS (SELECT CAST(sum(q) AS BIGINT) AS q_tot,
+               CAST(sum(n_chars_total) AS BIGINT) AS total_chars,
+               CAST(sum(n_docs) AS BIGINT) AS total_docs
+        FROM grid)
+SELECT g.source, g.n_docs, g.n_chars_total,
+       floor((g.n_chars_total * 1.0 / t.total_chars) * 1e6 + 0.5) / 1e6 AS raw_share,
+       floor((g.q * 1.0 / t.q_tot) * 1e6 + 0.5) / 1e6 AS temp_weight,
+       CAST(floor(g.q * 1.0 / t.q_tot * {_MIX_BUDGET} + 0.5) AS BIGINT) AS sampled_docs,
+       floor((g.q * 1.0 / t.q_tot * t.total_docs / g.n_docs) * 1e6 + 0.5) / 1e6 AS epochs
+FROM grid g CROSS JOIN tot t
+"""
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle=_TEMP_MIX_ORACLE,
+    doc="Temperature-scaled domain sampling (the mT5/Gopher mixture "
+    "rule, T=2): per-source char share raised to 1/T and renormalized, "
+    "yielding the sampling weight, the doc budget each source gets, "
+    "and the implied oversampling epochs. T=2 is chosen so the "
+    "exponent is sqrt (IEEE correctly rounded -> bit-identical across "
+    "engines), and the normalizer sums sqrt values on an exact 1e6 "
+    "integer grid so summation order cannot move the result. Shape: "
+    "one groupBy(source) + one broadcast 1-row total — nothing grows "
+    "with corpus size beyond the first aggregate's map-side combine",
+    tags=("dataset", "mixing", "ext"),
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
+    grid = stats.withColumn(
+        "q",
+        F.floor(F.sqrt(F.col("n_chars_total").cast("double")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint"),
+    )
+    tot = grid.agg(
+        F.sum("q").cast("bigint").alias("q_tot"),
+        F.sum("n_chars_total").cast("bigint").alias("total_chars"),
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+    )
+    w = F.col("q") * F.lit(1.0) / F.col("q_tot")
+    return grid.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        stable_round(F.col("n_chars_total") * F.lit(1.0) / F.col("total_chars"), 6).alias(
+            "raw_share"
+        ),
+        stable_round(w, 6).alias("temp_weight"),
+        F.floor(w * F.lit(_MIX_BUDGET) + F.lit(0.5)).cast("bigint").alias("sampled_docs"),
+        stable_round(w * F.col("total_docs") / F.col("n_docs"), 6).alias("epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-rule filter ablation over the Gopher battery
+# ---------------------------------------------------------------------------
+
+
+def _attribution_oracle() -> str:
+    """Composed from dataset_ops' shared rounded-stats CTE and rule
+    predicates — the audit thresholds the SAME rounded values as
+    text_gopher_rules by construction."""
+    from .dataset_ops import _GOPHER_ROUNDED_CTE, _GOPHER_RULE_SQL
+
+    flag_cols = ", ".join(
+        f"CAST({sql} AS INTEGER) AS r_{name}" for name, sql in _GOPHER_RULE_SQL.items()
+    )
+    nf = " + ".join(f"r_{name}" for name in _GOPHER_RULE_SQL)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, CAST(n_{name} AS BIGINT) AS n_fail,"
+        f" CAST(o_{name} AS BIGINT) AS n_fail_only,"
+        f" floor((n_{name} * 1.0 / total) * 1e6 + 0.5) / 1e6 AS fail_frac,"
+        f" floor((o_{name} * 1.0 / total) * 1e6 + 0.5) / 1e6 AS recoverable_frac"
+        " FROM agg"
+        for name in _GOPHER_RULE_SQL
+    )
+    sums = ", ".join(
+        f"CAST(sum(r_{name}) AS BIGINT) AS n_{name},"
+        f" CAST(sum(CASE WHEN r_{name} = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS o_{name}"
+        for name in _GOPHER_RULE_SQL
+    )
+    return f"""
+WITH {_GOPHER_ROUNDED_CTE},
+flags AS (SELECT doc_id, {flag_cols} FROM rounded),
+nf AS (SELECT *, {nf} AS nf FROM flags),
+agg AS (SELECT count(*) AS total, {sums} FROM nf)
+{rows}
+"""
+
+
+@query(
+    "curation_rule_attribution",
+    oracle=None,  # late-bound below (composes dataset_ops' shared CTE)
+    doc="Filter-ablation audit over the Gopher rule battery: per rule, "
+    "how many docs fail it (n_fail), how many fail ONLY it "
+    "(n_fail_only = docs recovered if the rule were dropped), and both "
+    "as corpus fractions. This is the report a curation team reads "
+    "before tuning thresholds — it separates rules that do real work "
+    "from rules shadowed by others. Shape: the same one-pass rounded "
+    "stats as text_gopher_rules, one global aggregate, then a 4-row "
+    "unpivot — the corpus is scanned once regardless of rule count",
+    tags=("dataset", "text", "audit", "ext"),
+)
+def curation_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dataset_ops import gopher_rounded_frame, gopher_rule_exprs
+
+    rules = gopher_rule_exprs()
+    flags = gopher_rounded_frame(spark, sf_dir).select(
+        "doc_id", *[r.cast("int").alias(f"r_{n}") for n, r in rules.items()]
+    )
+    nf = flags.withColumn(
+        "nf", sum((F.col(f"r_{n}") for n in rules), F.lit(0))
+    )
+    agg = nf.agg(
+        F.count("*").alias("total"),
+        *[
+            a
+            for n in rules
+            for a in (
+                F.sum(f"r_{n}").cast("bigint").alias(f"n_{n}"),
+                F.sum(
+                    F.when((F.col(f"r_{n}") == 1) & (F.col("nf") == 1), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"o_{n}"),
+            )
+        ],
+    )
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rule"),
+                F.col(f"n_{n}").alias("n_fail"),
+                F.col(f"o_{n}").alias("n_fail_only"),
+                stable_round(F.col(f"n_{n}") * F.lit(1.0) / F.col("total"), 6).alias(
+                    "fail_frac"
+                ),
+                stable_round(F.col(f"o_{n}") * F.lit(1.0) / F.col("total"), 6).alias(
+                    "recoverable_frac"
+                ),
+            )
+            for n in rules
+        ]
+    )
+    return agg.select(F.explode(per_rule).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (truncated-dimension) retrieval audit
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16  # truncated prefix length (full = 64)
+_MRL_STRIDE = 25  # query stratum: vec_id % 25 == 0 (4% of the corpus)
+_MRL_K = 3
+
+
+def _mrl_dot_duck(n: int, a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, {n + 1}), i -> {a}[i] * {b}[i]))"
+
+
+def _mrl_cos_duck(n: int) -> str:
+    return (
+        f"{_mrl_dot_duck(n, 'av', 'bv')}"
+        f" / (sqrt({_mrl_dot_duck(n, 'av', 'av')})"
+        f" * sqrt({_mrl_dot_duck(n, 'bv', 'bv')}))"
+    )
+
+
+_MRL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, q.v AS av, c.v AS bv
+  FROM e q JOIN e c ON q.vec_id % {_MRL_STRIDE} = 0 AND c.vec_id <> q.vec_id
+),
+s AS (
+  SELECT qid, nid, {_mrl_cos_duck(64)} AS cs_f, {_mrl_cos_duck(_MRL_DIMS)} AS cs_t
+  FROM p
+),
+rf AS (SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY cs_f DESC, nid) AS r
+       FROM s),
+rt AS (SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY cs_t DESC, nid) AS r
+       FROM s),
+ov AS (
+  SELECT rf.qid, count(*) AS c
+  FROM rf JOIN rt ON rt.qid = rf.qid AND rt.nid = rf.nid
+  WHERE rf.r <= {_MRL_K} AND rt.r <= {_MRL_K}
+  GROUP BY rf.qid
+)
+SELECT q.vec_id AS query_id, CAST(coalesce(ov.c, 0) AS BIGINT) AS n_overlap,
+       floor((coalesce(ov.c, 0) / {_MRL_K}.0) * 1e6 + 0.5) / 1e6 AS recall_at_k
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % {_MRL_STRIDE} = 0) q
+LEFT JOIN ov ON ov.qid = q.vec_id
+"""
+
+_MRL_DOT_SPARK = (
+    "aggregate(zip_with(slice(av, 1, {n}), slice(bv, 1, {n}), (x, y) -> x * y),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_MRL_NORM_SPARK = (
+    "sqrt(aggregate(transform(slice({c}, 1, {n}), x -> x * x),"
+    " cast(0.0 as double), (acc, v) -> acc + v))"
+)
+
+
+@query(
+    "emb_matryoshka_recall",
+    oracle=_MRL_ORACLE,
+    doc=f"Matryoshka-truncation audit (Kusupati et al. 2022): top-{_MRL_K} "
+    f"cosine neighbors using only the first {_MRL_DIMS} of 64 dims vs "
+    f"the full-dim ground truth, recall@{_MRL_K} per query over a "
+    f"deterministic 1-in-{_MRL_STRIDE} query stratum. The report that "
+    "decides whether a cheaper truncated index is safe to ship. Both "
+    "cosines come from the same sequential fold family as the sim_* "
+    "queries (bit-identical across engines); ties break on neighbor "
+    "id. Shape: broadcast query stratum x one candidate scan, two "
+    "windowed top-k on the same scored frame — O(n/stride * n) pairs "
+    "by design (an audit stratum, not a production path; the "
+    "production index is sim_ivf_topk/sim_lsh_bucketed)",
+    tags=("similarity", "audit", "ext"),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % _MRL_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("av")
+    )
+    c = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("bv")
+    )
+    pairs = F.broadcast(q).join(c, F.col("nid") != F.col("qid"))
+    cos = lambda n: (  # noqa: E731
+        F.expr(_MRL_DOT_SPARK.format(n=n))
+        / (
+            F.expr(_MRL_NORM_SPARK.format(c="av", n=n))
+            * F.expr(_MRL_NORM_SPARK.format(c="bv", n=n))
+        )
+    )
+    scored = pairs.select(
+        "qid", "nid", cos(64).alias("cs_f"), cos(_MRL_DIMS).alias("cs_t")
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cs_f"), "nid")
+    wt = Window.partitionBy("qid").orderBy(F.desc("cs_t"), "nid")
+    ranked = scored.select(
+        "qid",
+        "nid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    ov = (
+        ranked.filter((F.col("rf") <= _MRL_K) & (F.col("rt") <= _MRL_K))
+        .groupBy("qid")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        q.select(F.col("qid").alias("query_id"))
+        .join(ov, F.col("query_id") == F.col("qid"), "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            stable_round(
+                F.coalesce(F.col("c"), F.lit(0)) / F.lit(float(_MRL_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset card: per-source corpus summary
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, lang, n_chars, md5(text) AS h FROM documents
+),
+hc AS (SELECT h, count(*) AS cnt FROM d GROUP BY h),
+j AS (SELECT d.*, hc.cnt FROM d JOIN hc ON hc.h = d.h),
+card AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+  FROM j GROUP BY source
+),
+tot AS (SELECT CAST(sum(total_chars) AS BIGINT) AS corpus_chars FROM card)
+SELECT c.source, c.n_docs, c.total_chars, c.n_langs, c.n_dup_docs,
+       floor((c.n_dup_docs * 1.0 / c.n_docs) * 1e6 + 0.5) / 1e6 AS dup_frac,
+       floor((c.total_chars * 1.0 / c.n_docs) * 1e4 + 0.5) / 1e4 AS mean_chars,
+       floor((c.total_chars * 1.0 / t.corpus_chars) * 1e6 + 0.5) / 1e6 AS char_share
+FROM card c CROSS JOIN tot t
+"""
+
+
+@query(
+    "dataset_card_stats",
+    oracle=_CARD_ORACLE,
+    doc="Dataset card (Datasheets-for-Datasets style): per source, doc "
+    "and char counts, language breadth, exact-duplicate incidence "
+    "(docs whose md5(text) appears more than once ANYWHERE in the "
+    "corpus — cross-source dups count), mean doc length, and corpus "
+    "char share. The one-page summary a data release ships with. "
+    "Shape: one hash-groupBy over md5 (shuffles 16-byte hashes, never "
+    "text), a hash join back, one groupBy(source), one broadcast "
+    "1-row total — each stage map-side combinable at 100 TB",
+    tags=("dataset", "audit", "ext"),
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", F.md5("text").alias("h")
+    )
+    hc = docs.groupBy("h").agg(F.count("*").alias("cnt"))
+    j = docs.join(hc, "h")
+    card = j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+    )
+    tot = card.agg(F.sum("total_chars").cast("bigint").alias("corpus_chars"))
+    return card.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        "n_dup_docs",
+        stable_round(F.col("n_dup_docs") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+            "dup_frac"
+        ),
+        stable_round(F.col("total_chars") * F.lit(1.0) / F.col("n_docs"), 4).alias(
+            "mean_chars"
+        ),
+        stable_round(
+            F.col("total_chars") * F.lit(1.0) / F.col("corpus_chars"), 6
+        ).alias("char_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold tuning curve
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _sweep_oracle() -> str:
+    """Composed from the registered n-gram Jaccard oracle: the curve is
+    computed over the SAME edge definition users deduplicate with."""
+    ngram = REGISTRY["dedup_ngram_jaccard"].oracle
+    ts = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+WITH edges AS ({ngram}),
+ts AS (SELECT unnest(CAST([{ts}] AS DOUBLE[])) AS threshold),
+hits AS (
+  SELECT t.threshold, e.doc_a, e.doc_b
+  FROM edges e JOIN ts t ON e.jaccard >= t.threshold
+),
+pairs AS (
+  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM hits GROUP BY threshold
+),
+docs AS (
+  SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT threshold, doc_a AS d FROM hits
+        UNION ALL SELECT threshold, doc_b AS d FROM hits)
+  GROUP BY threshold
+)
+SELECT t.threshold,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs_involved
+FROM ts t
+LEFT JOIN pairs p ON p.threshold = t.threshold
+LEFT JOIN docs d ON d.threshold = t.threshold
+"""
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=None,  # late-bound below (composes the registered ngram oracle)
+    doc="Dedup-threshold tuning curve: for each candidate Jaccard "
+    "threshold, how many near-dup pairs fire and how many distinct "
+    "docs they touch — the curve a curation team reads to pick the "
+    "dedup cutoff (too low removes real content, too high keeps "
+    "dups). Computed over the registered dedup_ngram_jaccard edge "
+    "definition, so the curve describes exactly what the dedup pass "
+    "would do. Shape: the edge table (already linear via the shingle "
+    "join) cross a broadcast 8-row threshold axis, two small "
+    "aggregates — the sweep adds O(|edges| x 8), never a second "
+    "corpus scan",
+    tags=("dedup", "audit", "ext"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions import dedup_ngram_jaccard
+    from ..registry import track_persist
+
+    edges = track_persist(dedup_ngram_jaccard(spark, sf_dir))
+    ts = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    hits = edges.join(
+        F.broadcast(ts), F.col("jaccard") >= F.col("threshold")
+    ).select("threshold", "doc_a", "doc_b")
+    pairs = hits.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    docs = (
+        hits.select("threshold", F.col("doc_a").alias("d"))
+        .unionAll(hits.select("threshold", F.col("doc_b").alias("d")))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_involved"))
+    )
+    return (
+        ts.join(pairs, "threshold", "left")
+        .join(docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_involved", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_involved"),
+        )
+    )
+
+
+def _late_bind_oracles() -> None:
+    REGISTRY["curation_rule_attribution"].oracle = _attribution_oracle()
+    REGISTRY["dedup_threshold_sweep"].oracle = _sweep_oracle()
+
+
+_late_bind_oracles()

@@ -1459,8 +1459,11 @@ _GOPHER_MAX_TOP_FRAC = 0.10
 
 _SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + ")"
 
-_GOPHER_ORACLE = f"""
-WITH toks AS (
+# Shared CTE chain (tokens -> per-doc stats -> ROUNDED stats): the
+# rule battery (text_gopher_rules) and the rule-ablation audit
+# (curation_audit.curation_rule_attribution) must threshold the SAME
+# rounded values, so the SQL lives once.
+_GOPHER_ROUNDED_CTE = f"""toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
   FROM documents
 ),
@@ -1485,15 +1488,26 @@ rounded AS (
          stopword_hits,
          floor(top_tok_frac_raw * 1e6 + 0.5) / 1e6 AS top_tok_frac
   FROM per_doc
-),
+)"""
+
+# Per-rule fail predicates on the ROUNDED stats — one place, consumed
+# by the battery oracle below and by the attribution oracle.
+_GOPHER_RULE_SQL = {
+    "word_count": f"(n_words < {_GOPHER_MIN_WORDS} OR n_words > {_GOPHER_MAX_WORDS})",
+    "mean_word_len": f"(mean_word_len < {_GOPHER_MIN_MEAN_LEN}"
+    f" OR mean_word_len > {_GOPHER_MAX_MEAN_LEN})",
+    "stopwords": f"(stopword_hits < {_GOPHER_MIN_STOPWORDS})",
+    "repetition": f"(top_tok_frac > {_GOPHER_MAX_TOP_FRAC})",
+}
+
+_GOPHER_ORACLE = f"""
+WITH {_GOPHER_ROUNDED_CTE},
 flags AS (
   SELECT doc_id, n_words, mean_word_len, stopword_hits, top_tok_frac,
-         CAST(n_words < {_GOPHER_MIN_WORDS} OR n_words > {_GOPHER_MAX_WORDS}
-              AS INTEGER)
-         + CAST(mean_word_len < {_GOPHER_MIN_MEAN_LEN}
-                OR mean_word_len > {_GOPHER_MAX_MEAN_LEN} AS INTEGER)
-         + CAST(stopword_hits < {_GOPHER_MIN_STOPWORDS} AS INTEGER)
-         + CAST(top_tok_frac > {_GOPHER_MAX_TOP_FRAC} AS INTEGER)
+         CAST({_GOPHER_RULE_SQL["word_count"]} AS INTEGER)
+         + CAST({_GOPHER_RULE_SQL["mean_word_len"]} AS INTEGER)
+         + CAST({_GOPHER_RULE_SQL["stopwords"]} AS INTEGER)
+         + CAST({_GOPHER_RULE_SQL["repetition"]} AS INTEGER)
            AS n_rules_failed
   FROM rounded
 )
@@ -1523,6 +1537,20 @@ FROM flags
     tags=("text", "dataset", "ext"),
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = gopher_rounded_frame(spark, sf_dir)
+    rules = gopher_rule_exprs()
+    n_failed = sum(
+        (r.cast("int") for r in rules.values()), F.lit(0)
+    )
+    return flags.withColumn("n_rules_failed", n_failed.cast("bigint")).withColumn(
+        "keep", F.col("n_rules_failed") == 0
+    )
+
+
+def gopher_rounded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc ROUNDED quality stats (the values the rule battery
+    thresholds): doc_id, n_words, mean_word_len, stopword_hits,
+    top_tok_frac. Mirrors ``_GOPHER_ROUNDED_CTE`` exactly."""
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -1542,28 +1570,26 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("stopword_hits"),
         (F.max("cnt") * F.lit(1.0) / F.sum("cnt")).alias("top_tok_frac_raw"),
     )
-    flags = per_doc.select(
+    return per_doc.select(
         "doc_id",
         "n_words",
         stable_round("mean_word_len_raw", 4).alias("mean_word_len"),
         "stopword_hits",
         stable_round("top_tok_frac_raw", 6).alias("top_tok_frac"),
     )
-    n_failed = (
-        (
-            (F.col("n_words") < _GOPHER_MIN_WORDS)
-            | (F.col("n_words") > _GOPHER_MAX_WORDS)
-        ).cast("int")
-        + (
-            (F.col("mean_word_len") < _GOPHER_MIN_MEAN_LEN)
-            | (F.col("mean_word_len") > _GOPHER_MAX_MEAN_LEN)
-        ).cast("int")
-        + (F.col("stopword_hits") < _GOPHER_MIN_STOPWORDS).cast("int")
-        + (F.col("top_tok_frac") > _GOPHER_MAX_TOP_FRAC).cast("int")
-    )
-    return flags.withColumn("n_rules_failed", n_failed.cast("bigint")).withColumn(
-        "keep", F.col("n_rules_failed") == 0
-    )
+
+
+def gopher_rule_exprs() -> dict:
+    """Boolean fail predicates keyed by rule name, over the rounded
+    frame's columns — the Spark twin of ``_GOPHER_RULE_SQL``."""
+    return {
+        "word_count": (F.col("n_words") < _GOPHER_MIN_WORDS)
+        | (F.col("n_words") > _GOPHER_MAX_WORDS),
+        "mean_word_len": (F.col("mean_word_len") < _GOPHER_MIN_MEAN_LEN)
+        | (F.col("mean_word_len") > _GOPHER_MAX_MEAN_LEN),
+        "stopwords": F.col("stopword_hits") < _GOPHER_MIN_STOPWORDS,
+        "repetition": F.col("top_tok_frac") > _GOPHER_MAX_TOP_FRAC,
+    }
 
 
 # ---------------------------------------------------------------------------
