@@ -710,3 +710,147 @@ def w16_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(last_s.getField("value"), 6).alias("close"),
         F.sum("qv").cast("bigint").alias("sum_value_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w17: deterministic rate limiter (stream throttling, batch-expressed)
+# ---------------------------------------------------------------------------
+
+_RATE_N = 3  # events allowed per (user, window)
+_RATE_WINDOW_US = 600_000_000  # 10-minute tumbling buckets
+
+_RATE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS us,
+         epoch_us(ts) // {_RATE_WINDOW_US} AS bucket
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, bucket,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY us, event_id) AS rn
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN rn <= {_RATE_N} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > {_RATE_N} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       floor((sum(CASE WHEN rn > {_RATE_N} THEN 1 ELSE 0 END) * 1.0 / count(*))
+             * 1e6 + 0.5) / 1e6 AS drop_frac
+FROM r GROUP BY user_id
+"""
+
+
+@query(
+    "w17_rate_limit",
+    oracle=_RATE_ORACLE,
+    doc=f"Deterministic rate limiter: at most {_RATE_N} events per "
+    "(user, 10-min tumbling bucket) survive, earliest-first with "
+    "event_id tie-break; per-user kept/dropped totals and drop "
+    "fraction. The batch twin of a streaming throttle (the decision "
+    "is a pure function of (user, bucket, arrival rank) so a "
+    "transformWithState port emits identical verdicts). Shape: one "
+    "window ranked within (user, bucket) — the partition key is the "
+    "rate-limit key, so state never crosses executors — then one "
+    "user-keyed aggregate. No global ordering anywhere",
+    tags=("window", "timeseries", "ext"),
+)
+def w17_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.floor(us / F.lit(_RATE_WINDOW_US)).cast("bigint").alias("bucket"),
+    )
+    w = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w))
+    dropped = F.sum((F.col("rn") > _RATE_N).cast("int"))
+    return r.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum((F.col("rn") <= _RATE_N).cast("int")).cast("bigint").alias("n_kept"),
+        dropped.cast("bigint").alias("n_dropped"),
+        stable_round(dropped * F.lit(1.0) / F.count("*"), 6).alias("drop_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# w18: exponential moving average (finite-horizon, halving decay)
+# ---------------------------------------------------------------------------
+
+_EMA_HORIZON = 8  # last 8 observations; weight 2^-k for the k-th newest
+
+_EMA_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value
+  FROM events WHERE value IS NOT NULL
+),
+lw AS (
+  SELECT user_id, event_id,
+         list_sort(list({{'us': us, 'event_id': event_id, 'v': value}})
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN {_EMA_HORIZON - 1} PRECEDING AND CURRENT ROW))
+           AS w
+  FROM e
+)
+SELECT user_id, event_id,
+       CAST(len(w) AS BIGINT) AS n_in_window,
+       floor((list_reduce(list_transform(w, s -> s.v),
+                          (acc, x) -> acc / 2 + x)
+              / (2 - power(2, 1 - len(w)))) * 1e6 + 0.5) / 1e6 AS ema
+FROM lw
+"""
+
+
+@query(
+    "w18_ema_decay",
+    oracle=_EMA_ORACLE,
+    doc=f"Exponential moving average with halving decay over the last "
+    f"{_EMA_HORIZON} observations per user: the k-th newest value "
+    "weighs 2^-k, normalized by the finite-window weight total "
+    "(2 - 2^(1-n)). The IIR cousin of the reference's centered "
+    "smoothing (W2/A11), used for telemetry trend lines and score "
+    "decay. Exactness: the decay fold is a SEQUENTIAL left fold "
+    "(acc/2 + x) over the window values sorted by (ts, event_id) — "
+    "identical operation order on both engines — and every weight is "
+    "a power of two, so each halving is an exact double operation. "
+    "Shape: one bounded-frame window collect per row (frame height "
+    f"{_EMA_HORIZON}, cost O(rows x {_EMA_HORIZON}) with no shuffle "
+    "beyond the user partition), then a per-row fold — no UDF",
+    tags=("window", "timeseries", "ext"),
+)
+def w18_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_id", us.alias("us"), "value")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(_EMA_HORIZON - 1), 0)
+    )
+    # Collect the frame as (us, event_id, v) structs and sort — frame
+    # order is already (us, event_id), but the explicit array_sort
+    # makes the fold order a property of the DATA, not of collect
+    # internals, on both engines.
+    lw = e.select(
+        "user_id",
+        "event_id",
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_id", F.col("value").alias("v"))).over(
+                frame
+            )
+        ).alias("w"),
+    )
+    fold = F.expr(
+        "aggregate(transform(w, s -> s.v), cast(0.0 as double),"
+        " (acc, x) -> acc / 2 + x)"
+    )
+    norm = F.lit(2.0) - F.pow(F.lit(2.0), F.lit(1.0) - F.size("w"))
+    return lw.select(
+        "user_id",
+        "event_id",
+        F.size("w").cast("bigint").alias("n_in_window"),
+        stable_round(fold / norm, 6).alias("ema"),
+    )
