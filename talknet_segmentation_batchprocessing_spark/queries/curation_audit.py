@@ -215,7 +215,14 @@ def _mrl_cos_duck(n: int) -> str:
 
 
 _MRL_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  -- zero vectors (full OR truncated prefix) have no cosine direction;
+  -- exclude them from BOTH roles so neither engine divides by zero
+  SELECT vec_id, v FROM e0
+  WHERE {_mrl_dot_duck(64, 'v', 'v')} > 0
+    AND {_mrl_dot_duck(_MRL_DIMS, 'v', 'v')} > 0
+),
 p AS (
   SELECT q.vec_id AS qid, c.vec_id AS nid, q.v AS av, c.v AS bv
   FROM e q JOIN e c ON q.vec_id % {_MRL_STRIDE} = 0 AND c.vec_id <> q.vec_id
@@ -238,7 +245,7 @@ ov AS (
 )
 SELECT q.vec_id AS query_id, CAST(coalesce(ov.c, 0) AS BIGINT) AS n_overlap,
        floor((coalesce(ov.c, 0) / {_MRL_K}.0) * 1e6 + 0.5) / 1e6 AS recall_at_k
-FROM (SELECT vec_id FROM embeddings WHERE vec_id % {_MRL_STRIDE} = 0) q
+FROM (SELECT vec_id FROM e WHERE vec_id % {_MRL_STRIDE} = 0) q
 LEFT JOIN ov ON ov.qid = q.vec_id
 """
 
@@ -269,8 +276,16 @@ _MRL_NORM_SPARK = (
     tags=("similarity", "audit", "ext"),
 )
 def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    sq = lambda c, n: F.expr(  # noqa: E731  sum of squares over prefix n
+        f"aggregate(transform(slice({c}, 1, {n}), x -> x * x),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # zero vectors (full OR truncated prefix) have no cosine
+        # direction; exclude from both roles (mirrors the oracle)
+        .filter((sq("v", 64) > 0) & (sq("v", _MRL_DIMS) > 0))
     )
     q = emb.filter(F.col("vec_id") % _MRL_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("av")

@@ -83,6 +83,14 @@ EDGE_QUERIES = [
     "text_bigram_logprob",  # empty/null/single-token docs drop out identically
     "sim_maxsim_groups",  # zero vector excluded, identical/antipodal pairs
     "w16_ohlc_candles",  # null values, same-timestamp ties, singleton buckets
+    # round-6 curation-audit + timeseries additions
+    "mix_temperature_sampling",  # null/tiny sources, empty-text docs
+    "curation_rule_attribution",  # docs dropping out of the token CTE
+    "emb_matryoshka_recall",  # zero vector / zero truncated prefix excluded
+    "dataset_card_stats",  # null text (md5 null) drops identically
+    "dedup_threshold_sweep",  # empty edge set -> all-zero curve
+    "w17_rate_limit",  # same-timestamp ties, singleton buckets
+    "w18_ema_decay",  # null values, singleton windows, zero-gap ties
 ]
 
 TABLES = [
