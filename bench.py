@@ -107,6 +107,13 @@ HEADLINE = [
     "text_bigram_logprob",
     "sim_maxsim_groups",
     "w16_ohlc_candles",
+    "mix_temperature_sampling",
+    "curation_rule_attribution",
+    "emb_matryoshka_recall",
+    "dataset_card_stats",
+    "dedup_threshold_sweep",
+    "w17_rate_limit",
+    "w18_ema_decay",
 ]
 
 

@@ -275,3 +275,66 @@ def test_bpe_pairs_is_takeordered(spark):
     df = q("bpe_merge_step", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def _no_python(plan: str, label: str) -> None:
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"python boundary in {label} plan:\n{plan}"
+
+
+def test_mix_temperature_total_broadcasts(spark):
+    """mix_temperature_sampling: the 1-row normalizer total must
+    broadcast (never shuffle the per-source stats against it)."""
+    assert_broadcast_join(q("mix_temperature_sampling", spark))
+
+
+def test_dataset_card_total_broadcasts_and_jvm(spark):
+    """dataset_card_stats: corpus-total joins broadcast; Python-free."""
+    df = q("dataset_card_stats", spark)
+    assert_broadcast_join(df)
+    _no_python(df._jdf.queryExecution().executedPlan().toString(), "dataset_card")
+
+
+def test_matryoshka_query_side_broadcasts(spark):
+    """emb_matryoshka_recall: the query stratum must broadcast against
+    the candidate scan (the candidate side is the corpus — shuffling it
+    against a 4% stratum would be the wrong plan at any scale), and the
+    cosine folds stay JVM-side."""
+    df = q("emb_matryoshka_recall", spark)
+    assert_broadcast_join(df)
+    _no_python(df._jdf.queryExecution().executedPlan().toString(), "matryoshka")
+
+
+def test_threshold_sweep_axis_broadcasts(spark):
+    """dedup_threshold_sweep: the 8-row threshold axis broadcasts; the
+    edge table is never replicated through an exchange for it."""
+    assert_broadcast_join(q("dedup_threshold_sweep", spark))
+
+
+def test_rate_limit_single_partitioning_family(spark):
+    """w17_rate_limit: the (user, bucket) rank window and the user
+    aggregate share the user hash family — at most 2 exchanges, and no
+    single-partition sort anywhere."""
+    df = q("w17_rate_limit", spark)
+    assert count_exchanges(df) <= 2
+    assert single_partition_sorts(df) == 0
+
+
+def test_ema_decay_bounded_frame_no_python(spark):
+    """w18_ema_decay: one user-keyed exchange for the bounded-frame
+    window; the decay fold is a JVM higher-order function."""
+    df = q("w18_ema_decay", spark)
+    assert count_exchanges(df) <= 1
+    assert single_partition_sorts(df) == 0
+    _no_python(df._jdf.queryExecution().executedPlan().toString(), "ema_decay")
+
+
+def test_rule_attribution_single_corpus_pass(spark):
+    """curation_rule_attribution: the rule count must not multiply
+    corpus scans — exactly one parquet scan of documents in the plan."""
+    plan = q("curation_rule_attribution", spark)._jdf.queryExecution(
+    ).executedPlan().toString()
+    import re as _re
+
+    scans = len(_re.findall(r"documents\.parquet", plan))
+    assert scans <= 1, f"expected one documents scan, got {scans}"
