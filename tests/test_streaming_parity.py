@@ -880,3 +880,131 @@ def test_stream_stream_join_state_is_bounded(spark, tmp_path):
     # StateStore-backed symmetric hash join ran (not a batch fallback)
     assert q.recentProgress
     assert any(p.get("stateOperators") for p in q.recentProgress)
+
+
+def test_streaming_rate_limit_matches_batch_w17(spark, tmp_path):
+    """streaming/throttle.streaming_rate_limit across two event-time-
+    split micro-batches: per-user aggregation of the per-event verdicts
+    must equal the batch w17_rate_limit report, including buckets that
+    straddle the micro-batch boundary (the counter must persist)."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.throttle import (
+        streaming_rate_limit,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select("user_id", "event_id", "ts")
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    got = _drain(streaming_rate_limit(stream), tmp_path, "throttle_stream")
+    assert len(got) == ev.count()  # exactly one verdict per event
+    agg = (
+        got.groupby("user_id")
+        .agg(
+            n_events=("event_id", "size"),
+            n_kept=("kept", "sum"),
+        )
+        .reset_index()
+    )
+    agg["n_dropped"] = agg["n_events"] - agg["n_kept"]
+    want = (
+        registry.REGISTRY["w17_rate_limit"]
+        .fn(spark, SF_CORRECT)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    m = want.merge(agg, on="user_id", suffixes=("_b", "_s"))
+    assert len(m) == len(want) > 0
+    for c in ("n_events", "n_kept", "n_dropped"):
+        assert (m[f"{c}_b"].astype("int64") == m[f"{c}_s"].astype("int64")).all(), c
+
+
+def test_streaming_rate_limit_restart_recovers_counter(spark, tmp_path):
+    """A full query restart between micro-batches must recover the
+    (bucket, count) state: a user whose bucket fills before the
+    restart keeps dropping after it; every verdict equals the batch
+    rank recomputed over the union of both batches."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.throttle import (
+        BUCKET_US,
+        RATE_N,
+        streaming_rate_limit,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select("user_id", "event_id", "ts")
+    # cut INSIDE the densest (user, bucket) so that bucket's counter
+    # must survive the restart: midpoint between its first and last
+    # event, in seconds (the filter below compares double seconds)
+    dense = (
+        ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .groupBy("user_id", (F.col("us") / F.lit(BUCKET_US)).cast("long").alias("b"))
+        .agg(F.count("*").alias("n"), F.min("us").alias("mn"), F.max("us").alias("mx"))
+        .filter(F.col("n") >= 2)
+        .orderBy(F.desc("n"), "user_id")
+        .first()
+    )
+    assert dense is not None, "fixture has no multi-event bucket"
+    cut = (dense["mn"] + dense["mx"]) / 2 / 1e6
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt_throttle_restart"
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b0"))
+
+    def _stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop / "*"))
+        )
+
+    got1 = _run_batches(
+        streaming_rate_limit(_stream()), tmp_path, "thr_r", ckpt
+    )
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b1"))
+    got = _run_batches(streaming_rate_limit(_stream()), tmp_path, "thr_r", ckpt)
+    assert len(got) == ev.count()
+    assert len(got1) < len(got)  # the second run only processed NEW files
+    # expected per-event verdicts: batch rank over the full table
+    full = ev.toPandas()
+    full["us"] = full["ts"].astype("int64") // 1000  # ns -> us
+    full["bucket"] = full["us"] // BUCKET_US
+    full = full.sort_values(["user_id", "us", "event_id"])
+    full["rn"] = full.groupby(["user_id", "bucket"]).cumcount() + 1
+    full["kept"] = full["rn"] <= RATE_N
+    m = full.merge(got, on=["user_id", "event_id"], suffixes=("_b", "_s"))
+    assert len(m) == len(full)
+    assert (m["bucket_b"] == m["bucket_s"]).all()
+    assert (m["rn_b"].astype("int64") == m["rn_s"].astype("int64")).all()
+    assert (m["kept_b"] == m["kept_s"]).all()
+    # the straddle case occurred: some (user, bucket) spans both runs
+    first_ids = set(got1["event_id"])
+    spans = full[full["event_id"].isin(first_ids)].merge(
+        full[~full["event_id"].isin(first_ids)], on=["user_id", "bucket"]
+    )
+    assert len(spans) > 0
