@@ -114,6 +114,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "w17_rate_limit",
     "w18_ema_decay",
+    "text_classifier_score",
+    "shard_balance_audit",
 ]
 
 

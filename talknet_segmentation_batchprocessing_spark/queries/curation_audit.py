@@ -489,9 +489,171 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# hash-feature linear quality classifier (fastText-style scoring shape)
+# ---------------------------------------------------------------------------
+
+_CLF_BUCKETS = 1024  # hashed feature space
+_CLF_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % " + str(_CLF_BUCKETS)
+)
+# per-bucket weight in integer "ppm" [-1000, 1000], derived from the
+# bucket id by a second salted hash — a stand-in for trained weights
+# with the exact distribution/serving shape of the real thing
+_CLF_SQL_WEIGHT = (
+    "CAST(('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 12)) AS BIGINT)"
+    " % 2001 - 1000"
+)
+
+_CLF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+feat AS (
+  SELECT doc_id, {_CLF_SQL_BUCKET} AS bucket FROM toks WHERE tok <> ''
+),
+weighted AS (
+  SELECT doc_id, bucket, {_CLF_SQL_WEIGHT} AS w_ppm FROM feat
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w_ppm) AS BIGINT) AS margin_ppm
+  FROM weighted GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       floor((margin_ppm * 1.0 / (1000.0 * n_tokens)) * 1e6 + 0.5) / 1e6 AS margin,
+       margin_ppm > 0 AS keep
+FROM per_doc
+"""
+
+
+@query(
+    "text_classifier_score",
+    oracle=_CLF_ORACLE,
+    doc="Hash-feature linear quality classifier — the fastText/DCLM "
+    "serving shape: tokens hash into a fixed "
+    f"{_CLF_BUCKETS}-bucket feature space, each bucket carries an "
+    "integer-ppm weight (here hash-derived; a trained model drops its "
+    "weights into the same broadcast-table slot), per-doc margin = "
+    "mean bucket weight, keep = margin > 0. The margin accumulates as "
+    "an exact BIGINT ppm sum, so the verdict is partitioning-"
+    "independent — the property a filter gating 100 TB must have. "
+    "Shape: one explode + one doc-keyed aggregate, map-side "
+    "combinable; weights never leave the expression (a real model "
+    "would broadcast a 1024-row weight table into a hash join)",
+    tags=("text", "dataset", "ext"),
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint")
+        % _CLF_BUCKETS
+    )
+    feat = toks.select("doc_id", bucket.alias("bucket"))
+    w_ppm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    per_doc = feat.withColumn("w_ppm", w_ppm).groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("w_ppm").cast("bigint").alias("margin_ppm"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        stable_round(
+            F.col("margin_ppm") * F.lit(1.0) / (F.lit(1000.0) * F.col("n_tokens")), 6
+        ).alias("margin"),
+        (F.col("margin_ppm") > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard balance audit over the training-order shuffle
+# ---------------------------------------------------------------------------
+
+
+def _shard_balance_oracle() -> str:
+    """Composed from the registered shuffle_shard_assign oracle: the
+    audit describes exactly the sharding users write."""
+    shuf = REGISTRY["shuffle_shard_assign"].oracle
+    return f"""
+WITH assign AS ({shuf}),
+per_shard AS (
+  SELECT a.shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+  FROM assign a JOIN documents d ON d.doc_id = a.doc_id
+  GROUP BY a.shard
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS all_docs,
+               CAST(sum(total_chars) AS BIGINT) AS all_chars,
+               CAST(count(*) AS BIGINT) AS n_shards
+        FROM per_shard)
+SELECT p.shard, p.n_docs, p.total_chars,
+       floor((p.n_docs * 1.0 * t.n_shards / t.all_docs) * 1e6 + 0.5) / 1e6
+         AS docs_skew,
+       floor((p.total_chars * 1.0 * t.n_shards / t.all_chars) * 1e6 + 0.5) / 1e6
+         AS chars_skew
+FROM per_shard p CROSS JOIN tot t
+"""
+
+
+@query(
+    "shard_balance_audit",
+    oracle=None,  # late-bound below (composes the registered shuffle oracle)
+    doc="Shard-balance audit over shuffle_shard_assign: per shard, doc "
+    "and char totals plus skew ratios vs the uniform ideal (1.0 = "
+    "perfectly balanced). Straggler shards are the classic silent "
+    "tail-latency source in training jobs; this is the check that "
+    "catches them before an epoch does. Shape: the assignment's "
+    "doc_id-keyed join + one groupBy(shard) + a broadcast 1-row "
+    "total — O(corpus) with map-side combine, output O(shards)",
+    tags=("dataset", "audit", "ext"),
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dataset_ops import shuffle_shard_assign
+
+    assign = shuffle_shard_assign(spark, sf_dir).select("doc_id", "shard")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    per_shard = assign.join(docs, "doc_id").groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    tot = per_shard.agg(
+        F.sum("n_docs").cast("bigint").alias("all_docs"),
+        F.sum("total_chars").cast("bigint").alias("all_chars"),
+        F.count("*").cast("bigint").alias("n_shards"),
+    )
+    return per_shard.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        stable_round(
+            F.col("n_docs") * F.lit(1.0) * F.col("n_shards") / F.col("all_docs"), 6
+        ).alias("docs_skew"),
+        stable_round(
+            F.col("total_chars") * F.lit(1.0) * F.col("n_shards") / F.col("all_chars"),
+            6,
+        ).alias("chars_skew"),
+    )
+
+
 def _late_bind_oracles() -> None:
     REGISTRY["curation_rule_attribution"].oracle = _attribution_oracle()
     REGISTRY["dedup_threshold_sweep"].oracle = _sweep_oracle()
+    REGISTRY["shard_balance_audit"].oracle = _shard_balance_oracle()
 
 
 _late_bind_oracles()

@@ -164,13 +164,13 @@ _DRIVER_WINDOW = [
     "dedup_keep_canonical", "dedup_semantic_keep_lsh",
     "dedup_keep_canonical_lsh", "dedup_exact_substring",
     "dedup_containment", "dedup_ngram_jaccard", "dedup_incremental",
-    "curation_pipeline", "sketch_countmin_topk", "w15_event_pattern",
+    "curation_pipeline",
     "contamination_bloom", "sim_recall_eval", "sim_ivf_topk",
     # new round-6 queries (driver-checked the round they land;
     # displaced: a6_average_precision, u5_merge_upsert,
     # w12_funnel_steps, j10_interval_join, agg_time_rollup,
-    # w14_cohort_retention, text_bigram_topk — all r2-r5 driver-green
-    # and unchanged since)
+    # w14_cohort_retention, text_bigram_topk, sketch_countmin_topk,
+    # w15_event_pattern — all r2-r5 driver-green and unchanged since)
     "pack_token_sequences", "dedup_line_corpus", "talkset_generate",
     "dedup_edit_distance", "bpe_merge_step", "emb_kmeans_assign",
     "basket_pair_lift", "events_anomaly_mad", "text_bigram_logprob",
@@ -178,6 +178,7 @@ _DRIVER_WINDOW = [
     "mix_temperature_sampling", "curation_rule_attribution",
     "emb_matryoshka_recall", "dataset_card_stats",
     "dedup_threshold_sweep", "w17_rate_limit", "w18_ema_decay",
+    "text_classifier_score", "shard_balance_audit",
 ]
 
 

@@ -91,6 +91,8 @@ EDGE_QUERIES = [
     "dedup_threshold_sweep",  # empty edge set -> all-zero curve
     "w17_rate_limit",  # same-timestamp ties, singleton buckets
     "w18_ema_decay",  # null values, singleton windows, zero-gap ties
+    "text_classifier_score",  # empty/null/unicode docs drop out identically
+    "shard_balance_audit",  # tiny corpus -> empty shards absent on both
 ]
 
 TABLES = [
