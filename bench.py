@@ -116,6 +116,7 @@ HEADLINE = [
     "w18_ema_decay",
     "text_classifier_score",
     "shard_balance_audit",
+    "sim_knn_graph_lsh",
 ]
 
 

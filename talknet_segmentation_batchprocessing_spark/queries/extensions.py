@@ -3045,3 +3045,98 @@ def sim_maxsim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("q_label", "d_label").agg(
         stable_round(F.sum("m") / F.count("*") / F.lit(1e9), 6).alias("maxsim")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN graph construction over LSH buckets
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def _knn_graph_oracle() -> str:
+    """Composed from the registered LSH bucketing oracle: the graph is
+    built over exactly the buckets sim_lsh_bucketed ships."""
+    from ..registry import REGISTRY
+
+    lsh = REGISTRY["sim_lsh_bucketed"].oracle
+    return f"""
+WITH b AS ({lsh}),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i])) > 0
+),
+p AS (
+  SELECT x.vec_id AS vid, y.vec_id AS nid, ex.v AS av, ey.v AS bv
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+),
+s AS (SELECT vid, nid, {_COS_EXPR_DUCK} AS cs FROM p)
+SELECT vid AS vec_id, nid AS neighbor_id,
+       floor((cs) * 1e4 + 0.5) / 1e4 AS cos_sim, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, nid) AS rn
+  FROM s
+) WHERE rn <= {_KNN_K}
+"""
+
+
+@query(
+    "sim_knn_graph_lsh",
+    oracle=None,  # late-bound below (composes the registered LSH oracle)
+    doc=f"kNN-graph construction (top-{_KNN_K} neighbors per vector) "
+    "with candidates restricted to the vector's LSH bucket — the "
+    "building block SemDeDup-style clustering and graph-ANN indexes "
+    "(HNSW/NSG bottom layers) start from. Candidate generation is the "
+    "registered sim_lsh_bucketed definition, so graph quality tracks "
+    "the audited bucketing. Shape: bucket equi-self-join (O(sum "
+    "bucket^2), never all-pairs) -> exact cosine on candidates only "
+    "-> per-vector top-k window partitioned by the vector — at 100 TB "
+    "every stage keys on vec_id/bucket and the exact-verify cost is "
+    "the candidate count, which the bucket width bounds. Vectors "
+    "alone in their bucket emit no edges (correct: no candidates); "
+    "zero vectors are excluded on both engines",
+    tags=("similarity", "graph", "ext"),
+)
+def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = track_persist(sim_lsh_bucketed(spark, sf_dir))
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(
+            F.expr(
+                "aggregate(transform(v, x -> x * x), cast(0.0 as double),"
+                " (acc, v) -> acc + v)"
+            )
+            > 0
+        )
+    )
+    x = buckets.select(F.col("vec_id").alias("vid"), "bucket")
+    y = buckets.select(F.col("vec_id").alias("nid"), F.col("bucket").alias("b2"))
+    pairs = (
+        x.join(y, (F.col("bucket") == F.col("b2")) & (F.col("vid") != F.col("nid")))
+        .join(emb.select(F.col("vec_id").alias("vid"), F.col("v").alias("av")), "vid")
+        .join(emb.select(F.col("vec_id").alias("nid"), F.col("v").alias("bv")), "nid")
+    )
+    an = F.expr(_NORM_SPARK.replace("(v,", "(av,"))
+    bn = F.expr(_NORM_SPARK.replace("(v,", "(bv,"))
+    scored = pairs.withColumn(
+        "cs", F.try_divide(F.expr(_DOT_AB_SPARK), an * bn)
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cs"), "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            stable_round("cs", 4).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+_REG["sim_knn_graph_lsh"].oracle = _knn_graph_oracle()

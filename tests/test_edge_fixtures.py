@@ -93,6 +93,7 @@ EDGE_QUERIES = [
     "w18_ema_decay",  # null values, singleton windows, zero-gap ties
     "text_classifier_score",  # empty/null/unicode docs drop out identically
     "shard_balance_audit",  # tiny corpus -> empty shards absent on both
+    "sim_knn_graph_lsh",  # zero vector excluded, singleton buckets emit nothing
 ]
 
 TABLES = [
