@@ -117,6 +117,7 @@ HEADLINE = [
     "text_classifier_score",
     "shard_balance_audit",
     "sim_knn_graph_lsh",
+    "w19_forward_fill",
 ]
 
 

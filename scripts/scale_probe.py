@@ -63,6 +63,12 @@ HEAVY = [
     "dedup_line_corpus",
     "talkset_generate",
     "dedup_keep_lsh_recall",
+    # round 6, second wave
+    "sim_maxsim_groups",
+    "emb_matryoshka_recall",
+    "sim_knn_graph_lsh",
+    "text_classifier_score",
+    "dedup_threshold_sweep",
 ]
 
 TABLES = [

@@ -854,3 +854,64 @@ def w18_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").cast("bigint").alias("n_in_window"),
         stable_round(fold / norm, 6).alias("ema"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w19: forward fill (last-observation-carried-forward)
+# ---------------------------------------------------------------------------
+
+_FFILL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT user_id, event_id, v AS value_raw,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       v IS NULL AND last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+         AS was_filled
+FROM e
+"""
+
+
+@query(
+    "w19_forward_fill",
+    oracle=_FFILL_ORACLE,
+    doc="Forward fill (LOCF): per user in (ts, event_id) order, gaps "
+    "carry the last observed value forward; leading gaps stay null. "
+    "The telemetry-repair companion to W4's interpolation (which needs "
+    "BOTH endpoints; LOCF is the causal variant a streaming consumer "
+    "can apply). Gaps are synthesized deterministically (event_id % 7) "
+    "so both engines fill the same holes. Shape: one user-keyed "
+    "running window (last ignorenulls over an unbounded-preceding "
+    "frame) — a single hash exchange, O(1) state per row in the "
+    "running scan, no UDF. Filled values are ORIGINAL doubles passed "
+    "through untouched, so no rounding layer is needed",
+    tags=("window", "timeseries", "ext"),
+)
+def w19_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last("v", ignorenulls=True).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("v").alias("value_raw"),
+        filled.alias("value_filled"),
+        (F.col("v").isNull() & filled.isNotNull()).alias("was_filled"),
+    )

@@ -163,7 +163,7 @@ _DRIVER_WINDOW = [
     "dedup_cc_clusters", "dedup_cc_star", "dedup_minhash_lsh",
     "dedup_keep_canonical", "dedup_semantic_keep_lsh",
     "dedup_keep_canonical_lsh", "dedup_exact_substring",
-    "dedup_containment", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard",
     "curation_pipeline",
     "contamination_bloom", "sim_recall_eval", "sim_ivf_topk",
     # new round-6 queries (driver-checked the round they land;
@@ -179,8 +179,9 @@ _DRIVER_WINDOW = [
     "emb_matryoshka_recall", "dataset_card_stats",
     "dedup_threshold_sweep", "w17_rate_limit", "w18_ema_decay",
     "text_classifier_score", "shard_balance_audit",
-    # displaced for sim_knn_graph_lsh: dedup_incremental (r4-green)
-    "sim_knn_graph_lsh",
+    # displaced for sim_knn_graph_lsh + w19_forward_fill:
+    # dedup_incremental, dedup_containment (r4/r5-green, unchanged)
+    "sim_knn_graph_lsh", "w19_forward_fill",
 ]
 
 

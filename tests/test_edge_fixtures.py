@@ -94,6 +94,7 @@ EDGE_QUERIES = [
     "text_classifier_score",  # empty/null/unicode docs drop out identically
     "shard_balance_audit",  # tiny corpus -> empty shards absent on both
     "sim_knn_graph_lsh",  # zero vector excluded, singleton buckets emit nothing
+    "w19_forward_fill",  # leading nulls stay null, singleton users, zero-gap ties
 ]
 
 TABLES = [
