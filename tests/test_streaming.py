@@ -355,3 +355,47 @@ def test_funnel_fold_sorts_across_arrow_chunks():
     row = out[0].iloc[0]
     assert (row.user_id, row.stage) == (7, 3)
     assert (row.t1_us, row.t2_us, row.t3_us) == (10, 20, 30)
+
+
+def test_throttle_fold_sorts_across_arrow_chunks():
+    """Same chunk-order hazard as the funnel: ranks must follow
+    (us, event_id) across the WHOLE micro-batch. With chunk 1 carrying
+    the later events, per-chunk processing would admit them first and
+    drop the true first-arrivals."""
+    import pandas as pd
+
+    from talknet_segmentation_batchprocessing_spark.streaming.throttle import (
+        BUCKET_US,
+        _throttle_group,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # five events in ONE bucket; chunk 1 has the LAST two, chunk 2 the
+    # first three. Correct verdicts: events 1-3 kept, 4-5 dropped.
+    c1 = pd.DataFrame({"us": [400, 500], "event_id": [4, 5]})
+    c2 = pd.DataFrame({"us": [100, 200, 300], "event_id": [1, 2, 3]})
+    state = _FakeState()
+    out = pd.concat(list(_throttle_group((9,), iter([c1, c2]), state)))
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert list(out["rn"]) == [1, 2, 3, 4, 5]
+    assert list(out["kept"]) == [True, True, True, False, False]
+    assert state._v == (100 // BUCKET_US, 5)
+    # bucket advance resets the counter (next micro-batch, later bucket)
+    c3 = pd.DataFrame({"us": [BUCKET_US + 50], "event_id": [6]})
+    out2 = pd.concat(list(_throttle_group((9,), iter([c3]), state)))
+    assert list(out2["rn"]) == [1] and list(out2["kept"]) == [True]
+    assert state._v == ((BUCKET_US + 50) // BUCKET_US, 1)
