@@ -198,7 +198,8 @@ def curation_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MRL_DIMS = 16  # truncated prefix length (full = 64)
-_MRL_STRIDE = 25  # query stratum: vec_id % 25 == 0 (4% of the corpus)
+_MRL_STRIDE = 25  # stratum floor (1-in-K); grows with n so the audit stays linear
+_MRL_TARGET_Q = 80  # target query count -> stride = max(floor, ceil(n / target))
 _MRL_K = 3
 
 
@@ -216,6 +217,14 @@ def _mrl_cos_duck(n: int) -> str:
 
 _MRL_ORACLE = f"""
 WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+params AS (
+  -- ADAPTIVE query stride (same pattern as sim_maxsim_groups): the
+  -- audit's query count stays ~constant as the corpus grows, so the
+  -- stratum x full-candidate pair work is LINEAR in n
+  SELECT greatest({_MRL_STRIDE},
+                  ((SELECT count(*) FROM embeddings) + {_MRL_TARGET_Q - 1})
+                  // {_MRL_TARGET_Q}) AS md
+),
 e AS (
   -- zero vectors (full OR truncated prefix) have no cosine direction;
   -- exclude them from BOTH roles so neither engine divides by zero
@@ -225,7 +234,7 @@ e AS (
 ),
 p AS (
   SELECT q.vec_id AS qid, c.vec_id AS nid, q.v AS av, c.v AS bv
-  FROM e q JOIN e c ON q.vec_id % {_MRL_STRIDE} = 0 AND c.vec_id <> q.vec_id
+  FROM e q JOIN e c ON q.vec_id % (SELECT md FROM params) = 0 AND c.vec_id <> q.vec_id
 ),
 s AS (
   SELECT qid, nid, {_mrl_cos_duck(64)} AS cs_f, {_mrl_cos_duck(_MRL_DIMS)} AS cs_t
@@ -245,7 +254,7 @@ ov AS (
 )
 SELECT q.vec_id AS query_id, CAST(coalesce(ov.c, 0) AS BIGINT) AS n_overlap,
        floor((coalesce(ov.c, 0) / {_MRL_K}.0) * 1e6 + 0.5) / 1e6 AS recall_at_k
-FROM (SELECT vec_id FROM e WHERE vec_id % {_MRL_STRIDE} = 0) q
+FROM (SELECT vec_id FROM e WHERE vec_id % (SELECT md FROM params) = 0) q
 LEFT JOIN ov ON ov.qid = q.vec_id
 """
 
@@ -287,8 +296,18 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # direction; exclude from both roles (mirrors the oracle)
         .filter((sq("v", 64) > 0) & (sq("v", _MRL_DIMS) > 0))
     )
-    q = emb.filter(F.col("vec_id") % _MRL_STRIDE == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("av")
+    # adaptive stride (mirror of the oracle's params CTE): ~constant
+    # query count however large the corpus -> linear audit cost
+    md = load(spark, sf_dir, "embeddings").agg(
+        F.greatest(
+            F.lit(_MRL_STRIDE),
+            F.expr(f"(count(*) + {_MRL_TARGET_Q - 1}) div {_MRL_TARGET_Q}"),
+        ).alias("md")
+    )
+    q = (
+        emb.crossJoin(F.broadcast(md))
+        .filter(F.col("vec_id") % F.col("md") == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("av"))
     )
     c = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
         F.col("vec_id").alias("nid"), F.col("v").alias("bv")

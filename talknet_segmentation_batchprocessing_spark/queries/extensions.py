@@ -2952,13 +2952,24 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector groups
 # ---------------------------------------------------------------------------
 
-_MAXSIM_Q_STRATUM = 4  # deterministic 1-in-K query-vector stratum
+_MAXSIM_Q_STRATUM = 4  # stratum floor (1-in-K); grows with n, see below
+_MAXSIM_TARGET_Q = 500  # target query-vector count -> stratum scales with n
 
 _MAXSIM_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
   FROM embeddings
+),
+params AS (
+  -- ADAPTIVE stratum: 1-in-md with md = max(floor_K, ceil(n / target))
+  -- so the q-vector count stays ~constant as the corpus grows and the
+  -- q x d pair work is LINEAR in n, not quadratic (the scale probe
+  -- caught the fixed-K version at ~100x work on 10x rows). Integer
+  -- arithmetic, bit-identical on both engines.
+  SELECT greatest({_MAXSIM_Q_STRATUM},
+                  ((SELECT count(*) FROM embeddings) + {_MAXSIM_TARGET_Q - 1})
+                  // {_MAXSIM_TARGET_Q}) AS md
 ),
 n AS (
   SELECT vec_id, label, dv,
@@ -2977,7 +2988,7 @@ cos AS (
            list_sum(list_transform(range(1, 65), i -> a.dv[i] * b.dv[i]))
            / (a.nrm * b.nrm) * 1e9 + 0.5) AS BIGINT) AS cg
   FROM nz a JOIN nz b ON a.label <> b.label
-  WHERE a.vec_id % {_MAXSIM_Q_STRATUM} = 0
+  WHERE a.vec_id % (SELECT md FROM params) = 0
 ),
 best AS (
   SELECT q_label, q_vec, d_label, max(cg) AS m
@@ -3036,8 +3047,18 @@ def sim_maxsim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cg = F.floor(dot / (F.col("na") * F.col("nb")) * F.lit(1e9) + F.lit(0.5)).cast(
         "bigint"
     )
+    # adaptive stratum, integer-exact mirror of the oracle's params CTE:
+    # md = max(floor, ceil(n / target)) keeps the q-vector count ~flat
+    # as the corpus grows, so pair work is linear in n
+    md = load(spark, sf_dir, "embeddings").agg(
+        F.greatest(
+            F.lit(_MAXSIM_Q_STRATUM),
+            F.expr(f"(count(*) + {_MAXSIM_TARGET_Q - 1}) div {_MAXSIM_TARGET_Q}"),
+        ).alias("md")
+    )
     cos = (
-        a.filter(F.col("q_vec") % _MAXSIM_Q_STRATUM == 0)
+        a.crossJoin(F.broadcast(md))
+        .filter(F.col("q_vec") % F.col("md") == 0)
         .join(b, F.col("q_label") != F.col("d_label"))
         .select("q_label", "q_vec", "d_label", cg.alias("cg"))
     )
@@ -3052,16 +3073,41 @@ def sim_maxsim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KNN_K = 3
+_KNN_TARGET_BUCKET = 8  # target vectors per bucket -> bits scale with n
+_KNN_MIN_BITS = 8  # = sim_lsh_bucketed's width at the test SFs
+_KNN_MAX_BITS = 20
 
 
 def _knn_graph_oracle() -> str:
-    """Composed from the registered LSH bucketing oracle: the graph is
-    built over exactly the buckets sim_lsh_bucketed ships."""
-    from ..registry import REGISTRY
-
-    lsh = REGISTRY["sim_lsh_bucketed"].oracle
+    """Same hyperplane family as the registered sim_lsh_bucketed, with
+    ADAPTIVE sign bits (bits = ceil(log2(n / target)) clamped) so
+    bucket occupancy — and therefore the equi-self-join's candidate
+    count per vector — stays ~constant as the corpus grows: pair work
+    is LINEAR in n, not n²/2^bits with fixed bits (the same quadratic
+    the round-5 scale probe caught in the fixed-bit SemDeDup). At the
+    test SFs the formula lands on {_KNN_MIN_BITS} bits, i.e. exactly
+    sim_lsh_bucketed's buckets."""
     return f"""
-WITH b AS ({lsh}),
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+params AS (
+  SELECT greatest({_KNN_MIN_BITS}, least({_KNN_MAX_BITS},
+    CASE WHEN m <= 1 THEN 1
+         ELSE length(bin(CAST(m - 1 AS BIGINT))) END)) AS bits
+  FROM (SELECT ((SELECT count(*) FROM e0) + {_KNN_TARGET_BUCKET - 1})
+               // {_KNN_TARGET_BUCKET} AS m)
+),
+proj AS (
+  SELECT vec_id, j,
+         list_sum(list_transform(range(1, 65), i -> v[i] * {_HYPERPLANE_DUCK})) AS dot
+  FROM e0 CROSS JOIN (
+    SELECT unnest(range(0, (SELECT bits FROM params))) AS j)
+),
+b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
 e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i])) > 0
@@ -3084,23 +3130,72 @@ FROM (
 
 @query(
     "sim_knn_graph_lsh",
-    oracle=None,  # late-bound below (composes the registered LSH oracle)
+    oracle=None,  # late-bound below (params CTE computed at bind time)
     doc=f"kNN-graph construction (top-{_KNN_K} neighbors per vector) "
     "with candidates restricted to the vector's LSH bucket — the "
     "building block SemDeDup-style clustering and graph-ANN indexes "
-    "(HNSW/NSG bottom layers) start from. Candidate generation is the "
-    "registered sim_lsh_bucketed definition, so graph quality tracks "
-    "the audited bucketing. Shape: bucket equi-self-join (O(sum "
-    "bucket^2), never all-pairs) -> exact cosine on candidates only "
-    "-> per-vector top-k window partitioned by the vector — at 100 TB "
-    "every stage keys on vec_id/bucket and the exact-verify cost is "
-    "the candidate count, which the bucket width bounds. Vectors "
-    "alone in their bucket emit no edges (correct: no candidates); "
-    "zero vectors are excluded on both engines",
+    "(HNSW/NSG bottom layers) start from. Buckets use sim_lsh_bucketed's "
+    "hyperplane family with ADAPTIVE sign bits (ceil(log2(n/8)) clamped "
+    f"[{_KNN_MIN_BITS}, {_KNN_MAX_BITS}], integer-identical on both "
+    "engines) so bucket occupancy stays ~constant and the equi-self-"
+    "join's pair count is LINEAR in n — never n²/2^bits with fixed "
+    "bits. Shape: bucket equi-self-join -> exact cosine on candidates "
+    "only -> per-vector top-k window partitioned by the vector. "
+    "Vectors alone in their bucket emit no edges (correct: no "
+    "candidates); zero vectors are excluded on both engines",
     tags=("similarity", "graph", "ext"),
 )
 def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    buckets = track_persist(sim_lsh_bucketed(spark, sf_dir))
+    # adaptive bits, integer-exact mirror of the oracle's params CTE
+    all_v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bits_f = all_v.agg(
+        F.greatest(
+            F.lit(_KNN_MIN_BITS),
+            F.least(
+                F.lit(_KNN_MAX_BITS),
+                F.when(
+                    F.expr(
+                        f"(count(*) + {_KNN_TARGET_BUCKET - 1})"
+                        f" div {_KNN_TARGET_BUCKET}"
+                    )
+                    <= 1,
+                    F.lit(1),
+                ).otherwise(
+                    F.length(
+                        F.bin(
+                            F.expr(
+                                f"(count(*) + {_KNN_TARGET_BUCKET - 1})"
+                                f" div {_KNN_TARGET_BUCKET}"
+                            )
+                            - 1
+                        )
+                    )
+                ),
+            ),
+        )
+        .cast("long")
+        .alias("bits")
+    )
+    js = bits_f.select(
+        F.explode(F.sequence(F.lit(0), F.col("bits") - 1)).alias("j")
+    )
+    proj = all_v.crossJoin(F.broadcast(js)).withColumn(
+        "dot",
+        F.expr(
+            "aggregate(transform(v, (x, i0) -> x * ((((j * 64 + i0) * 2654435761)"
+            " % 2000) / 1000.0 - 1.0)), cast(0.0 as double), (acc, x) -> acc + x)"
+        ),
+    )
+    weight = F.pow(F.lit(2.0), F.col("j")).cast("bigint")
+    buckets = track_persist(
+        proj.groupBy("vec_id").agg(
+            F.sum(F.when(F.col("dot") > 0, weight).otherwise(0))
+            .cast("bigint")
+            .alias("bucket")
+        )
+    )
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
