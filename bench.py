@@ -118,6 +118,8 @@ HEADLINE = [
     "shard_balance_audit",
     "sim_knn_graph_lsh",
     "w19_forward_fill",
+    "w20_conversion_latency",
+    "emb_norm_outliers",
 ]
 
 

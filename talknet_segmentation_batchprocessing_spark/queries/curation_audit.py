@@ -676,3 +676,86 @@ def _late_bind_oracles() -> None:
 
 
 _late_bind_oracles()
+
+
+# ---------------------------------------------------------------------------
+# embedding-norm outlier audit
+# ---------------------------------------------------------------------------
+
+_NORM_Z_THRESHOLD = 2.5
+
+_NORM_OUTLIER_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           AS nrm
+  FROM embeddings
+),
+g AS (SELECT vec_id, nrm,
+             CAST(floor(nrm * 1e6 + 0.5) AS BIGINT) AS qn FROM e),
+m AS (
+  -- mean/std from exact BIGINT grid sums: associative, so any
+  -- partitioning yields the same doubles downstream
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qn) AS BIGINT) AS s1,
+         CAST(sum(qn * qn) AS BIGINT) AS s2
+  FROM g
+)
+SELECT g.vec_id,
+       floor(g.nrm * 1e6 + 0.5) / 1e6 AS norm,
+       floor(coalesce(
+         (g.qn - s1 * 1.0 / n)
+         / NULLIF(sqrt(greatest(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n),
+                                0.0)), 0.0), 0.0) * 1e4 + 0.5) / 1e4 AS z,
+       coalesce(abs((g.qn - s1 * 1.0 / n)
+         / NULLIF(sqrt(greatest(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n),
+                                0.0)), 0.0)) > {_NORM_Z_THRESHOLD}, FALSE)
+         AS is_outlier
+FROM g CROSS JOIN m
+"""
+
+
+@query(
+    "emb_norm_outliers",
+    oracle=_NORM_OUTLIER_ORACLE,
+    doc="Embedding-norm outlier audit: per-vector L2 norm z-scored "
+    f"against the corpus distribution, |z| > {_NORM_Z_THRESHOLD} "
+    "flagged — the standard embedding-QC pass that catches broken "
+    "encoders, truncated rows and unnormalized batches before they "
+    "poison retrieval. Exactness: norms quantize to a 1e6 integer "
+    "grid and mean/variance come from BIGINT grid sums (associative "
+    "-> partitioning-independent); a zero std (all-equal norms) "
+    "yields z NULL -> not-outlier on both engines via NULLIF. Shape: "
+    "one scan + one broadcast 1-row moment aggregate; at true 100 TB "
+    "the qn^2 sum moves to DECIMAL(38) or per-partition Welford "
+    "merge, noted here because BIGINT holds to ~10^5 TB-scale rows",
+    tags=("similarity", "embedding", "audit", "ext"),
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(cast(embedding as array<double>),"
+                " x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+        ).alias("nrm"),
+    )
+    g = e.withColumn("qn", F.floor(F.col("nrm") * F.lit(1e6) + F.lit(0.5)).cast("bigint"))
+    m = g.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qn").cast("bigint").alias("s1"),
+        F.sum(F.col("qn") * F.col("qn")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("n")
+    var = F.greatest(
+        F.col("s2") * F.lit(1.0) / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    z = F.try_divide(F.col("qn") - mean, F.nullif(F.sqrt(var), F.lit(0.0)))
+    return g.crossJoin(F.broadcast(m)).select(
+        "vec_id",
+        stable_round("nrm", 6).alias("norm"),
+        stable_round(F.coalesce(z, F.lit(0.0)), 4).alias("z"),
+        F.coalesce(F.abs(z) > _NORM_Z_THRESHOLD, F.lit(False)).alias("is_outlier"),
+    )

@@ -915,3 +915,68 @@ def w19_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("value_filled"),
         (F.col("v").isNull() & filled.isNotNull()).alias("was_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w20: conversion latency distribution over the funnel
+# ---------------------------------------------------------------------------
+
+
+def _conversion_latency_oracle() -> str:
+    """Composed from the registered funnel oracle: the latency report
+    describes exactly the funnel users run."""
+    from ..registry import REGISTRY
+
+    funnel = REGISTRY["w12_funnel_steps"].oracle
+    return f"""
+WITH f AS ({funnel}),
+conv AS (
+  SELECT user_id,
+         t1_us // 86400000000 AS cohort_day,
+         (t3_us - t1_us + 500) // 1000 AS latency_ms
+  FROM f WHERE stage = 3
+)
+SELECT cohort_day,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(min(latency_ms) AS BIGINT) AS min_ms,
+       CAST(max(latency_ms) AS BIGINT) AS max_ms,
+       floor(quantile_cont(latency_ms, 0.5) * 1e4 + 0.5) / 1e4 AS p50_ms,
+       floor(quantile_cont(latency_ms, 0.9) * 1e4 + 0.5) / 1e4 AS p90_ms
+FROM conv GROUP BY cohort_day
+"""
+
+
+@query(
+    "w20_conversion_latency",
+    oracle=None,  # late-bound below (composes the registered funnel oracle)
+    doc="Conversion-latency distribution: for users who completed the "
+    "w12 funnel, view->purchase latency in integer milliseconds "
+    "(microsecond difference rounded on the integer grid — the j9 "
+    "timestamp-delta rule), bucketed by first-view cohort day, with "
+    "count, min/max and exact p50/p90 (Spark percentile() and DuckDB "
+    "quantile_cont() share the continuous-interpolation definition, "
+    "verified bit-identical in sketch_quantile_sampled). The product "
+    "report every funnel dashboard ships. Shape: the funnel's "
+    "single-shuffle fold, then one cohort-day aggregate — the exact "
+    "percentile swaps to sketch_quantile_sampled's bounded-memory "
+    "path at 100 TB",
+    tags=("window", "timeseries", "eval", "ext"),
+)
+def w20_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = w12_funnel_steps(spark, sf_dir)
+    conv = f.filter(F.col("stage") == 3).select(
+        F.expr("t1_us div 86400000000").alias("cohort_day"),
+        F.expr("(t3_us - t1_us + 500) div 1000").alias("latency_ms"),
+    )
+    return conv.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.min("latency_ms").cast("bigint").alias("min_ms"),
+        F.max("latency_ms").cast("bigint").alias("max_ms"),
+        stable_round(F.percentile("latency_ms", F.lit(0.5)), 4).alias("p50_ms"),
+        stable_round(F.percentile("latency_ms", F.lit(0.9)), 4).alias("p90_ms"),
+    )
+
+
+from ..registry import REGISTRY as _WREG  # noqa: E402
+
+_WREG["w20_conversion_latency"].oracle = _conversion_latency_oracle()

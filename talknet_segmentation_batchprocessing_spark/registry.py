@@ -162,10 +162,10 @@ _DRIVER_WINDOW = [
     # round-6 queries replace entries from this block as they land)
     "dedup_cc_clusters", "dedup_cc_star", "dedup_minhash_lsh",
     "dedup_keep_canonical", "dedup_semantic_keep_lsh",
-    "dedup_keep_canonical_lsh", "dedup_exact_substring",
+    "dedup_keep_canonical_lsh",
     "dedup_ngram_jaccard",
     "curation_pipeline",
-    "contamination_bloom", "sim_recall_eval", "sim_ivf_topk",
+    "contamination_bloom", "sim_recall_eval",
     # new round-6 queries (driver-checked the round they land;
     # displaced: a6_average_precision, u5_merge_upsert,
     # w12_funnel_steps, j10_interval_join, agg_time_rollup,
@@ -179,9 +179,12 @@ _DRIVER_WINDOW = [
     "emb_matryoshka_recall", "dataset_card_stats",
     "dedup_threshold_sweep", "w17_rate_limit", "w18_ema_decay",
     "text_classifier_score", "shard_balance_audit",
-    # displaced for sim_knn_graph_lsh + w19_forward_fill:
-    # dedup_incremental, dedup_containment (r4/r5-green, unchanged)
+    # displaced for sim_knn_graph_lsh + w19_forward_fill +
+    # w20_conversion_latency + emb_norm_outliers: dedup_incremental,
+    # dedup_containment, dedup_exact_substring, sim_ivf_topk
+    # (r4/r5-green, unchanged)
     "sim_knn_graph_lsh", "w19_forward_fill",
+    "w20_conversion_latency", "emb_norm_outliers",
 ]
 
 

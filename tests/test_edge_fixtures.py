@@ -95,6 +95,8 @@ EDGE_QUERIES = [
     "shard_balance_audit",  # tiny corpus -> empty shards absent on both
     "sim_knn_graph_lsh",  # zero vector excluded, singleton buckets emit nothing
     "w19_forward_fill",  # leading nulls stay null, singleton users, zero-gap ties
+    "w20_conversion_latency",  # zero converted users -> empty report on both
+    "emb_norm_outliers",  # zero vector (norm 0), near-equal norms
 ]
 
 TABLES = [
