@@ -338,3 +338,43 @@ def test_rule_attribution_single_corpus_pass(spark):
 
     scans = len(_re.findall(r"documents\.parquet", plan))
     assert scans <= 1, f"expected one documents scan, got {scans}"
+
+
+def test_classifier_single_pass_jvm(spark):
+    """text_classifier_score: one documents scan, whole plan JVM-side
+    (the hashed weights live inside expressions, no Python)."""
+    plan = q("text_classifier_score", spark)._jdf.queryExecution(
+    ).executedPlan().toString()
+    _no_python(plan, "classifier")
+    import re as _re
+
+    assert len(_re.findall(r"documents\.parquet", plan)) <= 1
+
+
+def test_shard_balance_total_broadcasts(spark):
+    """shard_balance_audit: the 1-row corpus total must broadcast."""
+    assert_broadcast_join(q("shard_balance_audit", spark))
+
+
+def test_knn_graph_no_python_no_single_sort(spark):
+    """sim_knn_graph_lsh: JVM-only (folds are higher-order functions)
+    and no single-partition sort — the top-k window keys on the
+    vector."""
+    df = q("sim_knn_graph_lsh", spark)
+    _no_python(df._jdf.queryExecution().executedPlan().toString(), "knn_graph")
+    assert single_partition_sorts(df) == 0
+
+
+def test_forward_fill_single_exchange(spark):
+    """w19_forward_fill: exactly the one user-keyed exchange."""
+    df = q("w19_forward_fill", spark)
+    assert count_exchanges(df) <= 1
+    assert single_partition_sorts(df) == 0
+
+
+def test_norm_outliers_moments_broadcast(spark):
+    """emb_norm_outliers: the 1-row moment frame broadcasts against the
+    vector scan; Python-free."""
+    df = q("emb_norm_outliers", spark)
+    assert_broadcast_join(df)
+    _no_python(df._jdf.queryExecution().executedPlan().toString(), "norm_outliers")
