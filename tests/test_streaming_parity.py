@@ -1008,3 +1008,91 @@ def test_streaming_rate_limit_restart_recovers_counter(spark, tmp_path):
         full[~full["event_id"].isin(first_ids)], on=["user_id", "bucket"]
     )
     assert len(spans) > 0
+
+
+def test_streaming_forward_fill_matches_batch_w19(spark, tmp_path):
+    """streaming/smooth.streaming_forward_fill across two event-time-
+    split micro-batches: every per-event row equals the batch
+    w19_forward_fill row, including fills whose last observation landed
+    in the previous micro-batch (the carried value must persist)."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.smooth import (
+        streaming_forward_fill,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select("user_id", "event_id", "ts", "value")
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    got = _drain(streaming_forward_fill(stream), tmp_path, "ffill_stream")
+    want = (
+        registry.REGISTRY["w19_forward_fill"].fn(spark, SF_CORRECT).toPandas()
+    )
+    assert len(got) == len(want) > 0
+    m = want.merge(got, on=["user_id", "event_id"], suffixes=("_b", "_s"))
+    assert len(m) == len(want)
+    for c in ("value_raw", "value_filled"):
+        a, b = m[f"{c}_b"].astype("float64"), m[f"{c}_s"].astype("float64")
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
+    assert (m["was_filled_b"] == m["was_filled_s"]).all()
+
+
+def test_streaming_ema_matches_batch_w18(spark, tmp_path):
+    """streaming/smooth.streaming_ema_decay: per-event EMA equals the
+    batch w18_ema_decay bit-for-bit after the same 1e-6 grid rounding —
+    including rows whose 8-value window straddles the micro-batch
+    boundary (the ring state must persist)."""
+    import time
+
+    import numpy as np
+
+    from talknet_segmentation_batchprocessing_spark.streaming.smooth import (
+        streaming_ema_decay,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select("user_id", "event_id", "ts", "value")
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    got = _drain(streaming_ema_decay(stream), tmp_path, "ema_stream")
+    got["ema"] = np.floor(got["ema"] * 1e6 + 0.5) / 1e6  # the batch grid
+    want = registry.REGISTRY["w18_ema_decay"].fn(spark, SF_CORRECT).toPandas()
+    assert len(got) == len(want) > 0
+    m = want.merge(got, on=["user_id", "event_id"], suffixes=("_b", "_s"))
+    assert len(m) == len(want)
+    assert (m["n_in_window_b"].astype("int64") == m["n_in_window_s"].astype("int64")).all()
+    assert (m["ema_b"] == m["ema_s"]).all()
+    # the straddle case occurred: some user has rows in both batches
+    # with a full window (n=8) after the boundary
+    assert (m["n_in_window_b"] == 8).any()
