@@ -399,3 +399,52 @@ def test_throttle_fold_sorts_across_arrow_chunks():
     out2 = pd.concat(list(_throttle_group((9,), iter([c3]), state)))
     assert list(out2["rn"]) == [1] and list(out2["kept"]) == [True]
     assert state._v == ((BUCKET_US + 50) // BUCKET_US, 1)
+
+
+def test_smooth_folds_sort_across_arrow_chunks():
+    """Forward fill and EMA must order (us, event_id) across the WHOLE
+    micro-batch: chunk 1 carrying the later events would otherwise
+    fill/decay in the wrong order."""
+    import pandas as pd
+
+    from talknet_segmentation_batchprocessing_spark.streaming.smooth import (
+        _ema_group,
+        _ffill_group,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # ffill: null at t=300 must take the t=200 observation (arriving in
+    # the LATER chunk), not the stale t=100 one
+    c1 = pd.DataFrame({"us": [100, 300], "event_id": [1, 3], "v": [1.0, None]})
+    c2 = pd.DataFrame({"us": [200], "event_id": [2], "v": [2.0]})
+    st = _FakeState()
+    out = pd.concat(list(_ffill_group((5,), iter([c1, c2]), st)))
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert list(out["value_filled"]) == [1.0, 2.0, 2.0]
+    assert list(out["was_filled"]) == [False, False, True]
+    assert st._v == (True, 2.0)
+
+    # EMA: fold order [1, 2, 4] -> newest weighs 1: 4 + 2/2 + 1/4
+    e1 = pd.DataFrame({"us": [300], "event_id": [3], "value": [4.0]})
+    e2 = pd.DataFrame({"us": [100, 200], "event_id": [1, 2], "value": [1.0, 2.0]})
+    st2 = _FakeState()
+    out2 = pd.concat(list(_ema_group((5,), iter([e1, e2]), st2)))
+    out2 = out2.sort_values("event_id").reset_index(drop=True)
+    # per-event ema over growing window: [1]/1, (1/2+2)/1.5, (1/4+1+4)/1.75
+    assert list(out2["n_in_window"]) == [1, 2, 3]
+    assert out2["ema"].iloc[2] == (4.0 + 2.0 / 2 + 1.0 / 4) / (2 - 2.0 ** (1 - 3))
+    assert st2._v[0] == 3 and st2._v[1:4] == (1.0, 2.0, 4.0)
