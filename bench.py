@@ -120,6 +120,9 @@ HEADLINE = [
     "w19_forward_fill",
     "w20_conversion_latency",
     "emb_norm_outliers",
+    "classifier_auc_eval",
+    "classifier_decile_lift",
+    "emb_covariance_pairs",
 ]
 
 

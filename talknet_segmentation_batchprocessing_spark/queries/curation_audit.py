@@ -526,8 +526,10 @@ _CLF_SQL_WEIGHT = (
     " % 2001 - 1000"
 )
 
-_CLF_ORACLE = f"""
-WITH toks AS (
+# shared CTE chain ending in per_doc(doc_id, n_tokens, margin_ppm) —
+# composed by the classifier query and its two evaluation audits so all
+# three oracles describe the one margin definition
+_CLF_PER_DOC_SQL = f"""toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
 ),
 feat AS (
@@ -540,7 +542,10 @@ per_doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          CAST(sum(w_ppm) AS BIGINT) AS margin_ppm
   FROM weighted GROUP BY doc_id
-)
+)"""
+
+_CLF_ORACLE = f"""
+WITH {_CLF_PER_DOC_SQL}
 SELECT doc_id, n_tokens,
        floor((margin_ppm * 1.0 / (1000.0 * n_tokens)) * 1e6 + 0.5) / 1e6 AS margin,
        margin_ppm > 0 AS keep
@@ -565,6 +570,20 @@ FROM per_doc
     tags=("text", "dataset", "ext"),
 )
 def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _clf_margins(spark, sf_dir)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        stable_round(
+            F.col("margin_ppm") * F.lit(1.0) / (F.lit(1000.0) * F.col("n_tokens")), 6
+        ).alias("margin"),
+        (F.col("margin_ppm") > 0).alias("keep"),
+    )
+
+
+def _clf_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per_doc(doc_id, n_tokens, margin_ppm) — the classifier's exact
+    integer margins, shared by the scoring query and its eval audits."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
@@ -585,17 +604,188 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2001
         - 1000
     )
-    per_doc = feat.withColumn("w_ppm", w_ppm).groupBy("doc_id").agg(
+    return feat.withColumn("w_ppm", w_ppm).groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.sum("w_ppm").cast("bigint").alias("margin_ppm"),
     )
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: tie-aware ROC AUC + decile lift/gains table
+# ---------------------------------------------------------------------------
+
+# deterministic pseudo gold label: a salted-hash coin per doc_id. The
+# audits evaluate the MACHINERY (rank statistics, tie handling, gains
+# accumulation); a real labelled eval set drops into the same join slot.
+_LBL_SQL = (
+    "CAST(('0x' || substr(md5('lbl' || CAST(doc_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) % 2 = 0"
+)
+
+
+def _lbl_col():
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lbl"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+
+
+_AUC_ORACLE = f"""
+WITH {_CLF_PER_DOC_SQL},
+lab AS (SELECT margin_ppm, {_LBL_SQL} AS is_pos FROM per_doc),
+bym AS (
+  SELECT margin_ppm,
+         CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM lab GROUP BY margin_ppm
+),
+cum AS (
+  SELECT pos, neg,
+         COALESCE(CAST(SUM(neg) OVER (ORDER BY margin_ppm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS cum_neg
+  FROM bym
+)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       CAST(count(*) AS BIGINT) AS n_distinct_margins,
+       floor((sum(2 * cum_neg * pos + pos * neg) * 1.0
+              / (2.0 * sum(pos) * sum(neg))) * 1e6 + 0.5) / 1e6 AS auc
+FROM cum
+"""
+
+
+@query(
+    "classifier_auc_eval",
+    oracle=_AUC_ORACLE,
+    doc="Tie-aware ROC AUC of the quality classifier's margin against "
+    "a hash-derived gold label — the Mann-Whitney rank form with exact "
+    "tie correction (ties contribute 1/2), computed entirely in BIGINT "
+    "pair counts so both engines agree bit-for-bit before the single "
+    "final division. Shape: one groupBy(margin_ppm) collapses the "
+    "corpus to distinct margins, then a running negative-count window "
+    "over that collapsed table; at 100 TB margins are already on an "
+    "integer ppm grid, so the windowed table is bounded by the score "
+    "grid, not the corpus — the standard distributed-AUC histogram "
+    "shape. Eval-set labels drop into the is_pos slot via a join",
+    tags=("text", "eval", "audit", "ext"),
+)
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _clf_margins(spark, sf_dir).select(
+        "margin_ppm", _lbl_col().alias("is_pos")
+    )
+    bym = lab.groupBy("margin_ppm").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).cast("bigint").alias("neg"),
+    )
+    w = Window.orderBy("margin_ppm").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bym.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("bigint").alias("cum_neg"),
+    )
+    numer2 = F.sum(
+        F.lit(2) * F.col("cum_neg") * F.col("pos") + F.col("pos") * F.col("neg")
+    )
+    return cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count("*").cast("bigint").alias("n_distinct_margins"),
         stable_round(
-            F.col("margin_ppm") * F.lit(1.0) / (F.lit(1000.0) * F.col("n_tokens")), 6
-        ).alias("margin"),
-        (F.col("margin_ppm") > 0).alias("keep"),
+            numer2 * F.lit(1.0) / (F.lit(2.0) * F.sum("pos") * F.sum("neg")), 6
+        ).alias("auc"),
+    )
+
+
+_LIFT_ORACLE = f"""
+WITH {_CLF_PER_DOC_SQL},
+lab AS (
+  SELECT doc_id, margin_ppm, n_tokens, {_LBL_SQL} AS is_pos FROM per_doc
+),
+binned AS (
+  SELECT margin_ppm, is_pos,
+         ntile(10) OVER (ORDER BY margin_ppm, doc_id) AS decile
+  FROM lab
+),
+per_bin AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(margin_ppm) AS BIGINT) AS s_margin,
+         CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM binned GROUP BY decile
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+               CAST(sum(pos) AS BIGINT) AS pos_total FROM per_bin)
+SELECT p.decile, p.n_docs,
+       floor((p.s_margin * 1.0 / (1000.0 * p.n_docs)) * 1e6 + 0.5) / 1e6
+         AS mean_margin,
+       floor((p.pos * 1.0 / p.n_docs) * 1e6 + 0.5) / 1e6 AS pos_rate,
+       floor((p.pos * 1.0 * t.n_total / (p.n_docs * t.pos_total)) * 1e6 + 0.5)
+         / 1e6 AS lift,
+       floor((CAST(SUM(p.pos) OVER (ORDER BY p.decile DESC) AS BIGINT) * 1.0
+              / t.pos_total) * 1e6 + 0.5) / 1e6 AS cum_pos_frac
+FROM per_bin p CROSS JOIN tot t
+"""
+
+
+@query(
+    "classifier_decile_lift",
+    oracle=_LIFT_ORACLE,
+    doc="Decile lift/gains table for the quality classifier: docs "
+    "ranked by margin into ntile(10) bins (deterministic total order "
+    "margin_ppm, doc_id), per bin the positive rate, lift vs the base "
+    "rate, and top-down cumulative gain — the curve a curation team "
+    "reads before picking a keep threshold. All numerators are exact "
+    "BIGINT sums; divisions happen once at the end. Shape: one global "
+    "ntile window (at 100 TB: precomputed margin-quantile boundaries "
+    "from approx_percentile turn this into a broadcast range join) + "
+    "one 10-key aggregate + a 10-row gains window",
+    tags=("text", "eval", "audit", "ext"),
+)
+def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _clf_margins(spark, sf_dir).select(
+        "doc_id", "margin_ppm", _lbl_col().alias("is_pos")
+    )
+    binned = lab.select(
+        "margin_ppm",
+        "is_pos",
+        F.ntile(10).over(Window.orderBy("margin_ppm", "doc_id")).alias("decile"),
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("margin_ppm").cast("bigint").alias("s_margin"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("pos").cast("bigint").alias("pos_total"),
+    )
+    gains = Window.orderBy(F.col("decile").desc())
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_docs",
+        stable_round(
+            F.col("s_margin") * F.lit(1.0) / (F.lit(1000.0) * F.col("n_docs")), 6
+        ).alias("mean_margin"),
+        stable_round(F.col("pos") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+            "pos_rate"
+        ),
+        stable_round(
+            F.col("pos") * F.lit(1.0) * F.col("n_total")
+            / (F.col("n_docs") * F.col("pos_total")),
+            6,
+        ).alias("lift"),
+        stable_round(
+            F.sum("pos").over(gains).cast("bigint") * F.lit(1.0)
+            / F.col("pos_total"),
+            6,
+        ).alias("cum_pos_frac"),
     )
 
 

@@ -1100,6 +1100,105 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cross-dimension covariance (the Gram accumulation distributed PCA runs on)
+# ---------------------------------------------------------------------------
+
+_COV_GRID = 1024  # embedding values quantized to an exact 1/1024 grid
+_COV_TOPK = 20
+
+_COV_ORACLE = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_COV_GRID} + 0.5) AS BIGINT)) AS q
+  FROM embeddings WHERE len(embedding) >= 2
+),
+pairs AS (
+  SELECT CAST(di AS INTEGER) AS dim_i, CAST(dj AS INTEGER) AS dim_j,
+         q[di + 1] AS qi, q[dj + 1] AS qj
+  FROM q, unnest(range(0, len(q))) AS u(di), unnest(range(0, len(q))) AS v(dj)
+  WHERE dj > di
+),
+agg AS (
+  SELECT dim_i, dim_j, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qi) AS BIGINT) AS s_i, CAST(sum(qj) AS BIGINT) AS s_j,
+         CAST(sum(qi * qj) AS BIGINT) AS s_ij
+  FROM pairs GROUP BY dim_i, dim_j
+),
+scored AS (
+  SELECT dim_i, dim_j, n,
+         (s_ij * 1.0 / n - (s_i * 1.0 / n) * (s_j * 1.0 / n))
+           / ({_COV_GRID}.0 * {_COV_GRID}.0) AS cov
+  FROM agg
+)
+SELECT dim_i, dim_j, n,
+       floor(cov * 1e8 + 0.5) / 1e8 AS covariance
+FROM scored
+ORDER BY abs(cov) DESC, dim_i, dim_j
+LIMIT {_COV_TOPK}
+"""
+
+
+@query(
+    "emb_covariance_pairs",
+    oracle=_COV_ORACLE,
+    doc="Top-20 most-correlated embedding dimension pairs by |population "
+    "covariance| — the cross-dimension Gram accumulation that distributed "
+    "PCA / whitening runs on (emb_dim_stats covers the diagonal). Values "
+    f"quantize to an exact 1/{_COV_GRID} integer grid, so the three "
+    "per-pair sums are associative BIGINT totals with headroom at a "
+    "trillion rows (|s_ij| <= n * grid^2 < 2^63); covariance is then "
+    "derived divide-first (s_ij/n - (s_i/n)(s_j/n)) in IEEE doubles, "
+    "identical on both engines, never forming the overflow-prone "
+    "n*s_ij product. Shape: each row expands to its d(d-1)/2 pair "
+    "terms in one JVM transform (no self-join, no row explosion across "
+    "the shuffle) and streams into a d^2-key map-side-combinable "
+    "aggregate — shuffle volume is d^2 rows per task regardless of "
+    "corpus size; TakeOrdered keeps the top pairs",
+    tags=("embeddings", "dataset", "ext"),
+)
+def emb_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.size("embedding") >= 2)
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {_COV_GRID} + 0.5) AS BIGINT))"
+        ).alias("q")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(q) - 2), i -> "
+                "transform(sequence(i + 1, size(q) - 1), j -> "
+                "struct(CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j, "
+                "q[i] AS qi, q[j] AS qj))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    agg = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qi").cast("bigint").alias("s_i"),
+        F.sum("qj").cast("bigint").alias("s_j"),
+        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("s_ij"),
+    )
+    cov = (
+        F.col("s_ij") * F.lit(1.0) / F.col("n")
+        - (F.col("s_i") * F.lit(1.0) / F.col("n"))
+        * (F.col("s_j") * F.lit(1.0) / F.col("n"))
+    ) / F.lit(float(_COV_GRID) * float(_COV_GRID))
+    scored = agg.withColumn("cov", cov)
+    return (
+        scored.orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
+        .limit(_COV_TOPK)
+        .select(
+            "dim_i",
+            "dim_j",
+            "n",
+            stable_round(F.col("cov"), 8).alias("covariance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus bigram statistics (tokenizer-merge prep)
 # ---------------------------------------------------------------------------
 

@@ -97,6 +97,9 @@ EDGE_QUERIES = [
     "w19_forward_fill",  # leading nulls stay null, singleton users, zero-gap ties
     "w20_conversion_latency",  # zero converted users -> empty report on both
     "emb_norm_outliers",  # zero vector (norm 0), near-equal norms
+    "classifier_auc_eval",  # tiny corpus: heavy margin ties, one-class risk
+    "classifier_decile_lift",  # ntile over fewer docs than bins
+    "emb_covariance_pairs",  # zero/identical/antipodal vectors, const dims
 ]
 
 TABLES = [

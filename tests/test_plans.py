@@ -378,3 +378,39 @@ def test_norm_outliers_moments_broadcast(spark):
     df = q("emb_norm_outliers", spark)
     assert_broadcast_join(df)
     _no_python(df._jdf.queryExecution().executedPlan().toString(), "norm_outliers")
+
+
+def test_auc_eval_collapses_before_window(spark):
+    """classifier_auc_eval: the global running-negatives window must
+    sit ABOVE the margin-collapsing aggregate (cardinality = distinct
+    margins, not docs) and the whole plan stays JVM-side."""
+    df = q("classifier_auc_eval", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _no_python(plan, "auc_eval")
+    import re as _re
+
+    assert len(_re.findall(r"documents\.parquet", plan)) <= 1
+    # the one ordered window is fed by the margin_ppm aggregate, so a
+    # single-partition sort over the collapsed table is the intended
+    # bounded-cardinality shape (scores live on an integer ppm grid)
+    assert single_partition_sorts(df) <= 1
+
+
+def test_decile_lift_totals_broadcast(spark):
+    """classifier_decile_lift: the 1-row totals frame broadcasts; one
+    documents scan feeds both the ntile and the gains windows."""
+    df = q("classifier_decile_lift", spark)
+    assert_broadcast_join(df)
+    _no_python(df._jdf.queryExecution().executedPlan().toString(), "decile_lift")
+
+
+def test_covariance_no_join_single_agg(spark):
+    """emb_covariance_pairs: the pair expansion happens inside one JVM
+    transform (no self-join) and the result is TakeOrdered — plan has
+    no SortMergeJoin/BroadcastHashJoin and no Python."""
+    df = q("emb_covariance_pairs", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _no_python(plan, "covariance_pairs")
+    assert "Join" not in plan, "pair expansion must not self-join"
+    assert "TakeOrderedAndProject" in plan
+    assert single_partition_sorts(df) == 0
