@@ -123,6 +123,7 @@ HEADLINE = [
     "classifier_auc_eval",
     "classifier_decile_lift",
     "emb_covariance_pairs",
+    "emb_pca_power",
 ]
 
 

@@ -1199,6 +1199,174 @@ def emb_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# distributed PCA: top principal direction by fixed power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_W = 100_000  # iterate grid: v is an integer vector with max|v| = W
+_PCA_ITERS = 3  # fixed iteration count — a defined transform, not a loop
+
+# round-half-away-from-zero integer division a/b (b > 0), written so
+# both engines divide POSITIVE integers only (Spark `div` truncates
+# toward zero, DuckDB `//` floors — they agree on positives, not on
+# negatives). {a}/{b} are SQL fragments.
+def _rdiv_sql(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN ({a}) < 0 "
+        f"THEN -((-2 * ({a}) + ({b})) // (2 * ({b}))) "
+        f"ELSE ((2 * ({a}) + ({b})) // (2 * ({b}))) END)"
+    )
+
+
+def _rdiv_spark(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN ({a}) < 0 "
+        f"THEN -((-2 * ({a}) + ({b})) div (2 * ({b}))) "
+        f"ELSE ((2 * ({a}) + ({b})) div (2 * ({b}))) END)"
+    )
+
+
+def _pca_oracle() -> str:
+    """Chained-CTE power iteration mirroring the Spark plan exactly:
+    the same integer grids, the same rounded divisions, so every v_t is
+    integer-identical on both engines."""
+    parts = [
+        f"""WITH qt AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_COV_GRID} + 0.5) AS BIGINT)) AS q
+  FROM embeddings WHERE len(embedding) >= 1
+),
+e AS (
+  SELECT vec_id, CAST(di AS INTEGER) AS dim, q[di + 1] AS qv
+  FROM qt, unnest(range(0, len(q))) AS u(di)
+),
+v0 AS (SELECT DISTINCT dim, CAST({_PCA_W} AS BIGINT) AS v FROM e)"""
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        p = t - 1
+        parts.append(
+            f"""s{t} AS (
+  SELECT e.vec_id, CAST(sum(e.qv * v{p}.v) AS BIGINT) AS s
+  FROM e JOIN v{p} USING (dim) GROUP BY e.vec_id
+),
+sp{t} AS (SELECT vec_id, {_rdiv_sql('s', str(_PCA_W))} AS sp FROM s{t}),
+u{t} AS (
+  SELECT e.dim, CAST(sum(e.qv * sp{t}.sp) AS BIGINT) AS u
+  FROM e JOIN sp{t} USING (vec_id) GROUP BY e.dim
+),
+m{t} AS (SELECT greatest(CAST(max(abs(u)) AS BIGINT), 1) AS m FROM u{t}),
+v{t} AS (
+  SELECT dim, {_rdiv_sql(f'u * {_PCA_W}', 'm')} AS v
+  FROM u{t} CROSS JOIN m{t}
+)"""
+        )
+    final = f"""n2 AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2 FROM v{_PCA_ITERS})
+SELECT dim, v AS v_grid,
+       floor((v * 1.0 / sqrt(CAST(n2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS component
+FROM v{_PCA_ITERS} CROSS JOIN n2
+WHERE n2 > 0"""
+    return ",\n".join(parts) + ",\n" + final
+
+
+@query(
+    "emb_pca_power",
+    oracle=_pca_oracle(),
+    doc=f"Distributed power iteration ({_PCA_ITERS} fixed steps) toward "
+    "the top principal direction of the (uncentered) embedding Gram "
+    "matrix — the distributed-PCA matvec primitive: per iteration, the "
+    "corpus-wide X^T(Xv) reduces to one per-row dot product plus one "
+    "d-key map-side-combinable aggregate; v never exceeds 64 numbers "
+    "and the driver never sees data. Convergence is data-dependent "
+    "((lambda2/lambda1)^T — the iteration count is the knob; flat "
+    "spectra need subspace iteration/deflation, same matvec shape); "
+    "tests/test_pca_power.py pins numerical fidelity: the integer-grid "
+    "iterate matches a float64 power iteration to cos >= 0.9999. Every quantity stays on "
+    f"an exact integer grid (values 1/{_COV_GRID}, iterate 1/{_PCA_W}): "
+    "per-row scores and the iterate are renormalized by max-|u| with "
+    "round-half-away-from-zero integer division (positive-operand "
+    "form, since Spark div truncates and DuckDB // floors), so all "
+    f"{_PCA_ITERS} iterations are integer-identical on both engines; "
+    "the only float ops are the final sqrt (IEEE-exact on an exact "
+    "integer) and one division. Centering at scale: broadcast the "
+    "per-dim means and subtract before quantizing — the iteration "
+    "shape is unchanged. BIGINT headroom: |u| <= n*d*grid^2 keeps "
+    "u*W inside 2^63 to ~500k rows; beyond that, raise the sp divisor "
+    "(documented knob) — precision is set by the grids, not the data. "
+    "Spark control flow is the textbook one: the driver holds ONLY "
+    "the 64-entry iterate (a bounded O(d) collect per iteration, same "
+    "class as the documented IVF/PQ samples); each iteration is one "
+    "executor-side corpus pass with v folded in as a literal array "
+    "(zip_with fold, no corpus self-join — the oracle's join "
+    "formulation is the same arithmetic on exact integers). Python "
+    "ints ARE arbitrary-precision BIGINTs, so the driver-side rdiv is "
+    "bit-identical to the oracle's",
+    tags=("embeddings", "dataset", "ext"),
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.size("embedding") >= 1)
+    rows = track_persist(
+        emb.select(
+            F.expr(
+                f"transform(embedding, x -> "
+                f"CAST(floor(CAST(x AS DOUBLE) * {_COV_GRID} + 0.5) AS BIGINT))"
+            ).alias("q")
+        )
+    )
+    dims = sorted(
+        r["dim"]
+        for r in rows.select(F.posexplode("q").alias("dim", "_qv"))
+        .select("dim")
+        .distinct()
+        .collect()
+    )
+    schema = "dim int, v_grid bigint, component double"
+    if not dims:
+        return spark.createDataFrame([], schema)
+
+    def rdiv_py(a: int, b: int) -> int:
+        # half-away-from-zero on positive operands, like the SQL form
+        return (-((-2 * a + b) // (2 * b))) if a < 0 else ((2 * a + b) // (2 * b))
+
+    v = {dim: _PCA_W for dim in dims}
+    for _ in range(_PCA_ITERS):
+        varr = F.array(
+            *[F.lit(v.get(i, 0)).cast("bigint") for i in range(max(dims) + 1)]
+        )
+        scored = rows.withColumn("varr", varr).withColumn(
+            "s",
+            F.expr(
+                "aggregate(zip_with(q, varr, (x, y) -> "
+                "coalesce(x, 0L) * coalesce(y, 0L)), 0L, (acc, x) -> acc + x)"
+            ),
+        )
+        sp = scored.withColumn(
+            "sp", F.expr(_rdiv_spark("s", str(_PCA_W))).cast("bigint")
+        )
+        u_rows = (
+            sp.select(F.posexplode("q").alias("dim", "qv"), "sp")
+            .groupBy("dim")
+            .agg(F.sum(F.col("qv") * F.col("sp")).cast("bigint").alias("u"))
+            .collect()
+        )
+        u = {r["dim"]: r["u"] for r in u_rows}
+        m = max(1, max((abs(x) for x in u.values()), default=1))
+        v = {dim: rdiv_py(u.get(dim, 0) * _PCA_W, m) for dim in dims}
+
+    n2 = sum(x * x for x in v.values())
+    if n2 == 0:
+        return spark.createDataFrame([], schema)
+    # v * 1.0 / sqrt(n2) in exactly the oracle's operation order —
+    # multiplying by a precomputed reciprocal would differ in the ulp
+    nrm = math.sqrt(float(n2))
+    out = [
+        (dim, v[dim], math.floor((v[dim] * 1.0 / nrm) * 1e6 + 0.5) / 1e6)
+        for dim in dims
+    ]
+    return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
 # corpus bigram statistics (tokenizer-merge prep)
 # ---------------------------------------------------------------------------
 

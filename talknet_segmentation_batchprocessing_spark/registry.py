@@ -160,15 +160,16 @@ _DRIVER_WINDOW = [
     # re-confirms: heavy flagships that consume the shared near-dup
     # edge table or sit adjacent to this round's plan changes (new
     # round-6 queries replace entries from this block as they land)
-    # (displaced for the classifier-eval + covariance trio:
+    # (displaced for the classifier-eval + covariance + PCA quartet:
     # dedup_keep_canonical, dedup_keep_canonical_lsh,
-    # dedup_ngram_jaccard — r5-green, unchanged this round)
+    # dedup_ngram_jaccard, contamination_bloom — r5-green, unchanged
+    # this round)
     "dedup_cc_clusters", "dedup_cc_star", "dedup_minhash_lsh",
     "dedup_semantic_keep_lsh",
     "curation_pipeline",
-    "contamination_bloom", "sim_recall_eval",
+    "sim_recall_eval",
     "classifier_auc_eval", "classifier_decile_lift",
-    "emb_covariance_pairs",
+    "emb_covariance_pairs", "emb_pca_power",
     # new round-6 queries (driver-checked the round they land;
     # displaced: a6_average_precision, u5_merge_upsert,
     # w12_funnel_steps, j10_interval_join, agg_time_rollup,

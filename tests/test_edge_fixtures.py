@@ -100,6 +100,7 @@ EDGE_QUERIES = [
     "classifier_auc_eval",  # tiny corpus: heavy margin ties, one-class risk
     "classifier_decile_lift",  # ntile over fewer docs than bins
     "emb_covariance_pairs",  # zero/identical/antipodal vectors, const dims
+    "emb_pca_power",  # zero vectors contribute nothing; tiny-corpus iterate
 ]
 
 TABLES = [
