@@ -124,6 +124,9 @@ HEADLINE = [
     "classifier_decile_lift",
     "emb_covariance_pairs",
     "emb_pca_power",
+    "w21_attribution_linear",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
 ]
 
 

@@ -69,6 +69,11 @@ HEAVY = [
     "sim_knn_graph_lsh",
     "text_classifier_score",
     "dedup_threshold_sweep",
+    # round 6, third wave
+    "emb_covariance_pairs",
+    "emb_pca_power",
+    "classifier_auc_eval",
+    "w21_attribution_linear",
 ]
 
 TABLES = [

@@ -89,6 +89,176 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact-integer revenue grid shared by q3/q5 (the q1 sum_disc_price
+# rule): quantize the per-row product to 1e6 BEFORE summing so the
+# aggregate is an associative BIGINT total on both engines
+_REV_PPM_SQL = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5) AS BIGINT)"
+)
+
+
+def _rev_ppm_col():
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+
+
+_Q3_CUTOFF = "1997-06-30 00:00:00"
+
+_Q3_ORACLE = f"""
+WITH j AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         {_REV_PPM_SQL} AS rev_ppm
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+    AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+),
+g AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(sum(rev_ppm) AS BIGINT) AS rev_ppm_total
+  FROM j GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       floor(rev_ppm_total / 1e4 + 0.5) / 1e2 AS revenue
+FROM g
+ORDER BY rev_ppm_total DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=_Q3_ORACLE,
+    doc="TPC-H-Q3-shaped shipping priority (o_orderpriority stands in "
+    "for the schema's absent o_shippriority): unshipped BUILDING-"
+    "segment orders ranked by discounted revenue, top 10. The "
+    "canonical selective multi-join: both dimension filters reach "
+    "their scans, customer broadcasts into orders and that (filtered) "
+    "side broadcasts into the big lineitem scan, so the fact table is "
+    "never shuffled; revenue sums on the exact 1e6 integer grid (q1's "
+    "rule) and the top-10 is TakeOrdered on that exact BIGINT — "
+    "cross-engine ranking cannot split on float low bits",
+    tags=("A1", "join", "bench"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(_Q3_CUTOFF.split(" ")[0]).cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", _rev_ppm_col().alias("rev_ppm"))
+    )
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum("rev_ppm").cast("bigint").alias("rev_ppm_total")
+    )
+    return (
+        g.orderBy(F.col("rev_ppm_total").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.floor(F.col("rev_ppm_total") / F.lit(1e4) + F.lit(0.5)) / F.lit(1e2))
+            .alias("revenue"),
+        )
+    )
+
+
+_Q5_REGION = "ASIA"
+_Q5_YEAR_LO = "1996-01-01 00:00:00"
+_Q5_YEAR_HI = "1998-01-01 00:00:00"
+
+_Q5_ORACLE = f"""
+WITH j AS (
+  SELECT n.n_name, {_REV_PPM_SQL} AS rev_ppm
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 AND c.c_nationkey = s.s_nationkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{_Q5_REGION}'
+    AND o.o_orderdate >= TIMESTAMP '{_Q5_YEAR_LO}'
+    AND o.o_orderdate < TIMESTAMP '{_Q5_YEAR_HI}'
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       floor(CAST(sum(rev_ppm) AS BIGINT) / 1e4 + 0.5) / 1e2 AS revenue
+FROM j GROUP BY n_name
+"""
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=_Q5_ORACLE,
+    doc="TPC-H-Q5-shaped local supplier volume: revenue by nation for "
+    "in-region orders where the supplier and customer share a nation — "
+    "the canonical snowflake join (6 tables). Every dimension chain "
+    "(region->nation->supplier, filtered orders->customer) broadcasts "
+    "into the single lineitem pass; the only wide shuffle is the final "
+    "nation-keyed aggregate (25 keys, map-side combined). Revenue on "
+    "the exact 1e6 integer grid",
+    tags=("A1", "join", "bench"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(_Q5_YEAR_LO.split(" ")[0]).cast("timestamp")
+    hi = F.lit(_Q5_YEAR_HI.split(" ")[0]).cast("timestamp")
+    region = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q5_REGION)
+        .select("r_regionkey")
+    )
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    oc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_ppm_col().alias("rev_ppm")
+    )
+    j = (
+        li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        (
+            F.floor(F.sum("rev_ppm").cast("bigint") / F.lit(1e4) + F.lit(0.5))
+            / F.lit(1e2)
+        ).alias("revenue"),
+    )
+
+
 @query(
     "a3_counts",
     oracle="""

@@ -977,6 +977,127 @@ def w20_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# w21: multi-touch attribution (linear + first/last touch)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # 7-day lookback
+_ATTR_TOUCH_TYPES = ("view", "click", "signup")
+
+_ATTR_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+nx AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' THEN us END)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS conv_us
+  FROM e
+),
+touch AS (
+  SELECT user_id, event_id, event_type, us, conv_us
+  FROM nx
+  WHERE event_type IN {str(tuple(_ATTR_TOUCH_TYPES))}
+    AND conv_us IS NOT NULL AND conv_us - us <= {_ATTR_WINDOW_US}
+),
+ranked AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY user_id, conv_us) AS BIGINT) AS k,
+         row_number() OVER (PARTITION BY user_id, conv_us
+                            ORDER BY us, event_id) AS rn_f,
+         row_number() OVER (PARTITION BY user_id, conv_us
+                            ORDER BY us DESC, event_id DESC) AS rn_l
+  FROM touch
+),
+credited AS (
+  SELECT event_type, user_id, conv_us, rn_f, rn_l,
+         ((2 * 1000000 + k) // (2 * k)) AS credit_ppm
+  FROM ranked
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT CAST(user_id AS VARCHAR) || ':'
+                  || CAST(conv_us AS VARCHAR)) AS BIGINT) AS n_conversions,
+       CAST(sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touches,
+       CAST(sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touches,
+       floor((sum(credit_ppm) * 1.0 / 1e6) * 1e6 + 0.5) / 1e6 AS linear_credit
+FROM credited GROUP BY event_type
+"""
+
+
+@query(
+    "w21_attribution_linear",
+    oracle=_ATTR_ORACLE,
+    doc="Multi-touch conversion attribution: each touchpoint (view/"
+    "click/signup) binds to the user's NEXT purchase within a 7-day "
+    "lookback (causal next-conversion via one user-keyed forward-min "
+    "window — no join), then per conversion the linear model splits "
+    "credit 1/k across its k touches while first/last-touch models "
+    "count the endpoint ranks. Credits are integer ppm (round-half-up "
+    "1e6/k), so per-channel totals are exact BIGINT sums — "
+    "partitioning-independent, one final division. Shape: one "
+    "user-keyed exchange shared by the forward-min and the per-"
+    "conversion rank windows, then a channel-keyed aggregate; output "
+    "O(channels). The marketing-analytics staple (the reference's "
+    "eval arm has the same join-free rank-window shape in A6's "
+    "cumulative precision)",
+    tags=("window", "timeseries", "ext"),
+)
+def w21_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nx = e.withColumn(
+        "conv_us",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).over(fwd),
+    )
+    touch = nx.filter(
+        F.col("event_type").isin(*_ATTR_TOUCH_TYPES)
+        & F.col("conv_us").isNotNull()
+        & (F.col("conv_us") - F.col("us") <= _ATTR_WINDOW_US)
+    )
+    grp = Window.partitionBy("user_id", "conv_us")
+    ranked = touch.select(
+        "event_type",
+        "user_id",
+        "conv_us",
+        F.count("*").over(grp).cast("bigint").alias("k"),
+        F.row_number()
+        .over(grp.orderBy("us", "event_id"))
+        .alias("rn_f"),
+        F.row_number()
+        .over(grp.orderBy(F.col("us").desc(), F.col("event_id").desc()))
+        .alias("rn_l"),
+    )
+    credited = ranked.withColumn(
+        "credit_ppm", F.expr("(2 * 1000000 + k) div (2 * k)")
+    )
+    conv_key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("conv_us").cast("string")
+    )
+    return credited.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.countDistinct(conv_key).cast("bigint").alias("n_conversions"),
+        F.sum(F.when(F.col("rn_f") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("first_touches"),
+        F.sum(F.when(F.col("rn_l") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("last_touches"),
+        stable_round(F.sum("credit_ppm") * F.lit(1.0) / F.lit(1e6), 6).alias(
+            "linear_credit"
+        ),
+    )
+
+
 from ..registry import REGISTRY as _WREG  # noqa: E402
 
 _WREG["w20_conversion_latency"].oracle = _conversion_latency_oracle()

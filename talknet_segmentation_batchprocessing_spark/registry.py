@@ -160,14 +160,17 @@ _DRIVER_WINDOW = [
     # re-confirms: heavy flagships that consume the shared near-dup
     # edge table or sit adjacent to this round's plan changes (new
     # round-6 queries replace entries from this block as they land)
-    # (displaced for the classifier-eval + covariance + PCA quartet:
+    # (displaced for the seven round-6 additions below:
     # dedup_keep_canonical, dedup_keep_canonical_lsh,
-    # dedup_ngram_jaccard, contamination_bloom — r5-green, unchanged
-    # this round)
-    "dedup_cc_clusters", "dedup_cc_star", "dedup_minhash_lsh",
-    "dedup_semantic_keep_lsh",
-    "curation_pipeline",
+    # dedup_ngram_jaccard, contamination_bloom, dedup_minhash_lsh,
+    # dedup_semantic_keep_lsh, curation_pipeline — all r5-driver-green
+    # with code unchanged this round; still mirror-swept in-repo.
+    # Kept: dedup_cc_* whose consumed edge-table PLAN changed this
+    # round, and sim_recall_eval whose strata changed)
+    "dedup_cc_clusters", "dedup_cc_star",
     "sim_recall_eval",
+    "w21_attribution_linear", "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "classifier_auc_eval", "classifier_decile_lift",
     "emb_covariance_pairs", "emb_pca_power",
     # new round-6 queries (driver-checked the round they land;

@@ -101,6 +101,7 @@ EDGE_QUERIES = [
     "classifier_decile_lift",  # ntile over fewer docs than bins
     "emb_covariance_pairs",  # zero/identical/antipodal vectors, const dims
     "emb_pca_power",  # zero vectors contribute nothing; tiny-corpus iterate
+    "w21_attribution_linear",  # purchase-first users, zero-gap ties, no touches
 ]
 
 TABLES = [

@@ -414,3 +414,34 @@ def test_covariance_no_join_single_agg(spark):
     assert "Join" not in plan, "pair expansion must not self-join"
     assert "TakeOrderedAndProject" in plan
     assert single_partition_sorts(df) == 0
+
+
+def test_q3_dimensions_broadcast_fact_unshuffled(spark):
+    """q3: customer and (orders x customer) broadcast; the lineitem
+    fact side never hashes across the cluster before the aggregate;
+    both date/segment filters reach their scans."""
+    df = q("q3_shipping_priority", spark)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "LessThan(o_orderdate")
+    assert_pushed_filter(df, "GreaterThan(l_shipdate")
+    assert "TakeOrderedAndProject" in (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_q5_snowflake_all_dimensions_broadcast(spark):
+    """q5: the full snowflake (region->nation->supplier, orders x
+    customer) broadcasts into one lineitem pass — no SortMergeJoin."""
+    df = q("q5_local_supplier_volume", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, "dimension chain must broadcast"
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "EqualTo(r_name,ASIA)")
+
+
+def test_attribution_single_user_partitioning(spark):
+    """w21: the forward-min and rank windows all key on user_id (or its
+    conversion-group refinement) — no single-partition sort; JVM-only."""
+    df = q("w21_attribution_linear", spark)
+    _no_python(df._jdf.queryExecution().executedPlan().toString(), "attribution")
+    assert single_partition_sorts(df) == 0
