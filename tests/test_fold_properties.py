@@ -152,3 +152,56 @@ def test_union_find_labels_match_bruteforce(ne):
     for v in range(n):
         if v not in touched:
             assert want[v] == v
+
+
+def _run_attribution(chunks):
+    from talknet_segmentation_batchprocessing_spark.streaming.attribution import (
+        _fold_batch,
+    )
+
+    state = _FakeState()
+    rows = []
+    eid = 0
+    for ch in chunks:
+        n = len(ch)
+        pdf = pd.DataFrame(
+            {
+                "us": [u for u, _ in ch],
+                "event_id": list(range(eid, eid + n)),
+                "event_type": [t for _, t in ch],
+            }
+        )
+        eid += n
+        rows += [
+            tuple(r)
+            for out in _fold_batch((1,), iter([pdf]), state)
+            for r in out.itertuples(index=False)
+        ]
+    return state._v, rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_attribution_fold_batching_invariant(data):
+    """Attribution emissions are per-conversion FINAL (a purchase
+    consumes the buffer), so any chunking must yield the identical
+    emission sequence AND the identical pending-touch state — the
+    property that makes the restart test's recovery exact."""
+    events = data.draw(_events(min_size=1))
+    cuts = data.draw(_splits(len(events)))
+    one_state, one_rows = _run_attribution([events])
+    chunked_state, chunked_rows = _run_attribution(_chunk(events, cuts))
+    assert chunked_rows == one_rows
+    assert (list(one_state[0]), list(one_state[1])) == (
+        list(chunked_state[0]),
+        list(chunked_state[1]),
+    )
+    # credit conservation: every conversion's ppm total is ~1e6
+    # (to within the k half-up roundings)
+    by_conv = {}
+    for r in one_rows:
+        by_conv.setdefault((r[0], r[1]), [0, 0])
+        by_conv[(r[0], r[1])][0] += r[4]
+        by_conv[(r[0], r[1])][1] += r[3]
+    for (u, c), (ppm, k) in by_conv.items():
+        assert abs(ppm - 1_000_000) <= k, (u, c, ppm, k)
