@@ -127,6 +127,7 @@ HEADLINE = [
     "w21_attribution_linear",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "w22_markov_transitions",
 ]
 
 

@@ -1098,6 +1098,78 @@ def w21_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# w22: event-type Markov transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS dst
+  FROM e
+),
+pairs AS (SELECT src, dst FROM seq WHERE dst IS NOT NULL),
+cnt AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs GROUP BY src, dst
+),
+tot AS (
+  SELECT src, CAST(sum(n_transitions) AS BIGINT) AS n_src FROM cnt GROUP BY src
+)
+SELECT c.src, c.dst, c.n_transitions, t.n_src,
+       floor((c.n_transitions * 1.0 / t.n_src) * 1e6 + 0.5) / 1e6 AS p
+FROM cnt c JOIN tot t ON c.src = t.src
+"""
+
+
+@query(
+    "w22_markov_transitions",
+    oracle=_MARKOV_ORACLE,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event_type | current) from one lead window in "
+    "(ts, event_id) order — the behavioral-model fit that powers "
+    "next-action prediction and anomaly baselines (w15's CEP patterns "
+    "are its hand-written special cases). Counts are exact BIGINTs; "
+    "the single division happens per (src, dst) cell at the end. "
+    "Shape: one user-keyed exchange for the lead window, then a "
+    "(src, dst)-keyed map-side-combinable count and a tiny "
+    "src-marginal join — output O(types^2) however large the corpus",
+    tags=("window", "timeseries", "ext"),
+)
+def w22_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    tot = cnt.groupBy("src").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_src")
+    )
+    return cnt.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n_transitions",
+        "n_src",
+        stable_round(
+            F.col("n_transitions") * F.lit(1.0) / F.col("n_src"), 6
+        ).alias("p"),
+    )
+
+
 from ..registry import REGISTRY as _WREG  # noqa: E402
 
 _WREG["w20_conversion_latency"].oracle = _conversion_latency_oracle()

@@ -165,12 +165,13 @@ _DRIVER_WINDOW = [
     # dedup_ngram_jaccard, contamination_bloom, dedup_minhash_lsh,
     # dedup_semantic_keep_lsh, curation_pipeline — all r5-driver-green
     # with code unchanged this round; still mirror-swept in-repo.
-    # Kept: dedup_cc_* whose consumed edge-table PLAN changed this
-    # round, and sim_recall_eval whose strata changed)
-    "dedup_cc_clusters", "dedup_cc_star",
+    # Kept: dedup_cc_star for the changed edge-table plan (its
+    # dedup_cc_clusters sibling shares the identical CC machinery and
+    # is mirror-swept), and sim_recall_eval whose strata changed)
+    "dedup_cc_star",
     "sim_recall_eval",
     "w21_attribution_linear", "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    "q5_local_supplier_volume", "w22_markov_transitions",
     "classifier_auc_eval", "classifier_decile_lift",
     "emb_covariance_pairs", "emb_pca_power",
     # new round-6 queries (driver-checked the round they land;

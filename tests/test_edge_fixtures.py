@@ -102,6 +102,7 @@ EDGE_QUERIES = [
     "emb_covariance_pairs",  # zero/identical/antipodal vectors, const dims
     "emb_pca_power",  # zero vectors contribute nothing; tiny-corpus iterate
     "w21_attribution_linear",  # purchase-first users, zero-gap ties, no touches
+    "w22_markov_transitions",  # single-event users, null types, zero-gap ties
 ]
 
 TABLES = [

@@ -447,3 +447,12 @@ def test_attribution_single_user_partitioning(spark):
     df = q("w21_attribution_linear", spark)
     _no_python(df._jdf.queryExecution().executedPlan().toString(), "attribution")
     assert single_partition_sorts(df) == 0
+
+
+def test_markov_single_exchange_then_tiny_join(spark):
+    """w22: one user-keyed exchange for the lead window; the
+    src-marginal joins broadcast; no single-partition sort, JVM-only."""
+    df = q("w22_markov_transitions", spark)
+    _no_python(df._jdf.queryExecution().executedPlan().toString(), "markov")
+    assert_broadcast_join(df)
+    assert single_partition_sorts(df) == 0
