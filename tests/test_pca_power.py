@@ -42,3 +42,44 @@ def test_integer_grid_matches_float_power_iteration(spark):
     assert abs(float(np.linalg.norm(vg)) - 1.0) < 1e-4, "output is unit-norm"
     cos = abs(float(v @ vg))
     assert cos >= 0.9999, f"integer-grid iterate drifted: cos={cos}"
+
+
+def test_rdiv_positive_operand_form_matches_duckdb():
+    """The round-half-away-from-zero division used by emb_pca_power is
+    written to divide POSITIVE integers only, because Spark `div`
+    truncates toward zero while DuckDB `//` floors — they disagree on
+    negatives. Lock the three-way agreement: the Python driver-side
+    form, the DuckDB SQL form, and plain math, over a signed grid
+    including the exact-half boundary cases."""
+    import duckdb
+
+    from talknet_segmentation_batchprocessing_spark.queries.dataset_ops import (
+        _rdiv_sql,
+    )
+
+    con = duckdb.connect()
+
+    def rdiv_py(a: int, b: int) -> int:
+        return (-((-2 * a + b) // (2 * b))) if a < 0 else ((2 * a + b) // (2 * b))
+
+    cases = [
+        (a, b)
+        for a in list(range(-25, 26)) + [-10**15, 10**15, -999999, 999999]
+        for b in (1, 2, 3, 7, 10, 100000)
+    ]
+    rows = con.execute(
+        "SELECT " + _rdiv_sql("a", "b") + " FROM (SELECT "
+        "unnest($1::BIGINT[]) AS a, unnest($2::BIGINT[]) AS b)",
+        [[a for a, _ in cases], [b for _, b in cases]],
+    ).fetchall()
+    for (a, b), (got_sql,) in zip(cases, rows):
+        want = rdiv_py(a, b)
+        assert got_sql == want, (a, b, got_sql, want)
+        # half-away-from-zero ground truth
+        import math as _m
+
+        frac = abs(a) / b
+        truth = int(_m.floor(frac + 0.5))
+        truth = -truth if a < 0 else truth
+        if abs(a) < 10**9:  # float ground-truth only in exact range
+            assert want == truth, (a, b, want, truth)
