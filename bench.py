@@ -128,6 +128,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "w22_markov_transitions",
+    "sim_rrf_fusion",
 ]
 
 

@@ -2827,3 +2827,109 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_neg_logprob"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion of the two ANN indexes (hybrid search)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the canonical RRF constant (Cormack et al.)
+_RRF_TOPK = 3
+
+
+def _rrf_oracle() -> str:
+    """Composed from the two registered retrieval oracles, so the
+    fusion describes exactly the rankings users run."""
+    from ..registry import REGISTRY
+
+    ivf = REGISTRY["sim_ivf_topk"].oracle
+    pq = REGISTRY["sim_pq_topk"].oracle
+    return f"""
+WITH ivf AS ({ivf}),
+pq AS ({pq}),
+u AS (
+  SELECT query_id, neighbor_id, rank, 1 AS src_ivf, 0 AS src_pq FROM ivf
+  UNION ALL
+  SELECT query_id, neighbor_id, rank, 0 AS src_ivf, 1 AS src_pq FROM pq
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(sum((2 * 1000000 + ({_RRF_K} + rank))
+                  // (2 * ({_RRF_K} + rank))) AS BIGINT) AS rrf_ppm,
+         max(src_ivf) = 1 AS in_ivf,
+         max(src_pq) = 1 AS in_pq
+  FROM u GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_ppm DESC, neighbor_id) AS INTEGER) AS fused_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, fused_rank, rrf_ppm, in_ivf, in_pq
+FROM ranked WHERE fused_rank <= {_RRF_TOPK}
+"""
+
+
+@query(
+    "sim_rrf_fusion",
+    oracle=None,  # late-bound below (composes the two retrieval oracles)
+    doc="Hybrid retrieval via reciprocal-rank fusion: the IVF and PQ "
+    f"indexes' top-k lists merge with the canonical RRF score "
+    f"sum(1/({_RRF_K} + rank)) — here in round-half-up integer ppm, so "
+    "the fused ordering is an exact BIGINT comparison on both engines "
+    "— and the top-3 per query survive with per-index provenance "
+    "flags. The standard recipe for combining retrievers with "
+    "incomparable raw scores (ADC distances vs cosines); a BM25 text "
+    "leg drops into the same union slot. Shape: the two parents' "
+    "plans + one (query, neighbor)-keyed aggregate over their tiny "
+    "top-k outputs + a per-query rank window — fusion cost is "
+    "O(queries * k), independent of corpus size",
+    tags=("similarity", "embedding", "ext"),
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions import sim_ivf_topk
+
+    ivf = sim_ivf_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.lit(1).alias("src_ivf"),
+        F.lit(0).alias("src_pq"),
+    )
+    pq = sim_pq_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.lit(0).alias("src_ivf"),
+        F.lit(1).alias("src_pq"),
+    )
+    u = ivf.unionAll(pq)
+    credit = F.expr(
+        f"(2 * 1000000 + ({_RRF_K} + rank)) div (2 * ({_RRF_K} + rank))"
+    )
+    scored = u.withColumn("credit", credit).groupBy(
+        "query_id", "neighbor_id"
+    ).agg(
+        F.sum("credit").cast("bigint").alias("rrf_ppm"),
+        (F.max("src_ivf") == 1).alias("in_ivf"),
+        (F.max("src_pq") == 1).alias("in_pq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+        .select(
+            "query_id", "neighbor_id", "fused_rank", "rrf_ppm", "in_ivf", "in_pq"
+        )
+    )
+
+
+def _late_bind_rrf() -> None:
+    from ..registry import REGISTRY
+
+    REGISTRY["sim_rrf_fusion"].oracle = _rrf_oracle()
+
+
+_late_bind_rrf()

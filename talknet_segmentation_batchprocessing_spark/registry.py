@@ -165,13 +165,14 @@ _DRIVER_WINDOW = [
     # dedup_ngram_jaccard, contamination_bloom, dedup_minhash_lsh,
     # dedup_semantic_keep_lsh, curation_pipeline — all r5-driver-green
     # with code unchanged this round; still mirror-swept in-repo.
-    # Kept: dedup_cc_star for the changed edge-table plan (its
-    # dedup_cc_clusters sibling shares the identical CC machinery and
-    # is mirror-swept), and sim_recall_eval whose strata changed)
-    "dedup_cc_star",
+    # Kept: sim_recall_eval whose strata changed. The dedup_cc_* pair
+    # (changed edge-table plan) is displaced too: the round-6 session's
+    # own FULL sf0.1 sweep (167/167 green) verified the new bucketed
+    # plan end-to-end, and both keep their r5 driver rows.
     "sim_recall_eval",
     "w21_attribution_linear", "q3_shipping_priority",
     "q5_local_supplier_volume", "w22_markov_transitions",
+    "sim_rrf_fusion",
     "classifier_auc_eval", "classifier_decile_lift",
     "emb_covariance_pairs", "emb_pca_power",
     # new round-6 queries (driver-checked the round they land;

@@ -103,6 +103,12 @@ EDGE_QUERIES = [
     "emb_pca_power",  # zero vectors contribute nothing; tiny-corpus iterate
     "w21_attribution_linear",  # purchase-first users, zero-gap ties, no touches
     "w22_markov_transitions",  # single-event users, null types, zero-gap ties
+    # sim_rrf_fusion is NOT edge-swept: its sim_pq_topk parent trains an
+    # 8-codeword codebook, undefined on this 10-vector fixture (7
+    # distinct codewords -> element_at out of bounds on BOTH engines —
+    # a documented precondition of PQ, n >> k, not an engine divergence;
+    # the fusion itself is pure integer rank arithmetic over the
+    # parents' outputs and is oracle-checked at sf0.001/0.01/0.1)
 ]
 
 TABLES = [
