@@ -1246,3 +1246,60 @@ def test_streaming_attribution_restart_recovers_buffer(spark, tmp_path):
     for c in ("n_touches", "n_conversions", "first_touches", "last_touches",
               "linear_credit"):
         assert (m[f"{c}_b"] == m[f"{c}_s"]).all(), c
+
+
+def test_streaming_transitions_match_batch_w22(spark, tmp_path):
+    """streaming/transitions across two event-time-split micro-batches:
+    groupBy(src, dst).count() of all emissions equals the batch
+    w22_markov_transitions pair counts — including the pairs that
+    straddle the batch boundary (the remembered predecessor)."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.transitions import (
+        streaming_transitions,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    got = _drain(streaming_transitions(stream), tmp_path, "trans_stream")
+    assert len(got) > 0
+    rolled = (
+        got.groupby(["src", "dst"])
+        .size()
+        .reset_index(name="n_transitions")
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    want = (
+        registry.REGISTRY["w22_markov_transitions"]
+        .fn(spark, SF_CORRECT)
+        .toPandas()[["src", "dst", "n_transitions"]]
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    m = want.merge(rolled, on=["src", "dst"], suffixes=("_b", "_s"), how="outer")
+    assert not m.isna().any().any(), "pair sets must match exactly"
+    assert (m["n_transitions_b"] == m["n_transitions_s"]).all()
+    # the boundary case occurred: at least one user's first batch-2
+    # event paired with a predecessor remembered from batch 1
+    cut_us = int(cut * 1e6)
+    assert (got["dst_us"] > cut_us).any() and (got["dst_us"] <= cut_us).any()
