@@ -1303,3 +1303,63 @@ def test_streaming_transitions_match_batch_w22(spark, tmp_path):
     # event paired with a predecessor remembered from batch 1
     cut_us = int(cut * 1e6)
     assert (got["dst_us"] > cut_us).any() and (got["dst_us"] <= cut_us).any()
+
+
+def test_streaming_ohlc_matches_batch_w16(spark, tmp_path):
+    """streaming/ohlc: NATIVE watermarked windowed aggregation (no
+    custom state) across two micro-batches — every closed-window candle
+    must equal the batch w16 row bit-for-bit, and every window whose
+    end precedes max_ts - watermark must have emitted."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.ohlc import (
+        streaming_ohlc,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    got = _drain(streaming_ohlc(stream), tmp_path, "ohlc_stream")
+    assert len(got) > 0
+
+    want = (
+        registry.REGISTRY["w16_ohlc_candles"].fn(spark, SF_CORRECT).toPandas()
+    )
+    m = got.merge(want, on=["user_id", "bucket"], suffixes=("_s", "_b"))
+    assert len(m) == len(got), "every emitted candle exists in batch"
+    for c in ("n_events", "open", "high", "low", "close", "sum_value_ppm"):
+        assert (m[f"{c}_s"] == m[f"{c}_b"]).all(), c
+
+    # completeness: every window closed by the final watermark emitted
+    max_us = int(
+        ev.selectExpr(
+            "max(unix_micros(cast(ts as timestamp))) m"
+        ).collect()[0]["m"]
+    )
+    closed_before = (max_us - 3_600_000_000) // 3_600_000_000  # wm = 1 h
+    want_closed = want[want["bucket"] + 1 <= closed_before]
+    emitted = set(zip(got["user_id"], got["bucket"]))
+    missing = [
+        t
+        for t in zip(want_closed["user_id"], want_closed["bucket"])
+        if t not in emitted
+    ]
+    assert not missing, f"{len(missing)} closed windows never emitted"
