@@ -2955,11 +2955,15 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAXSIM_Q_STRATUM = 4  # stratum floor (1-in-K); grows with n, see below
 _MAXSIM_TARGET_Q = 500  # target query-vector count -> stratum scales with n
 
+_MAXSIM_GRID = 1024  # vector values on an exact 1/1024 integer grid
+
 _MAXSIM_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_MAXSIM_GRID} + 0.5) AS BIGINT)) AS q
   FROM embeddings
+  WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
 ),
 params AS (
   -- ADAPTIVE stratum: 1-in-md with md = max(floor_K, ceil(n / target))
@@ -2972,21 +2976,26 @@ params AS (
                   // {_MAXSIM_TARGET_Q}) AS md
 ),
 n AS (
-  SELECT vec_id, label, dv,
-         sqrt(list_sum(list_transform(range(1, 65),
-                                      i -> dv[i] * dv[i]))) AS nrm
+  SELECT vec_id, label, q,
+         CAST(list_sum(list_transform(range(1, len(q) + 1),
+                                      i -> q[i] * q[i])) AS BIGINT) AS n2
   FROM v
 ),
-nz AS (SELECT * FROM n WHERE nrm > 0),
+nz AS (SELECT * FROM n WHERE n2 > 0),
 cos AS (
   -- q side restricted to the deterministic vec_id stratum: the mean-
   -- of-max over a 1-in-K query sample is the bounded-cost estimator
   -- (same pattern as dedup_keep_lsh_recall's sampled audit); the d
-  -- side stays FULL so every max is exact
+  -- side stays FULL so every max is exact. The dot is an EXACT BIGINT
+  -- sum of grid products — any evaluation order agrees — and the only
+  -- float ops (sqrt on exact ints, one divide, the 1e9 quantize) are
+  -- elementwise IEEE, identical on both engines.
   SELECT a.label AS q_label, a.vec_id AS q_vec, b.label AS d_label,
          CAST(floor(
-           list_sum(list_transform(range(1, 65), i -> a.dv[i] * b.dv[i]))
-           / (a.nrm * b.nrm) * 1e9 + 0.5) AS BIGINT) AS cg
+           CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                        i -> a.q[i] * b.q[i])) AS DOUBLE)
+           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+           * 1e9 + 0.5) AS BIGINT) AS cg
   FROM nz a JOIN nz b ON a.label <> b.label
   WHERE a.vec_id % (SELECT md FROM params) = 0
 ),
@@ -3006,63 +3015,100 @@ FROM best GROUP BY q_label, d_label
     doc="ColBERT-style late-interaction MaxSim between vector GROUPS "
     "(label = multi-vector document, vec_id = token vector): "
     "maxsim(Q, D) = mean over q in Q of max over d in D of "
-    "cos(q, d) over a deterministic 1-in-4 q stratum (d side FULL, so "
-    "every max is exact; the stratum bounds cost exactly like the "
-    "sampled keep-precision audit). Determinism: cosines quantize to an exact 1e-9 integer "
-    "grid before max/mean, so the order-free max and the INTEGER sum "
-    "make the whole reduction engine-identical; the dot itself is the "
-    "proven sequential-fold idiom. Scale: this is the exact per-pair "
-    "baseline (every q compares to every d of paired groups, "
-    "group-keyed SMJ); at 100 TB the candidate d-set per q comes from "
-    "sim_lsh_bucketed and the same max/mean tail is unchanged. "
-    "Zero-norm vectors excluded on both engines",
+    "cos(q, d) over a deterministic 1-in-K adaptive q stratum (d side "
+    "FULL, so every max is exact; the stratum bounds cost exactly like "
+    "the sampled keep-precision audit). Determinism: vectors live on "
+    f"an exact 1/{_MAXSIM_GRID} integer grid, so the dot is an exact "
+    "BIGINT sum — ANY evaluation order agrees, which is what lets the "
+    "hot loop be one int64 numpy matmul (Q x D^T) per Arrow batch (the "
+    "covariance-Gram pattern: dense linear algebra earns the Pandas "
+    "boundary, and integer matmul costs nothing in determinism); "
+    "cosines then quantize to a 1e-9 grid before the order-free "
+    "max/mean. The bounded q stratum (~500 rows by the adaptive rule) "
+    "ships to executors inside the closure — the documented bounded-"
+    "collect class — and each batch pre-reduces to per-(q, d_label) "
+    "partial maxima, so the shuffle carries O(q x labels) rows per "
+    "batch, never the pair matrix. At 100 TB the candidate d-set per "
+    "q comes from sim_lsh_bucketed and the same max/mean tail is "
+    "unchanged. Zero-norm and non-modal-width vectors excluded on "
+    "both engines",
     tags=("similarity", "embedding", "ext"),
 )
 def sim_maxsim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("dv")
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    out_schema = "q_label int, d_label int, maxsim double"
+    maxd = emb.agg(F.max(F.size("embedding"))).collect()[0][0]
+    if maxd is None:
+        return spark.createDataFrame([], out_schema)
+    n_total = emb.count()
+    md = max(
+        _MAXSIM_Q_STRATUM,
+        (n_total + _MAXSIM_TARGET_Q - 1) // _MAXSIM_TARGET_Q,
     )
-    sumsq = F.aggregate(
-        F.transform("dv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    nz = (
+        emb.filter(F.size("embedding") == maxd)
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                f"transform(embedding, x -> "
+                f"CAST(floor(CAST(x AS DOUBLE) * {_MAXSIM_GRID} + 0.5) AS BIGINT))"
+            ).alias("q"),
+        )
+        .withColumn("n2", F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+        .filter(F.col("n2") > 0)
     )
-    nz = track_persist(
-        v.withColumn("nrm", F.sqrt(sumsq)).filter(F.col("nrm") > 0)
+    # bounded collect (~TARGET_Q rows by the adaptive stratum rule —
+    # same class as the IVF/PQ samples and the PCA iterate): the query
+    # side rides into the executors inside the mapInPandas closure
+    qrows = nz.filter(F.col("vec_id") % md == 0).select(
+        "label", "vec_id", "q", "n2"
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    Q = np.array([list(r["q"]) for r in qrows], dtype=np.int64)
+    q_label = np.array([r["label"] for r in qrows], dtype=np.int64)
+    q_vec = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qnorm = np.sqrt(np.array([r["n2"] for r in qrows], dtype=np.float64))
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            D = np.array(pdf["q"].to_list(), dtype=np.int64)
+            dnorm = np.sqrt(pdf["n2"].to_numpy(dtype="float64"))
+            dlab = pdf["label"].to_numpy()
+            # exact int64 dots; all float ops elementwise IEEE, same
+            # bits as the oracle's scalar expressions on the same ints
+            dots = (Q @ D.T).astype(np.float64)
+            cg = np.floor(dots / np.outer(qnorm, dnorm) * 1e9 + 0.5).astype(
+                np.int64
+            )
+            frames = []
+            for lbl in np.unique(dlab):
+                m = cg[:, dlab == lbl].max(axis=1)
+                keep = q_label != lbl
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_label": q_label[keep].astype("int32"),
+                            "q_vec": q_vec[keep],
+                            "d_label": np.int32(lbl),
+                            "m": m[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    parts = nz.select("label", "q", "n2").mapInPandas(
+        partials, schema="q_label int, q_vec long, d_label int, m long"
     )
-    a = nz.select(
-        F.col("label").alias("q_label"),
-        F.col("vec_id").alias("q_vec"),
-        F.col("dv").alias("qa"),
-        F.col("nrm").alias("na"),
+    best = parts.groupBy("q_label", "q_vec", "d_label").agg(
+        F.max("m").alias("m")
     )
-    b = nz.select(
-        F.col("label").alias("d_label"),
-        F.col("dv").alias("db"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qa", "db", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cg = F.floor(dot / (F.col("na") * F.col("nb")) * F.lit(1e9) + F.lit(0.5)).cast(
-        "bigint"
-    )
-    # adaptive stratum, integer-exact mirror of the oracle's params CTE:
-    # md = max(floor, ceil(n / target)) keeps the q-vector count ~flat
-    # as the corpus grows, so pair work is linear in n
-    md = load(spark, sf_dir, "embeddings").agg(
-        F.greatest(
-            F.lit(_MAXSIM_Q_STRATUM),
-            F.expr(f"(count(*) + {_MAXSIM_TARGET_Q - 1}) div {_MAXSIM_TARGET_Q}"),
-        ).alias("md")
-    )
-    cos = (
-        a.crossJoin(F.broadcast(md))
-        .filter(F.col("q_vec") % F.col("md") == 0)
-        .join(b, F.col("q_label") != F.col("d_label"))
-        .select("q_label", "q_vec", "d_label", cg.alias("cg"))
-    )
-    best = cos.groupBy("q_label", "q_vec", "d_label").agg(F.max("cg").alias("m"))
     return best.groupBy("q_label", "d_label").agg(
         stable_round(F.sum("m") / F.count("*") / F.lit(1e9), 6).alias("maxsim")
     )
