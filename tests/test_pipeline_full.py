@@ -108,6 +108,43 @@ def test_iter_dataset_source(spark):
     assert empty.count() == 0
 
 
+def test_iter_dataset_source_is_lazy(spark):
+    """The adapter must never materialize the whole iterator on the
+    driver: consumption happens in batch_size chunks via islice. A
+    generator that counts its peak un-consumed position proves only
+    one batch is pulled ahead of each createDataFrame call — list()ing
+    it first (the old bug) would drain all rows before any batch."""
+    from talknet_segmentation_batchprocessing_spark.sources.corpus import (
+        iter_dataset_source,
+    )
+
+    pulled = []
+
+    def gen():
+        for i in range(10):
+            pulled.append(i)
+            yield {"video_id": f"v{i}", "path": f"/x/{i}", "byte_len": i}
+
+    class ChunkSpy:
+        """Wraps spark; records how many rows were pulled when each
+        createDataFrame fires."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.pull_marks = []
+
+        def createDataFrame(self, data, schema):
+            self.pull_marks.append(len(pulled))
+            return self._inner.createDataFrame(data, schema)
+
+    spy = ChunkSpy(spark)
+    df = iter_dataset_source(spy, gen(), batch_size=3)
+    assert df.count() == 10
+    # first batch fired after only 3 rows were drawn, not all 10
+    assert spy.pull_marks[0] == 3
+    assert spy.pull_marks == [3, 6, 9, 10]
+
+
 def test_full_pipeline_real_forward(spark, tmp_path):
     """The media pipeline driving the REAL numpy TalkNet forward: fake
     decode -> detect -> track -> featurize (face crops + per-track

@@ -98,3 +98,18 @@ def test_vacuum_retention_and_pinned_reader_error(spark, table):
     assert list_versions(table) == [2]
     with pytest.raises(ValueError):
         vacuum(table, keep_last=0)
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL/Delta DELETE semantics: rows where the predicate evaluates
+    to NULL are KEPT, not deleted (only TRUE rows go)."""
+    t = str(tmp_path / "nulltbl")
+    df = spark.createDataFrame(
+        [(0, 5), (1, None), (2, 200)], "k long, v long"
+    )
+    init_table(df, t)
+    delete_where(spark, t, "v < 100")
+    kept = {r["k"] for r in read_table(spark, t).collect()}
+    # k=0 (v=5, TRUE) deleted; k=1 (v NULL -> predicate NULL) kept;
+    # k=2 (FALSE) kept
+    assert kept == {1, 2}
