@@ -138,6 +138,63 @@ def pyav_decoder(fps: float = FPS, sr: int = SAMPLE_RATE) -> Decoder:
     return decode
 
 
+def riff_decoder(fps: float = FPS, sr: int = SAMPLE_RATE) -> Decoder:
+    """REAL decoder for uncompressed RIFF media — no codec library.
+
+    Parses actual container bytes (the ``content`` column from a
+    ``binaryFile`` corpus scan) via sources/riff.py: uncompressed
+    8-bit-grayscale AVI (frames + optional PCM audio track) or mono
+    16-bit PCM WAV (audio only). Output matches the reference's ffmpeg
+    normalize contract (demoTalkNet.py:485-508): constant ``fps`` video
+    grid (nearest-source-frame CFR resample, ties to the earlier frame
+    in exact integer half-tick units — the same rule as pyav_decoder)
+    and ``sr`` mono int16 audio (nearest-index resample). Unlike
+    ``pyav_decoder`` this needs NO optional dependency, so the
+    real-bytes ingest path is exercised by tests in this image.
+    """
+    from .riff import read_avi, read_wav
+
+    def _resample_nearest_audio(samples: np.ndarray, src_sr: int) -> np.ndarray:
+        if src_sr == sr or len(samples) == 0:
+            return samples.astype(np.int16, copy=False)
+        n_out = int(round(len(samples) * sr / src_sr))
+        # exact integer nearest: j = round(i * src/dst) half-up
+        idx = ((np.arange(n_out, dtype=np.int64) * 2 * src_sr + sr) // (2 * sr))
+        return samples[np.clip(idx, 0, len(samples) - 1)].astype(np.int16)
+
+    def decode(video_id: str, content: bytes | None):
+        if content is None:
+            raise ValueError(
+                f"riff_decoder needs media bytes for {video_id!r}; read "
+                "the corpus with a 'content' column (binaryFile / "
+                "scan_video_folder(with_content=True))"
+            )
+        if content[:4] != b"RIFF":
+            raise ValueError(f"{video_id!r} is not a RIFF container")
+        if content[8:12] == b"WAVE":
+            samples, src_sr = read_wav(content)
+            return [], 0, 0, _resample_nearest_audio(samples, src_sr)
+        raw, src_fps, samples, src_sr = read_avi(content)
+        height, width = (raw[0].shape if raw else (0, 0))
+        frames: list[bytes] = []
+        if len(raw) == 1:
+            frames = [raw[0].tobytes()]
+        elif raw:
+            # CFR resample onto the fps grid, same integer half-tick
+            # nearest rule as pyav_decoder (source is CFR: frame i at
+            # i / src_fps seconds)
+            times = np.arange(len(raw)) / src_fps
+            ht = np.round(times * fps * 2).astype(np.int64)
+            grid = np.arange(0, ht[-1] + 1, 2)
+            pos = np.clip(np.searchsorted(ht, grid), 1, len(ht) - 1)
+            left_closer = (grid - ht[pos - 1]) <= (ht[pos] - grid)
+            nearest = np.where(left_closer, pos - 1, pos)
+            frames = [raw[i].tobytes() for i in nearest]
+        return frames, height, width, _resample_nearest_audio(samples, src_sr)
+
+    return decode
+
+
 def explode_frames(
     videos: DataFrame,
     decoder: Decoder | None = None,
