@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.lsh import sign_signatures
 from ..functions.rounding import stable_round
 from ..functions.shingles import word_shingles
 from ..registry import load, query, track_persist
@@ -1002,17 +1003,15 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    js = spark.range(0, 8).select(F.col("id").alias("j"))
-    proj = emb.crossJoin(F.broadcast(js)).withColumn(
-        "dot",
+    # shared BLAS signature kernel (functions/lsh.py): signs are
+    # bit-identical to the oracle's sequential fold
+    sigs = sign_signatures(emb, 8)
+    return sigs.select(
+        "vec_id",
         F.expr(
-            "aggregate(transform(v, (x, i0) -> x * ((((j * 64 + i0) * 2654435761) % 2000) / 1000.0 - 1.0)),"
-            " cast(0.0 as double), (acc, x) -> acc + x)"
-        ),
-    )
-    weight = F.pow(F.lit(2.0), F.col("j")).cast("bigint")
-    return proj.groupBy("vec_id").agg(
-        F.sum(F.when(F.col("dot") > 0, weight).otherwise(0)).cast("bigint").alias("bucket")
+            "aggregate(sequence(0, 7), 0L, (acc, j) -> "
+            "acc + IF(signs[j], cast(shiftleft(1, j) as bigint), 0L))"
+        ).alias("bucket"),
     )
 
 
@@ -2412,55 +2411,75 @@ def dedup_semantic_keep_lsh(
     n = emb.count()
     m = (n + _SKL_TARGET_BUCKET - 1) // _SKL_TARGET_BUCKET
     bits = max(4, min(12, (m - 1).bit_length() if m > 1 else 1))
-    js = spark.range(0, _SKL_BANDS * bits).select(F.col("id").alias("j"))
-    proj = emb.crossJoin(F.broadcast(js)).withColumn(
-        "dot",
-        F.expr(
-            "aggregate(transform(v, (x, i0) -> x * ((((j * 64 + i0) * 2654435761) % 2000) / 1000.0 - 1.0)),"
-            " cast(0.0 as double), (acc, x) -> acc + x)"
-        ),
-    )
+    # signatures via the shared BLAS kernel (functions/lsh.py): one
+    # matmul per Arrow batch with borderline dots re-folded, so signs
+    # are bit-identical to the oracle's sequential list_sum fold; the
+    # old crossJoin-lambda form was 2/3 of the query's wall at sf1
+    sigs = sign_signatures(emb, _SKL_BANDS * bits)
     sig = track_persist(
-        proj.groupBy("vec_id", F.expr(f"j div {bits}").alias("band"))
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dot") > 0,
-                    F.expr(f"shiftleft(1, cast(j % {bits} as int))"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("bucket")
+        sigs.select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_SKL_BANDS - 1}), b -> "
+                    f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> "
+                    f"acc + IF(signs[b * {bits} + k], "
+                    f"cast(shiftleft(1, k) as bigint), 0L)))"
+                )
+            ).alias("band", "bucket"),
         )
     )
-    a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
-    b = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    # Verify WITHIN each (band, bucket) group instead of materializing
+    # the candidate-pair frame: the old shape joined the vector arrays
+    # onto every candidate row (17M pairs x two 512-byte arrays ~ 9 GB
+    # of shuffle at the 10x probe, then 17M JVM zip_with folds); here
+    # the shuffle is one vector copy per (vector, band) — n * bands
+    # rows — and each group computes its pairwise cosines with the
+    # EXACT-fold Gram kernel (functions/lsh.py: elementwise
+    # accumulation in list_sum order, vectorized across pairs), so
+    # every emitted cosine is bit-identical to the oracle's fold.
+    # Cross-band duplicates dedupe AFTER thresholding: distinct runs
+    # on surviving edges (~thousands), not 17M candidates.
+    import pandas as pd
+
+    from ..deploy import ensure_worker_imports
+    from ..functions.lsh import fold_gram, fold_norms
+
+    ensure_worker_imports(emb)
+    thr = _COS_NEAR_DUP_THRESHOLD
+    empty_pairs = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+        }
     )
-    # norms computed ONCE per vector (identical doubles to a per-pair
-    # recompute, so the oracle threshold compare is unaffected) — the
-    # per-pair work is one dot fold, not three
-    normed = emb.withColumn("nrm", F.expr(_NORM_SPARK))
-    av = normed.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("nrm").alias("na")
-    )
-    bv = normed.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"), F.col("nrm").alias("nb")
-    )
-    dot_ab = (
-        "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    cs = F.try_divide(F.expr(dot_ab), F.col("na") * F.col("nb"))
+
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return empty_pairs
+        ids = pdf["vec_id"].to_numpy()
+        V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = fold_norms(V)
+        G = fold_gram(V)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            CS = G / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.nonzero(np.triu(CS > thr, k=1))
+        # orient (min, max) by id — dot/norm folds are symmetric, so
+        # orientation cannot change the value
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids[ia], ids[ib]),
+                "vec_b": np.maximum(ids[ia], ids[ib]),
+            }
+        )
+
     pairs = (
-        cand.join(av, "vec_a")
-        .join(bv, "vec_b")
-        .withColumn("cs", cs)
-        .filter(F.col("cs") > _COS_NEAR_DUP_THRESHOLD)
-        .select("vec_a", "vec_b")
+        sig.join(emb, "vec_id")
+        .groupBy("band", "bucket")
+        .applyInPandas(bucket_verify, "vec_a long, vec_b long")
+        .distinct()
     )
     out = connected_components_star(emb.select("vec_id"), pairs, edges_distinct=True)
     return (
@@ -3243,54 +3262,28 @@ FROM (
     tags=("similarity", "graph", "ext"),
 )
 def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # adaptive bits, integer-exact mirror of the oracle's params CTE
+    # adaptive bits, integer-exact mirror of the oracle's params CTE —
+    # one bounded scalar count sizes the bit width (same class as
+    # dedup_semantic_keep_lsh's), then the shared BLAS signature kernel
+    # (functions/lsh.py) computes all sign bits in one matmul pass with
+    # borderline dots re-folded to match the oracle's sequential fold
     all_v = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bits_f = all_v.agg(
-        F.greatest(
-            F.lit(_KNN_MIN_BITS),
-            F.least(
-                F.lit(_KNN_MAX_BITS),
-                F.when(
-                    F.expr(
-                        f"(count(*) + {_KNN_TARGET_BUCKET - 1})"
-                        f" div {_KNN_TARGET_BUCKET}"
-                    )
-                    <= 1,
-                    F.lit(1),
-                ).otherwise(
-                    F.length(
-                        F.bin(
-                            F.expr(
-                                f"(count(*) + {_KNN_TARGET_BUCKET - 1})"
-                                f" div {_KNN_TARGET_BUCKET}"
-                            )
-                            - 1
-                        )
-                    )
-                ),
-            ),
-        )
-        .cast("long")
-        .alias("bits")
+    n = all_v.count()
+    m = (n + _KNN_TARGET_BUCKET - 1) // _KNN_TARGET_BUCKET
+    bits = max(
+        _KNN_MIN_BITS,
+        min(_KNN_MAX_BITS, (m - 1).bit_length() if m > 1 else 1),
     )
-    js = bits_f.select(
-        F.explode(F.sequence(F.lit(0), F.col("bits") - 1)).alias("j")
-    )
-    proj = all_v.crossJoin(F.broadcast(js)).withColumn(
-        "dot",
-        F.expr(
-            "aggregate(transform(v, (x, i0) -> x * ((((j * 64 + i0) * 2654435761)"
-            " % 2000) / 1000.0 - 1.0)), cast(0.0 as double), (acc, x) -> acc + x)"
-        ),
-    )
-    weight = F.pow(F.lit(2.0), F.col("j")).cast("bigint")
+    sigs = sign_signatures(all_v, bits)
     buckets = track_persist(
-        proj.groupBy("vec_id").agg(
-            F.sum(F.when(F.col("dot") > 0, weight).otherwise(0))
-            .cast("bigint")
-            .alias("bucket")
+        sigs.select(
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> "
+                f"acc + IF(signs[j], cast(shiftleft(1, j) as bigint), 0L))"
+            ).alias("bucket"),
         )
     )
     emb = (
@@ -3304,28 +3297,71 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 0
         )
     )
-    x = buckets.select(F.col("vec_id").alias("vid"), "bucket")
-    y = buckets.select(F.col("vec_id").alias("nid"), F.col("bucket").alias("b2"))
-    pairs = (
-        x.join(y, (F.col("bucket") == F.col("b2")) & (F.col("vid") != F.col("nid")))
-        .join(emb.select(F.col("vec_id").alias("vid"), F.col("v").alias("av")), "vid")
-        .join(emb.select(F.col("vec_id").alias("nid"), F.col("v").alias("bv")), "nid")
+    # Per-bucket top-k INSIDE one applyInPandas group: every vector
+    # lives in exactly one bucket (single band), so its entire top-k
+    # is local to the group — the bucket equi-self-join, the two
+    # array-carrying verify joins and the global rank window all
+    # collapse into one vector-per-row shuffle plus an in-kernel
+    # EXACT-fold Gram (functions/lsh.py — cosines bit-identical to
+    # the oracle's sequential list_sum fold, ranking ties broken by
+    # neighbor id exactly like the oracle's ORDER BY cs DESC, nid).
+    import pandas as pd
+
+    from ..deploy import ensure_worker_imports
+    from ..functions.lsh import fold_gram, fold_norms
+
+    ensure_worker_imports(emb)
+    k = _KNN_K
+    empty_knn = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "cs": pd.Series([], dtype="float64"),
+            "rank": pd.Series([], dtype="int32"),
+        }
     )
-    an = F.expr(_NORM_SPARK.replace("(v,", "(av,"))
-    bn = F.expr(_NORM_SPARK.replace("(v,", "(bv,"))
-    scored = pairs.withColumn(
-        "cs", F.try_divide(F.expr(_DOT_AB_SPARK), an * bn)
-    )
-    w = Window.partitionBy("vid").orderBy(F.desc("cs"), "nid")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _KNN_K)
-        .select(
-            F.col("vid").alias("vec_id"),
-            F.col("nid").alias("neighbor_id"),
-            stable_round("cs", 4).alias("cos_sim"),
-            "rank",
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        c = len(pdf)
+        if c < 2:
+            return empty_knn
+        ids = pdf["vec_id"].to_numpy()
+        V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = fold_norms(V)
+        CS = fold_gram(V) / (nrm[:, None] * nrm[None, :])
+        out_v, out_n, out_c, out_r = [], [], [], []
+        others = np.arange(c)
+        for r in range(c):
+            mask = others != r
+            nid, s = ids[mask], CS[r, mask]
+            top = np.lexsort((nid, -s))[:k]
+            out_v.extend([ids[r]] * len(top))
+            out_n.extend(nid[top])
+            out_c.extend(s[top])
+            out_r.extend(range(1, len(top) + 1))
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(out_v, dtype="int64"),
+                "neighbor_id": np.asarray(out_n, dtype="int64"),
+                "cs": np.asarray(out_c, dtype="float64"),
+                "rank": np.asarray(out_r, dtype="int32"),
+            }
         )
+
+    scored = (
+        buckets.join(emb, "vec_id")
+        .groupBy("bucket")
+        .applyInPandas(
+            bucket_topk, "vec_id long, neighbor_id long, cs double, rank int"
+        )
+    )
+    return scored.select(
+        "vec_id",
+        "neighbor_id",
+        stable_round("cs", 4).alias("cos_sim"),
+        "rank",
     )
 
 

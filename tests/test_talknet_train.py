@@ -195,3 +195,28 @@ def test_missing_head_params_fail_fast(spark, w):
     feats = spark.createDataFrame(pdf)
     with pytest.raises(KeyError, match="missing head params"):
         train_heads_epoch(feats, stripped, lr=0.1)
+
+
+def test_train_distributed_fallback_matches_head_trainer(spark, w):
+    """train_distributed (the TorchDistributor-shaped M5 front door,
+    talkNet.py:20-86) must fall back to the exact head trainer in a
+    torch-free image and say so — identical weights/losses to calling
+    train_heads_adam directly."""
+    from talknet_segmentation_batchprocessing_spark.operators.talknet_train import (
+        train_distributed,
+        train_heads_adam,
+    )
+
+    rng = np.random.default_rng(9)
+    X_av, X_a, X_v, y = _data(rng, 16)
+    pdf = pd.DataFrame(
+        {"av": list(X_av), "a": list(X_a), "v": list(X_v), "label": y.astype(int)}
+    )
+    feats = spark.createDataFrame(pdf)
+    w1, losses1, n1, backend = train_distributed(spark, feats, w, epochs=2, lr=0.01)
+    assert backend == "heads-allreduce"
+    w2, losses2, n2, _st = train_heads_adam(feats, w, epochs=2, lr=0.01)
+    assert n1 == n2 == 16
+    assert losses1 == losses2
+    for k in w1:
+        np.testing.assert_array_equal(w1[k], w2[k])
