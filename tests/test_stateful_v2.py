@@ -31,9 +31,11 @@ def _protobuf_works() -> bool:
 
 needs_protobuf = pytest.mark.skipif(
     not _protobuf_works(),
-    reason="transformWithStateInPandas state IPC needs google.protobuf "
-    "(absent/broken in this image); processor logic is covered by the "
-    "fake-handle test below",
+    reason="transformWithStateInPandas state IPC needs the protobuf "
+    "runtime: `pip install protobuf==6.33.0` (the version pyspark's "
+    "vendored StateMessage_pb2.py gencode targets — see README "
+    "'Optional dependencies'); absent in this image. Processor logic "
+    "is covered by the fake-handle test below",
 )
 
 

@@ -126,3 +126,51 @@ def test_parity_version_mismatch_fails_loudly(tmp_path):
         parity.run_talknet_parity(
             str(tmp_path / "talknet.npz"), str(tmp_path / "talknet_golden.npz")
         )
+
+
+def test_talknet_forward_matches_committed_regression_golden():
+    """Cross-ROUND wiring pin: the synthetic round-trip test above
+    regenerates its golden in the same run, so a forward-wiring change
+    moves both sides and passes silently. This golden was generated
+    once (round 7) from init_weights(seed=7) on the fixed parity
+    inputs and is COMMITTED — any future change to the numpy forward's
+    numerics fails here loudly. Not torch parity (that needs the
+    off-sandbox artifacts); a drift detector. Tolerance 0: same code,
+    same seed, same IEEE ops must reproduce bit-identically."""
+    import numpy as np
+
+    from talknet_segmentation_batchprocessing_spark.operators import parity
+    from talknet_segmentation_batchprocessing_spark.operators.talknet_forward import (
+        init_weights as tn_init,
+        talknet_forward,
+    )
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "talknet_seed7_regression.npz"
+    )
+    with np.load(golden_path) as z:
+        golden = {k: z[k] for k in z.files}
+    assert int(np.asarray(golden["inputs_version"])) == parity.INPUTS_VERSION
+    mfcc, frames = parity.golden_inputs_talknet()
+    scores = talknet_forward(tn_init(seed=7), mfcc, frames)
+    np.testing.assert_array_equal(scores, golden["scores"])
+
+
+def test_s3fd_forward_matches_committed_regression_golden():
+    import numpy as np
+
+    from talknet_segmentation_batchprocessing_spark.operators import parity
+    from talknet_segmentation_batchprocessing_spark.operators.s3fd_net import (
+        forward,
+        init_weights as s3_init,
+    )
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "s3fd_seed13_regression.npz"
+    )
+    with np.load(golden_path) as z:
+        golden = {k: z[k] for k in z.files}
+    assert int(np.asarray(golden["inputs_version"])) == parity.INPUTS_VERSION
+    loc, conf, _ = forward(s3_init(seed=13), parity.golden_inputs_s3fd())
+    np.testing.assert_array_equal(loc, golden["loc"])
+    np.testing.assert_array_equal(conf, golden["conf"])
