@@ -153,10 +153,16 @@ _DRIVER_WINDOW = [
     # rotation debt: the five late-round-5 queries, first driver rows
     "sketch_kmv_setops", "sketch_hll_merge", "text_gopher_rules",
     "text_perplexity_bucket", "dedup_cluster_stats",
-    # plans change this round: bucketed oriented edge table (graph
-    # family), sampled keep-precision audit, char-ngram plan check
-    "graph_triangle_count", "graph_pagerank", "dedup_keep_lsh_recall",
-    "dedup_char_ngram",
+    # Round-7 rotation: plans changed this round for the whole LSH
+    # family (shared exact-fold signature/Gram kernels + per-bucket
+    # verify; dedup_semantic_keep additionally gained the adaptive
+    # exact-stratum bound) — every member must be driver-checked the
+    # round its plan changes. Displaced for the three additions:
+    # graph_triangle_count, graph_pagerank, dedup_char_ngram (each
+    # r5+r6 driver-green, code unchanged this round, still
+    # mirror-swept in-repo).
+    "dedup_semantic_keep", "dedup_semantic_keep_lsh",
+    "sim_lsh_bucketed", "dedup_keep_lsh_recall",
     # re-confirms: heavy flagships that consume the shared near-dup
     # edge table or sit adjacent to this round's plan changes (new
     # round-6 queries replace entries from this block as they land)
