@@ -290,3 +290,66 @@ def test_detect_batch_equals_per_row(spark, videos_df):
         batched.sort_values(key).reset_index(drop=True),
         per_row.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_video_corpus_stream_rate_limit_and_resume(spark, tmp_path):
+    """TRUE incremental S2 (batchProcessVideos.py:111-124): the
+    video_corpus format under readStream consumes the folder
+    sequentially at max_files_per_batch per micro-batch, and a
+    restarted query resumes from the committed offset — new files
+    only, no reprocessing."""
+    from talknet_segmentation_batchprocessing_spark.sources import datasource
+
+    folder = tmp_path / "drop"
+    folder.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+    for i in range(3):
+        (folder / f"clip{i:03d}.avi").write_bytes(b"x" * (i + 1))
+    datasource.register(spark)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("video_corpus")
+            .option("path", str(folder))
+            .option("max_files_per_batch", "2")
+            .load()
+        )
+        batches: list = []
+
+        def sink(df, epoch_id):
+            rows = df.collect()
+            if rows:
+                batches.append(sorted(r["video_id"] for r in rows))
+            out.extend(rows)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return batches
+
+    # availableNow drains the prefetched batch then stops; each run is
+    # one rate-limited step, and every restart resumes from the
+    # checkpointed offset — loop until the first 3 files are consumed
+    all_batches = []
+    for _ in range(4):
+        all_batches.extend(run_once())
+        if len(out) >= 3:
+            break
+    assert sorted(r["video_id"] for r in out) == ["clip000", "clip001", "clip002"]
+    # rate limit: no micro-batch ever carried more than 2 files
+    assert all(len(b) <= 2 for b in all_batches)
+
+    for i in range(3, 5):
+        (folder / f"clip{i:03d}.avi").write_bytes(b"x")
+    for _ in range(4):
+        run_once()
+        if len(out) >= 5:
+            break
+    ids = sorted(r["video_id"] for r in out)
+    # resume processed ONLY the two new files (no clip000-002 dupes)
+    assert ids == [f"clip{i:03d}" for i in range(5)]
