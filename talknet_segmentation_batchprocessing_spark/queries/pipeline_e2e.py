@@ -153,7 +153,13 @@ def _synthetic_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j6_greedy_tracking",
-    oracle=None,  # order-dependent greedy matching — not SQL-expressible
+    # PERMANENT no_oracle: order-dependent greedy matching (each match
+    # mutates the candidate pool for the next) has no SQL equivalent,
+    # so the driver's row will read err=no_oracle in EVERY round —
+    # adjudicated in rounds 4-6; do not re-litigate. Correctness
+    # instrument: rows-only driver check + the property suite in
+    # tests/test_tracking.py against a reference-algorithm port.
+    oracle=None,
     doc="J6 greedy IoU track association over (video_id, scene_id) "
     "groups via applyInPandas (demoTalkNet.py:146-164 parity, incl. the "
     "remove-during-iterate skip); rows-only check + property tests",
