@@ -106,6 +106,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "text_bigram_logprob",
     "sim_maxsim_groups",
+    "sim_hard_negatives",
     "w16_ohlc_candles",
     "mix_temperature_sampling",
     "curation_rule_attribution",

@@ -78,6 +78,8 @@ HEAVY = [
     # hints dropped this round — measure that AQE picks a scalable plan)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    # round 7: bounded-query one-pass mining — should scale ~linearly
+    "sim_hard_negatives",
 ]
 
 TABLES = [

@@ -3368,3 +3368,162 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import REGISTRY as _REG  # noqa: E402
 
 _REG["sim_knn_graph_lsh"].oracle = _knn_graph_oracle()
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (retrieval / embedding training prep)
+# ---------------------------------------------------------------------------
+
+_HN_K = 5          # negatives kept per query
+_HN_TARGET_Q = 200  # target query count -> stratum scales with n
+_HN_MIN_MD = 4      # stratum floor (1-in-K)
+
+_HARD_NEG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+params AS (
+  SELECT greatest({_HN_MIN_MD},
+                  ((SELECT count(*) FROM e) + {_HN_TARGET_Q - 1})
+                  // {_HN_TARGET_Q}) AS md
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS nrm
+  FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id % (SELECT md FROM params) = 0 AND nrm > 0),
+c AS (SELECT * FROM n WHERE nrm > 0),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neg_label,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+           / (q.nrm * c.nrm) AS cs
+  FROM q JOIN c ON c.label <> q.label
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, neg_label,
+       floor(cs * 1e4 + 0.5) / 1e4 AS cos_sim, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {_HN_K}
+"""
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=_HARD_NEG_ORACLE,
+    doc=f"Hard-negative mining — per query vector, the top-{_HN_K} most "
+    "cosine-similar vectors with a DIFFERENT label: the standard "
+    "negatives pass for contrastive retrieval/embedding training "
+    "(near-misses teach the margin; random negatives are too easy). "
+    f"Queries are the deterministic 1-in-md adaptive stratum (md = "
+    f"max({_HN_MIN_MD}, ceil(n / {_HN_TARGET_Q})), the maxsim/SemDeDup "
+    "rule), so query count stays ~constant and total work is LINEAR "
+    "in corpus size. Shape: the bounded query set rides into a "
+    "mapInPandas closure (bounded-collect class, same as the IVF/PQ "
+    "samples); ONE corpus pass computes each Arrow batch's exact-fold "
+    "Gram against the queries (functions/lsh.py — cosines "
+    "bit-identical to the oracle's sequential list_sum fold) and "
+    "emits batch-local top-k under the global (cs DESC, neighbor_id) "
+    "total order; a final per-query window merges k*batches rows — "
+    "the distributed-TakeOrdered shape, no corpus self-join, no "
+    "shuffle of vector arrays",
+    tags=("similarity", "embedding", "dataset", "ext"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..deploy import ensure_worker_imports
+    from ..functions.lsh import fold_gram, fold_norms
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ensure_worker_imports(emb)
+    n = emb.count()
+    md = max(_HN_MIN_MD, -(-n // _HN_TARGET_Q))
+    q_rows = (
+        emb.filter(F.col("vec_id") % md == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    Vq_all = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    if len(Vq_all) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, neg_label int, "
+            "cos_sim double, rank int"
+        )
+    nq_all = fold_norms(Vq_all)
+    keep = nq_all > 0
+    Vq, nq = Vq_all[keep], nq_all[keep]
+    qid = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)[keep]
+    qlab = np.array([r["label"] for r in q_rows], dtype=np.int64)[keep]
+    k = _HN_K
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "neg_label": pd.Series([], dtype="int32"),
+            "cs": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield empty
+                continue
+            Vc = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            nc = fold_norms(Vc)
+            ok = nc > 0
+            if not ok.any():
+                yield empty
+                continue
+            Vc, nc = Vc[ok], nc[ok]
+            cid = pdf["vec_id"].to_numpy()[ok]
+            clab = pdf["label"].to_numpy()[ok]
+            # (queries x batch) exact-fold cosines; same-label pairs
+            # masked out (the query itself is same-label with itself)
+            G = fold_gram(Vq, Vc)
+            CS = G / (nq[:, None] * nc[None, :])
+            same = qlab[:, None] == clab[None, :]
+            CS = np.where(same, -np.inf, CS)
+            out_q, out_n, out_l, out_c = [], [], [], []
+            kk = min(k, CS.shape[1])
+            for j in range(len(qid)):
+                row = CS[j]
+                top = np.lexsort((cid, -row))[:kk]
+                top = top[np.isfinite(row[top])]
+                out_q.extend([qid[j]] * len(top))
+                out_n.extend(cid[top])
+                out_l.extend(clab[top])
+                out_c.extend(row[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype="int64"),
+                    "neighbor_id": np.asarray(out_n, dtype="int64"),
+                    "neg_label": np.asarray(out_l, dtype="int32"),
+                    "cs": np.asarray(out_c, dtype="float64"),
+                }
+            )
+
+    local_topk = emb.mapInPandas(
+        fn, "query_id long, neighbor_id long, neg_label int, cs double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            stable_round("cs", 4).alias("cos_sim"),
+            "rank",
+        )
+    )

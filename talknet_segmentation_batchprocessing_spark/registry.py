@@ -175,7 +175,10 @@ _DRIVER_WINDOW = [
     # (changed edge-table plan) is displaced too: the round-6 session's
     # own FULL sf0.1 sweep (167/167 green) verified the new bucketed
     # plan end-to-end, and both keep their r5 driver rows.
-    "sim_recall_eval",
+    # sim_hard_negatives is NEW this round (hard-negative mining) —
+    # driver-checked the round it lands; displaced: sim_recall_eval
+    # (r5+r6 driver-green, code unchanged, still mirror-swept in-repo)
+    "sim_hard_negatives",
     "w21_attribution_linear", "q3_shipping_priority",
     "q5_local_supplier_volume", "w22_markov_transitions",
     "sim_rrf_fusion",
