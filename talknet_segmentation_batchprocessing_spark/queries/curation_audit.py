@@ -949,3 +949,111 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.coalesce(z, F.lit(0.0)), 4).alias("z"),
         F.coalesce(F.abs(z) > _NORM_Z_THRESHOLD, F.lit(False)).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration (round 7): reliability bins + ECE contributions
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10  # fixed-width bins over the per-token-margin range
+
+# round-half-away-from-zero integer division written with POSITIVE
+# operands on each branch (Spark div truncates toward zero, DuckDB //
+# floors — they agree only on positives); {a}/{b} are SQL fragments.
+_CAL_RDIV_DUCK = (
+    "(CASE WHEN margin_ppm < 0 "
+    "THEN -((-2 * margin_ppm * 1000 + n_tokens) // (2 * n_tokens)) "
+    "ELSE ((2 * margin_ppm * 1000 + n_tokens) // (2 * n_tokens)) END)"
+)
+_CAL_RDIV_SPARK = (
+    "(CASE WHEN margin_ppm < 0 "
+    "THEN -((-2 * margin_ppm * 1000 + n_tokens) div (2 * n_tokens)) "
+    "ELSE ((2 * margin_ppm * 1000 + n_tokens) div (2 * n_tokens)) END)"
+)
+
+_CALIBRATION_ORACLE = f"""
+WITH {_CLF_PER_DOC_SQL},
+mu AS (
+  SELECT doc_id, {_CAL_RDIV_DUCK} AS mu, {_LBL_SQL} AS is_pos FROM per_doc
+),
+binned AS (
+  SELECT greatest(0, least({_CAL_BINS - 1},
+           CAST((mu + 1000) // {2000 // _CAL_BINS} AS BIGINT))) AS bin,
+         mu, is_pos
+  FROM mu
+),
+per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(mu) AS BIGINT) AS s_mu,
+         CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per_bin)
+SELECT bin, n_docs, pos,
+       floor(((s_mu * 1.0 / n_docs + 1000.0) / 2000.0) * 1e6 + 0.5) / 1e6
+         AS mean_pred,
+       floor((pos * 1.0 / n_docs) * 1e6 + 0.5) / 1e6 AS pos_rate,
+       floor((abs(pos * 1.0 / n_docs
+                  - (s_mu * 1.0 / n_docs + 1000.0) / 2000.0)
+              * n_docs / (SELECT n_total FROM tot)) * 1e6 + 0.5) / 1e6
+         AS ece_part
+FROM per_bin
+"""
+
+
+@query(
+    "classifier_calibration_bins",
+    oracle=_CALIBRATION_ORACLE,
+    doc="Reliability diagram for the quality classifier — the third "
+    "leg of the eval triad (discrimination: classifier_auc_eval; "
+    "ranking utility: classifier_decile_lift; THIS: calibration). "
+    f"Per-token margins (exact half-away-from-zero BIGINT division, "
+    f"positive-operand form) land in {_CAL_BINS} fixed-width bins; "
+    "each bin reports mean linearly-squashed prediction vs empirical "
+    "positive rate plus its weighted ECE contribution (sum of "
+    "ece_part = expected calibration error — the number that decides "
+    "whether the classifier's scores can be THRESHOLDED as "
+    "probabilities for quota-based corpus filtering, FineWeb-Edu "
+    "style, or need recalibration first). Shape: the shared per-doc "
+    "margin aggregate, one bin groupBy (map-side combined, output "
+    f"O({_CAL_BINS}) rows), a broadcast 1-row total — corpus-size-"
+    "independent output; gold labels drop into the is_pos slot via a "
+    "join exactly as in the AUC audit",
+    tags=("text", "eval", "audit", "ext"),
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mu = _clf_margins(spark, sf_dir).select(
+        F.expr(_CAL_RDIV_SPARK).alias("mu"), _lbl_col().alias("is_pos")
+    )
+    width = 2000 // _CAL_BINS
+    binned = mu.select(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(_CAL_BINS - 1),
+                F.expr(f"(mu + 1000) div {width}").cast("bigint"),
+            ),
+        ).alias("bin"),
+        "mu",
+        "is_pos",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("mu").cast("bigint").alias("s_mu"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
+    )
+    tot = per_bin.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    pred = (F.col("s_mu") * F.lit(1.0) / F.col("n_docs") + F.lit(1000.0)) / F.lit(
+        2000.0
+    )
+    rate = F.col("pos") * F.lit(1.0) / F.col("n_docs")
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_docs",
+        "pos",
+        stable_round(pred, 6).alias("mean_pred"),
+        stable_round(rate, 6).alias("pos_rate"),
+        stable_round(
+            F.abs(rate - pred) * F.col("n_docs") / F.col("n_total"), 6
+        ).alias("ece_part"),
+    )

@@ -195,7 +195,11 @@ _DRIVER_WINDOW = [
     "sim_maxsim_groups", "w16_ohlc_candles",
     "mix_temperature_sampling", "curation_rule_attribution",
     "emb_matryoshka_recall", "dataset_card_stats",
-    "dedup_threshold_sweep", "w17_rate_limit", "w18_ema_decay",
+    # classifier_calibration_bins is NEW this round (reliability/ECE
+    # audit) — driver-checked the round it lands; displaced:
+    # w18_ema_decay (r6 driver-green, code unchanged, mirror-swept)
+    "dedup_threshold_sweep", "w17_rate_limit",
+    "classifier_calibration_bins",
     "text_classifier_score", "shard_balance_audit",
     # displaced for sim_knn_graph_lsh + w19_forward_fill +
     # w20_conversion_latency + emb_norm_outliers: dedup_incremental,
