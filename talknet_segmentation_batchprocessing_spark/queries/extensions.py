@@ -3527,3 +3527,78 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quota keep (round 7): soft dedup — keep up to m per near-dup cluster
+# ---------------------------------------------------------------------------
+
+_QUOTA_M = 2  # documents kept per near-dup cluster
+
+_KEEP_QUOTA_ORACLE = f"""
+WITH RECURSIVE
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p0 AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+jac AS (
+  SELECT p.doc_a, p.doc_b
+  FROM p0 p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jac
+),
+cc(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id
+),
+lbl AS (SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
+  FROM lbl
+)
+SELECT d.doc_id, r.cluster_id, CAST(r.rn AS INTEGER) AS keep_rank,
+       d.lang, d.n_chars
+FROM documents d JOIN ranked r ON d.doc_id = r.doc_id
+WHERE r.rn <= {_QUOTA_M}
+"""
+
+
+@query(
+    "dedup_keep_quota",
+    oracle=_KEEP_QUOTA_ORACLE,
+    doc=f"Soft dedup — keep up to {_QUOTA_M} documents per near-dup "
+    "cluster instead of dedup_keep_canonical's single survivor: the "
+    "quota variant curation pipelines use when hard dedup is too "
+    "aggressive (duplicates carry signal about distribution; some "
+    "replication is wanted for high-quality sources, per the "
+    "deduplicate-but-not-to-one findings). Same proven stages "
+    "(shingle equi-join candidates, star CC), then ONE deterministic "
+    "rank window per cluster (ORDER BY doc_id; a quality score drops "
+    "into the same ORDER BY slot) bounded by the quota — the window "
+    "partitions on cluster_id, so no skew beyond the largest cluster, "
+    "and the payload join hash-partitions on the doc key",
+    tags=("dedup", "ext", "pipeline"),
+)
+def dedup_keep_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup_cc_star(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy("doc_id")
+    kept = (
+        clusters.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= _QUOTA_M)
+        .select("doc_id", "cluster_id", F.col("keep_rank").cast("int"))
+    )
+    return docs.join(kept, "doc_id").select(
+        "doc_id", "cluster_id", "keep_rank", "lang", "n_chars"
+    )

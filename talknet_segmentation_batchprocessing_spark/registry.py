@@ -195,10 +195,12 @@ _DRIVER_WINDOW = [
     "sim_maxsim_groups", "w16_ohlc_candles",
     "mix_temperature_sampling", "curation_rule_attribution",
     "emb_matryoshka_recall", "dataset_card_stats",
-    # classifier_calibration_bins is NEW this round (reliability/ECE
-    # audit) — driver-checked the round it lands; displaced:
-    # w18_ema_decay (r6 driver-green, code unchanged, mirror-swept)
-    "dedup_threshold_sweep", "w17_rate_limit",
+    # classifier_calibration_bins + dedup_keep_quota are NEW this
+    # round (reliability/ECE audit; soft-dedup quota keep) —
+    # driver-checked the round they land; displaced: w18_ema_decay and
+    # w17_rate_limit (both r6 driver-green, code unchanged,
+    # mirror-swept in-repo)
+    "dedup_threshold_sweep", "dedup_keep_quota",
     "classifier_calibration_bins",
     "text_classifier_score", "shard_balance_audit",
     # displaced for sim_knn_graph_lsh + w19_forward_fill +
