@@ -1363,3 +1363,83 @@ def test_streaming_ohlc_matches_batch_w16(spark, tmp_path):
         if t not in emitted
     ]
     assert not missing, f"{len(missing)} closed windows never emitted"
+
+
+def test_streaming_semantic_flag_matches_batch(spark, tmp_path):
+    """streaming/semantic.py: the live SemDeDup flagger (stream-static
+    LSH bucket join + exact-fold cosine verify) must emit exactly the
+    pairs the SAME mode-agnostic pipeline emits in batch on the sf0.01
+    embeddings, and every emitted cosine must clear the threshold when
+    recomputed independently with the sequential fold."""
+    import numpy as np
+
+    from talknet_segmentation_batchprocessing_spark.streaming.semantic import (
+        corpus_lsh_index,
+        streaming_semantic_flag,
+    )
+
+    emb = load(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    in_corpus = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint") % 10 < 8
+    )
+    corpus = emb.filter(in_corpus)
+    arriving = emb.filter(~in_corpus).select(
+        "vec_id",
+        "v",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("event_time"),
+    )
+    n = corpus.count()
+    m = (n + 255) // 256
+    bits = max(4, min(12, (m - 1).bit_length() if m > 1 else 1))
+    index = corpus_lsh_index(corpus, bands=4, bits=bits).cache()
+
+    # ground truth: the SAME function on the batch frame
+    want = (
+        streaming_semantic_flag(arriving, index, bands=4, bits=bits)
+        .toPandas()
+        .sort_values(["vec_id", "corpus_id"])
+        .reset_index(drop=True)
+    )
+
+    drop = tmp_path / "vecs"
+    drop.mkdir()
+    arriving.coalesce(1).write.parquet(str(drop / "b0"))
+    stream = spark.readStream.schema(arriving.schema).parquet(str(drop / "*"))
+    got = (
+        _drain(
+            streaming_semantic_flag(stream, index, bands=4, bits=bits),
+            tmp_path,
+            "semantic_flag_stream",
+            mode="update",
+        )
+        .sort_values(["vec_id", "corpus_id"])
+        .reset_index(drop=True)
+    )
+    index.unpersist()
+
+    assert len(want) > 0, "batch twin flagged nothing — test is vacuous"
+    assert got[["vec_id", "corpus_id"]].values.tolist() == want[
+        ["vec_id", "corpus_id"]
+    ].values.tolist()
+    np.testing.assert_array_equal(
+        got["cos_sim"].to_numpy(), want["cos_sim"].to_numpy()
+    )
+
+    # independent verify: every flagged pair clears the threshold under
+    # the strict sequential fold
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in emb.collect()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    for row in got.itertuples(index=False):
+        a, b = vecs[row.vec_id], vecs[row.corpus_id]
+        na = np.sqrt(fold_dot(a, a))
+        nb = np.sqrt(fold_dot(b, b))
+        assert fold_dot(a, b) / (na * nb) > 0.45
