@@ -3602,3 +3602,171 @@ def dedup_keep_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(kept, "doc_id").select(
         "doc_id", "cluster_id", "keep_rank", "lang", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (round 7): embedding-level train/test leakage
+# ---------------------------------------------------------------------------
+
+_SCON_THRESHOLD = 0.45  # cosine above which a test vector is contaminated
+_SCON_SPLIT_MOD = 10    # md5 split: 9/10 train, 1/10 test
+_SCON_TARGET_Q = 200    # audit stratum target over the test side
+_SCON_MIN_MD = 1
+
+_SCON_HASH = "CAST(('0x' || substr(md5('sc' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+_SEMANTIC_CONTAM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_SCON_HASH} % {_SCON_SPLIT_MOD} = 0 AS is_test
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, is_test,
+         sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS nrm
+  FROM e
+),
+params AS (
+  SELECT greatest({_SCON_MIN_MD},
+                  ((SELECT count(*) FROM n WHERE is_test) + {_SCON_TARGET_Q - 1})
+                  // {_SCON_TARGET_Q}) AS md
+),
+q AS (
+  SELECT * FROM n
+  WHERE is_test AND nrm > 0 AND vec_id % (SELECT md FROM params) = 0
+),
+c AS (SELECT * FROM n WHERE NOT is_test AND nrm > 0),
+s AS (
+  SELECT q.vec_id AS test_id, c.vec_id AS train_id,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+           / (q.nrm * c.nrm) AS cs
+  FROM q JOIN c ON TRUE
+),
+best AS (
+  SELECT test_id, train_id, cs,
+         row_number() OVER (PARTITION BY test_id
+                            ORDER BY cs DESC, train_id) AS rn
+  FROM s
+)
+SELECT test_id, train_id AS nearest_train_id,
+       floor(cs * 1e4 + 0.5) / 1e4 AS cos_sim,
+       cs > {_SCON_THRESHOLD} AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
+@query(
+    "contamination_semantic",
+    oracle=_SEMANTIC_CONTAM_ORACLE,
+    doc="Semantic decontamination — the embedding-level companion of "
+    "contamination_ngram/bloom: for each test-split vector (md5 "
+    "1-in-10 split, audit stratum by the adaptive 1-in-md rule), the "
+    "single nearest train-split vector by exact-fold cosine and a "
+    f"contaminated verdict at cos > {_SCON_THRESHOLD} — paraphrased/"
+    "near-duplicate eval leakage that n-gram matching cannot see "
+    "(embedding-similarity decon is the standard complement). Shape "
+    "identical to sim_hard_negatives: the bounded test-query set "
+    "rides into ONE mapInPandas pass over the train corpus "
+    "(exact-fold Gram, functions/lsh.py), each batch emits its local "
+    "best under the (cs DESC, train_id) total order, one per-test "
+    "window takes the global argmax — linear in train-corpus size, "
+    "no vector shuffle. At production scale the full (bounded) eval "
+    "set replaces the stratum in the same slot",
+    tags=("dedup", "similarity", "eval", "dataset", "ext"),
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..deploy import ensure_worker_imports
+    from ..functions.lsh import fold_gram, fold_norms
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ensure_worker_imports(emb)
+    is_test = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sc"), F.col("vec_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _SCON_SPLIT_MOD
+        == 0
+    )
+    tagged = emb.withColumn("is_test", is_test)
+    n_test = tagged.filter("is_test").count()
+    md = max(_SCON_MIN_MD, -(-n_test // _SCON_TARGET_Q))
+    q_rows = (
+        tagged.filter("is_test")
+        .filter(F.col("vec_id") % md == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    Vq_all = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    if len(Vq_all) == 0:
+        return spark.createDataFrame(
+            [], "test_id long, nearest_train_id long, cos_sim double, "
+            "contaminated boolean"
+        )
+    nq_all = fold_norms(Vq_all)
+    keep = nq_all > 0
+    Vq, nq = Vq_all[keep], nq_all[keep]
+    qid = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)[keep]
+
+    empty = pd.DataFrame(
+        {
+            "test_id": pd.Series([], dtype="int64"),
+            "train_id": pd.Series([], dtype="int64"),
+            "cs": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield empty
+                continue
+            Vc = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            nc = fold_norms(Vc)
+            ok = nc > 0
+            if not ok.any():
+                yield empty
+                continue
+            Vc, nc = Vc[ok], nc[ok]
+            cid = pdf["vec_id"].to_numpy()[ok]
+            CS = fold_gram(Vq, Vc) / (nq[:, None] * nc[None, :])
+            # batch-local argmax per test vector under (cs desc, id asc)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qid)):
+                row = CS[j]
+                top = np.lexsort((cid, -row))[0]
+                out_q.append(qid[j])
+                out_n.append(cid[top])
+                out_c.append(row[top])
+            yield pd.DataFrame(
+                {
+                    "test_id": np.asarray(out_q, dtype="int64"),
+                    "train_id": np.asarray(out_n, dtype="int64"),
+                    "cs": np.asarray(out_c, dtype="float64"),
+                }
+            )
+
+    local_best = (
+        tagged.filter(~F.col("is_test"))
+        .select("vec_id", "v")
+        .mapInPandas(fn, "test_id long, train_id long, cs double")
+    )
+    w = Window.partitionBy("test_id").orderBy(F.desc("cs"), "train_id")
+    return (
+        local_best.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "test_id",
+            F.col("train_id").alias("nearest_train_id"),
+            stable_round("cs", 4).alias("cos_sim"),
+            (F.col("cs") > _SCON_THRESHOLD).alias("contaminated"),
+        )
+    )

@@ -175,10 +175,12 @@ _DRIVER_WINDOW = [
     # (changed edge-table plan) is displaced too: the round-6 session's
     # own FULL sf0.1 sweep (167/167 green) verified the new bucketed
     # plan end-to-end, and both keep their r5 driver rows.
-    # sim_hard_negatives is NEW this round (hard-negative mining) —
-    # driver-checked the round it lands; displaced: sim_recall_eval
-    # (r5+r6 driver-green, code unchanged, still mirror-swept in-repo)
-    "sim_hard_negatives",
+    # sim_hard_negatives + contamination_semantic are NEW this round
+    # (hard-negative mining; embedding-level decon) — driver-checked
+    # the round they land; displaced: sim_recall_eval and
+    # w16_ohlc_candles (r5/r6 driver-green, code unchanged, still
+    # mirror-swept in-repo)
+    "sim_hard_negatives", "contamination_semantic",
     "w21_attribution_linear", "q3_shipping_priority",
     "q5_local_supplier_volume", "w22_markov_transitions",
     "sim_rrf_fusion",
@@ -192,7 +194,7 @@ _DRIVER_WINDOW = [
     "pack_token_sequences", "dedup_line_corpus", "talkset_generate",
     "dedup_edit_distance", "bpe_merge_step", "emb_kmeans_assign",
     "basket_pair_lift", "events_anomaly_mad", "text_bigram_logprob",
-    "sim_maxsim_groups", "w16_ohlc_candles",
+    "sim_maxsim_groups",
     "mix_temperature_sampling", "curation_rule_attribution",
     "emb_matryoshka_recall", "dataset_card_stats",
     # classifier_calibration_bins + dedup_keep_quota are NEW this
