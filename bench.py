@@ -130,6 +130,25 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "w22_markov_transitions",
     "sim_rrf_fusion",
+    # round-7 TPC-H postures (queries/tpch.py): the scan-agg,
+    # semi-join, snowflake, topk-join, and double-agg classes
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    # round-7 debuts
+    "contamination_semantic",
+    "dedup_keep_quota",
+    "classifier_calibration_bins",
 ]
 
 

@@ -131,28 +131,39 @@ _LOADED = False
 # parity suite (tests/test_oracle_parity.py, all queries) — the
 # overflow is chosen to be queries that are either trivial projections
 # or already driver-green in round 1.
-# Round-6 rotation (VERDICT r5 Next #1): the five late-round-5
-# curation queries (sketch_kmv_setops, sketch_hll_merge,
-# text_gopher_rules, text_perplexity_bucket, dedup_cluster_stats) get
-# their FIRST driver-green rows — all repo-parity green at sf0.01 in
-# the r5 judge's independent sweep; text_gopher_rules ALSO carries the
-# r5 ADVICE oracle fix (rounded-alias shadowing) so its in-window slot
-# is load-bearing. Anchors kept: the seven flagship/e2e/eval/kernel
-# queries. Also in-window: every query whose PLAN changes this round
-# (graph_triangle_count + graph_pagerank over the bucketed oriented
-# edge table; dedup_keep_lsh_recall's sampled audit; dedup_char_ngram
-# regression chase) and the new round-6 operators, driver-checked the
-# round they land. Displaced: the r5 first-driver-row block (all green
-# in r5 with unchanged code). With r1-r6 together, every registered
-# query has at least one driver-green row.
+# Round-7 allocation: anchors (flagship/e2e/eval/kernels), the 13
+# NEW TPC-H-shaped queries (queries/tpch.py — driver-checked the
+# round they land), every query whose PLAN changed this round (the
+# LSH family's shared exact-fold kernels; dedup_semantic_keep's
+# adaptive exact-stratum bound; q3/q5's dropped fact-side broadcasts
+# per ADVICE r6; emb_pca_power's overflow guard; sim_rrf_fusion's
+# import-order fix), and the four other round-7 debuts
+# (sim_hard_negatives, contamination_semantic, dedup_keep_quota,
+# classifier_calibration_bins). Displaced: r5/r6-green entries with
+# code unchanged this round (named at each rotation point below) —
+# all still mirror-swept in-repo. With r1-r7 together, every
+# registered query has at least one driver-green row; rotation debt
+# stays zero.
 _DRIVER_WINDOW = [
     # anchors: flagship + e2e + eval arm + kernels
     "w1_speaking_segments", "pipeline_scores_to_segments",
     "q1_pricing_summary", "ava_map_eval", "columbia_f1_eval",
     "j6_greedy_tracking", "w6_nms_greedy",
-    # rotation debt: the five late-round-5 queries, first driver rows
-    "sketch_kmv_setops", "sketch_hll_merge", "text_gopher_rules",
-    "text_perplexity_bucket", "dedup_cluster_stats",
+    # The 13 TPC-H-shaped queries (queries/tpch.py) are NEW this
+    # round — driver-checked the round they land. Displaced to make
+    # room (all driver-green in r6 with code unchanged this round,
+    # still mirror-swept in-repo): sketch_kmv_setops,
+    # sketch_hll_merge, text_gopher_rules, text_perplexity_bucket,
+    # dedup_cluster_stats, w21_attribution_linear,
+    # w22_markov_transitions, classifier_auc_eval,
+    # classifier_decile_lift, emb_covariance_pairs,
+    # pack_token_sequences, dedup_line_corpus, talkset_generate.
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_items",
+    "q13_customer_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q17_small_qty_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q21_waiting_suppliers", "q22_sales_opportunity",
     # Round-7 rotation: plans changed this round for the whole LSH
     # family (shared exact-fold signature/Gram kernels + per-bucket
     # verify; dedup_semantic_keep additionally gained the adaptive
@@ -181,17 +192,14 @@ _DRIVER_WINDOW = [
     # w16_ohlc_candles (r5/r6 driver-green, code unchanged, still
     # mirror-swept in-repo)
     "sim_hard_negatives", "contamination_semantic",
-    "w21_attribution_linear", "q3_shipping_priority",
-    "q5_local_supplier_volume", "w22_markov_transitions",
-    "sim_rrf_fusion",
-    "classifier_auc_eval", "classifier_decile_lift",
-    "emb_covariance_pairs", "emb_pca_power",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume", "sim_rrf_fusion",
+    "emb_pca_power",
     # new round-6 queries (driver-checked the round they land;
     # displaced: a6_average_precision, u5_merge_upsert,
     # w12_funnel_steps, j10_interval_join, agg_time_rollup,
     # w14_cohort_retention, text_bigram_topk, sketch_countmin_topk,
     # w15_event_pattern — all r2-r5 driver-green and unchanged since)
-    "pack_token_sequences", "dedup_line_corpus", "talkset_generate",
     "dedup_edit_distance", "bpe_merge_step", "emb_kmeans_assign",
     "basket_pair_lift", "events_anomaly_mad", "text_bigram_logprob",
     "sim_maxsim_groups",
@@ -228,6 +236,7 @@ def _ensure_loaded() -> None:
     from .queries import filters  # noqa: F401  F-family
     from .queries import joins  # noqa: F401  J-family
     from .queries import aggregates  # noqa: F401  A-family
+    from .queries import tpch  # noqa: F401  TPC-H-shaped OLAP postures
     from .queries import eval_arm  # noqa: F401  M6 eval harnesses
     from .queries import extensions  # noqa: F401  LLM-pipeline extensions
     from .queries import dataset_ops  # noqa: F401  training-data curation ops

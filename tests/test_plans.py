@@ -11,6 +11,7 @@ from talknet_segmentation_batchprocessing_spark.plans.inspect import (
     assert_broadcast_join,
     assert_pushed_filter,
     count_exchanges,
+    formatted_plan,
     plan_has,
     single_partition_sorts,
 )
@@ -463,3 +464,145 @@ def test_markov_single_exchange_then_tiny_join(spark):
     _no_python(df._jdf.queryExecution().executedPlan().toString(), "markov")
     assert_broadcast_join(df)
     assert single_partition_sorts(df) == 0
+
+
+# ------------------------------------------------------- TPC-H suite
+# (round 7, queries/tpch.py): each test pins the physical posture the
+# module docstring promises — pushed scans, semi/anti joins that never
+# materialize fan-out, TakeOrdered top-k instead of global sorts,
+# constant-size dims broadcast, SF-linear sides left to AQE, and the
+# q21 single-scan rewrite.
+
+
+def _executed(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pure_scan_agg(spark):
+    """q6: all three predicates reach the parquet scan; the only
+    exchange is the 1-row combine (no hash/range shuffle at all);
+    whole plan JVM-side."""
+    df = q("q6_forecast_revenue", spark)
+    assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert_pushed_filter(df, "LessThan(l_quantity,24.0)")
+    assert_pushed_filter(df, "GreaterThanOrEqual(l_discount,0.05)")
+    assert count_exchanges(df) == 0
+    _no_python(_executed(df), "q6")
+
+
+def test_q4_exists_is_left_semi(spark):
+    """q4: the EXISTS compiles to a LeftSemi join — the orders x
+    lineitem fan-out is never materialized; date filter pushed."""
+    df = q("q4_order_priority", spark)
+    plan = _executed(df)
+    assert "LeftSemi" in plan, f"expected LeftSemi:\n{plan[:3000]}"
+    assert_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_q7_dim_chain_broadcasts_no_cartesian(spark):
+    """q7: the 2-region dim chain broadcasts onto supplier/customer;
+    the pair disjunction never degenerates to a cartesian product."""
+    df = q("q7_volume_shipping", spark)
+    assert_broadcast_join(df)
+    assert "CartesianProduct" not in _executed(df)
+
+
+def test_q8_snowflake_no_cartesian_region_pushed(spark):
+    """q8: 8-way snowflake stays equi-join end-to-end; region/type
+    filters reach their scans; region->nation broadcast."""
+    df = q("q8_market_share", spark)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "EqualTo(r_name,AMERICA)")
+    assert_pushed_filter(df, "EqualTo(p_type,ECONOMY)")
+    assert "CartesianProduct" not in _executed(df)
+
+
+def test_q10_topk_is_takeordered(spark):
+    """q10: the top-20 ranking compiles to TakeOrderedAndProject (per-
+    partition partial top-k), never a global sort; returnflag pushed."""
+    df = q("q10_returned_items", spark)
+    assert "TakeOrderedAndProject" in _executed(df)
+    assert_pushed_filter(df, "EqualTo(l_returnflag,R)")
+    assert single_partition_sorts(df) == 0
+
+
+def test_q13_left_outer_preserved(spark):
+    """q13: the join must stay LEFT OUTER (zero-order customers are
+    the point); the priority filter pushes to the orders scan."""
+    df = q("q13_customer_distribution", spark)
+    plan = _executed(df)
+    assert "LeftOuter" in plan, f"expected LeftOuter:\n{plan[:3000]}"
+    assert_pushed_filter(df, "Not(EqualTo(o_orderpriority,1-URGENT))")
+
+
+def test_q14_month_filter_pushed(spark):
+    df = q("q14_promo_effect", spark)
+    assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert single_partition_sorts(df) == 0
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    """q15: the global-max scalar joins back as a 1-row broadcast —
+    never a driver collect, never a shuffled join of the aggregate
+    against one row."""
+    df = q("q15_top_supplier", spark)
+    assert_broadcast_join(df)
+    assert single_partition_sorts(df) == 0
+
+
+def test_q17_decorrelated_no_cartesian(spark):
+    """q17: the per-part threshold join-back stays an equi-join (the
+    qty < lim residue rides as a join condition, not a cartesian
+    filter); no single-partition sort."""
+    df = q("q17_small_qty_revenue", spark)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert single_partition_sorts(df) == 0
+    _no_python(plan, "q17")
+
+
+def test_q18_having_then_takeordered(spark):
+    """q18: top-100 compiles to TakeOrderedAndProject; the qty
+    aggregate is the driving side (HAVING bounds it, so no global
+    sort anywhere)."""
+    df = q("q18_large_volume_customers", spark)
+    assert "TakeOrderedAndProject" in _executed(df)
+    assert single_partition_sorts(df) == 0
+
+
+def test_q19_part_residue_pushed(spark):
+    """q19: the single-side (brand, size) residue of the OR-of-
+    conjunctions pushes to the part scan — the scan must carry an Or
+    over p_brand — while the cross-side disjunction stays a post-join
+    codegen filter (not a cartesian)."""
+    df = q("q19_disjunctive_revenue", spark)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [" in plan and "Or(And(EqualTo(p_brand" in plan, (
+        f"part-side Or residue not pushed:\n{plan[:4000]}"
+    )
+    assert "CartesianProduct" not in _executed(df)
+
+
+def test_q21_single_lineitem_scan(spark):
+    """q21: the whole point of the grouped rewrite — ONE lineitem scan
+    where the textbook EXISTS/NOT-EXISTS plan needs three; top-100 is
+    TakeOrdered."""
+    df = q("q21_waiting_suppliers", spark)
+    plan = _executed(df)
+    li_scans = sum(
+        1
+        for line in plan.splitlines()
+        if "lineitem.parquet" in line and ("Scan" in line or "Location" in line)
+    )
+    assert li_scans <= 1, f"expected one lineitem scan, got {li_scans}:\n{plan[:3000]}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """q22: the NOT-EXISTS is a LeftAnti join against the date-pushed
+    orders scan; the global-average scalar is a 1-row broadcast."""
+    df = q("q22_sales_opportunity", spark)
+    plan = _executed(df)
+    assert "LeftAnti" in plan, f"expected LeftAnti:\n{plan[:3000]}"
+    assert "Broadcast" in plan
+    assert_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
