@@ -145,6 +145,13 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
+    # round-7 second wave: the derived-partsupp TPC-H family — q9 is
+    # the compound-key fact-fact join, the heaviest TPC-H posture
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q20_dominant_suppliers",
     # round-7 debuts
     "contamination_semantic",
     "dedup_keep_quota",

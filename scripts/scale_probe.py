@@ -75,17 +75,45 @@ HEAVY = [
     "classifier_auc_eval",
     "w21_attribution_linear",
     # round 7: TPC-H joins whose intermediates grow with SF (broadcast
-    # hints dropped this round — measure that AQE picks a scalable plan)
+    # hints dropped this round — measure that AQE picks a scalable
+    # plan). The fact tables are key-shift replicated 10x by
+    # synthesize(), so these ratios measure real relational scale-up.
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    # the derived-partsupp family: q9 is the compound-key fact-fact
+    # join (both sides SF-linear) — the heaviest TPC-H posture
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q20_dominant_suppliers",
     # round 7: bounded-query one-pass mining — should scale ~linearly
     "sim_hard_negatives",
 ]
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events",
-]
+# dims + streams copied as-is (nation/region are constant-size at any
+# SF; events queries are not in HEAVY)
+TABLES = ["region", "nation", "events"]
+
+# SF-linear relational tables: replicated REPLICAS x with all
+# surrogate keys shifted per replica, so every equi-join stays
+# consistent inside its replica and the join fan-out grows linearly —
+# a faithful 10x SF for the TPC-H-shaped heavies
+_KEY_SHIFT = 100_000_000
+_FACT_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
 
 
 def synthesize() -> None:
@@ -94,6 +122,25 @@ def synthesize() -> None:
         dst = f"{SF_BIG}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copy(f"{SF_SMALL}/{t}.parquet", dst)
+
+    for t, keys in _FACT_KEYS.items():
+        dst = f"{SF_BIG}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        src = pq.read_table(f"{SF_SMALL}/{t}.parquet")
+        base = src.to_pandas()
+        out = [base]
+        for k in range(1, REPLICAS):
+            d = base.copy()
+            for c in keys:
+                d[c] = d[c] + k * _KEY_SHIFT
+            out.append(d)
+        big = pd.concat(out, ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(big, schema=src.schema, preserve_index=False),
+            dst,
+        )
+        print(f"replicated {t}: {len(base)} -> {len(big)} rows")
 
     docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()
     n_docs = len(docs)
@@ -176,9 +223,9 @@ def main() -> int:
     sidecar = {
         "metric": "scale_curve_10x",
         "replicas": REPLICAS,
-        "note": "10x documents/embeddings with linear edge density; "
-        "ratio_10x_rows is wall growth on 10x input — sub-quadratic "
-        "plans stay well under ~12x",
+        "note": "10x documents/embeddings with linear edge density and "
+        "10x key-shifted TPC-H fact tables; ratio_10x_rows is wall "
+        "growth on 10x input — sub-quadratic plans stay well under ~12x",
         "queries": curve,
     }
     out_path = os.path.join(os.path.dirname(__file__), "..", "SCALE_CURVE.json")

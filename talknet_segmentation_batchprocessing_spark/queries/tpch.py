@@ -24,7 +24,17 @@ distinct physical posture a 100 TB deployment hits daily —
   simply never correlate);
 - q21: the classic EXISTS/NOT-EXISTS double self-join, rewritten as
   ONE groupBy over the order — two fewer shuffles of the fact table;
-- q22: anti-join + global-average scalar (broadcast, not collect).
+- q22: anti-join + global-average scalar (broadcast, not collect);
+- q2/q9/q11/q16/q20 (derived-partsupp family, see _PARTSUPP_SQL):
+  per-group-min join-back snowflake (q2), the compound-key fact-fact
+  join (q9 — the hardest join in TPC-H), HAVING-vs-global-scalar
+  (q11), count-distinct + NOT-IN anti-join (q16), and the nested
+  EXISTS-over-aggregate chain as a window over one grouped pass
+  (q20).
+
+With these, all 22 canonical TPC-H query classes are covered: 18
+here + q1/q3/q5 in queries/aggregates.py + q12's
+conditional-count-by-group posture via a4_conditional_count.
 
 All money aggregates ride the exact 1e6 integer grid (the q1
 sum_disc_price rule, see _REV_PPM_SQL in aggregates.py) so BIGINT
@@ -941,4 +951,424 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.sum("bal_ppc").cast("bigint") + F.lit(0.5)) / F.lit(1e2)).alias(
             "totacctbal"
         ),
+    )
+
+
+# ------------------------------------------------- derived partsupp
+# The testdata has no partsupp table; the five remaining TPC-H classes
+# (q2/q9/q11/q16/q20) all revolve around it. The relationship it
+# encodes — which supplier supplies which part, at what cost — is
+# recoverable from lineitem: the distinct (l_partkey, l_suppkey)
+# pairs, with min(l_extendedprice) as the supply-cost analog and the
+# total shipped quantity as the availqty analog. Both ride exact
+# integer grids (1e2) so every downstream aggregate is
+# engine-stable BIGINT arithmetic. ONE map-side-combinable groupBy of
+# the fact table — linear, 100 TB-safe — shared by all five queries.
+
+_PARTSUPP_SQL = f"""
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(floor(min(l_extendedprice) * 1e2 + 0.5) AS BIGINT) AS ps_cost_ppc,
+         CAST(sum({_QTY_PPC_SQL}) AS BIGINT) AS ps_qty_ppc
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.floor(F.min("l_extendedprice") * F.lit(1e2) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ps_cost_ppc"),
+        F.sum(_qty_ppc_col()).cast("bigint").alias("ps_qty_ppc"),
+    )
+
+
+# ---------------------------------------------------------------- q2
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "LARGE"
+_Q2_MAX_SIZE = 5
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH ps AS ({_PARTSUPP_SQL}),
+eligible AS (
+  SELECT p.p_partkey, ps.ps_suppkey, ps.ps_cost_ppc,
+         s.s_name, s.s_acctbal, n.n_name
+  FROM ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+   AND p.p_type = '{_Q2_TYPE}' AND p.p_size <= {_Q2_MAX_SIZE}
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{_Q2_REGION}'
+),
+mn AS (
+  SELECT p_partkey, min(ps_cost_ppc) AS min_cost_ppc
+  FROM eligible GROUP BY p_partkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey,
+       floor(e.ps_cost_ppc + 0.5) / 1e2 AS supply_cost
+FROM eligible e
+JOIN mn ON e.p_partkey = mn.p_partkey AND e.ps_cost_ppc = mn.min_cost_ppc
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey
+LIMIT 100
+""",
+    doc="TPC-H-Q2-shaped minimum-cost supplier (adapted: supply cost "
+    "is the min lineitem price per (part, supplier) from the derived "
+    "partsupp — see _PARTSUPP_SQL). The correlated min-cost subquery "
+    "is decorrelated by construction: one groupBy computes the "
+    "per-part min over region-eligible suppliers, then an equi "
+    "join-back on (partkey, exact BIGINT cost) — the q17 pattern on "
+    "a snowflake. Region->nation chain broadcasts; supplier/part "
+    "sides are SF-linear so AQE picks their strategy; final top-100 "
+    "is TakeOrdered with a full deterministic tie-break",
+    tags=("J8", "join"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q2_REGION)
+        .select("r_regionkey")
+    )
+    nat = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == _Q2_TYPE) & (F.col("p_size") <= _Q2_MAX_SIZE))
+        .select("p_partkey")
+    )
+    ps = _derived_partsupp(spark, sf_dir)
+    eligible = (
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .select("p_partkey", "ps_suppkey", "ps_cost_ppc", "s_name", "s_acctbal", "n_name")
+    )
+    mn = eligible.groupBy(F.col("p_partkey").alias("mn_partkey")).agg(
+        F.min("ps_cost_ppc").alias("min_cost_ppc")
+    )
+    top = eligible.join(
+        mn,
+        (eligible.p_partkey == F.col("mn_partkey"))
+        & (eligible.ps_cost_ppc == F.col("min_cost_ppc")),
+    )
+    return (
+        top.orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.floor(F.col("ps_cost_ppc") + F.lit(0.5)) / F.lit(1e2)).alias(
+                "supply_cost"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q9
+
+_Q9_WORD = "red"
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+WITH ps AS ({_PARTSUPP_SQL})
+SELECT nation, o_year,
+       floor(CAST(sum(profit_ppm) AS BIGINT) / 1e4 + 0.5) / 1e2 AS profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         {_REV_PPM_SQL}
+           - ps.ps_cost_ppc * {_QTY_PPC_SQL} * 100 AS profit_ppm
+  FROM lineitem l
+  JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%{_Q9_WORD}%'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+) profit
+GROUP BY nation, o_year
+""",
+    doc="TPC-H-Q9-shaped product-type profit (adapted: profit = "
+    "discounted revenue minus supply-cost x quantity, with the "
+    "derived-partsupp min price as the cost analog; the p_name LIKE "
+    "filter keeps Q9's non-indexable name predicate). The posture is "
+    "the hardest join in TPC-H: a fact-fact equi-join of lineitem "
+    "against the (partkey, suppkey)-keyed partsupp aggregate, both "
+    "SF-linear, shuffled on the compound key — plus four more "
+    "dimensions riding broadcast/AQE. All profit arithmetic is exact "
+    "BIGINT on the 1e6 ppm grid (cost 1e2 x qty 1e2 x 100), so the "
+    "nation/year rollup is engine-stable",
+    tags=("A1", "join", "bench"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(_Q9_WORD))
+        .select("p_partkey")
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _rev_ppm_col().alias("rev_ppm"),
+        _qty_ppc_col().alias("qty_ppc"),
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            "nation",
+            "o_year",
+            (
+                F.col("rev_ppm")
+                - F.col("ps_cost_ppc") * F.col("qty_ppc") * F.lit(100)
+            ).alias("profit_ppm"),
+        )
+    )
+    return j.groupBy("nation", "o_year").agg(
+        (
+            F.floor(F.sum("profit_ppm").cast("bigint") / F.lit(1e4) + F.lit(0.5))
+            / F.lit(1e2)
+        ).alias("profit")
+    )
+
+
+# --------------------------------------------------------------- q11
+
+_Q11_NATION = "NATION_3"
+_Q11_FRACTION_DEN = 1000  # keep parts holding > 1/1000 of total value
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+WITH ps AS ({_PARTSUPP_SQL}),
+byp AS (
+  SELECT ps.ps_partkey,
+         CAST(sum(ps.ps_cost_ppc * ps.ps_qty_ppc) AS BIGINT) AS value4
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = '{_Q11_NATION}'
+  GROUP BY ps.ps_partkey
+),
+tot AS (SELECT CAST(sum(value4) AS BIGINT) AS total4 FROM byp)
+SELECT byp.ps_partkey, floor(byp.value4 / 1e2 + 0.5) / 1e2 AS part_value
+FROM byp, tot
+WHERE byp.value4 * {_Q11_FRACTION_DEN} > tot.total4
+""",
+    doc="TPC-H-Q11-shaped important stock identification: per-part "
+    "inventory value (cost x quantity on the exact 1e4 integer grid) "
+    "for one nation's suppliers, keeping parts above a fixed fraction "
+    "of the total. The HAVING-against-a-scalar-subquery is a 1-row "
+    "broadcast join back onto the per-part aggregate — never a "
+    "driver collect — and the fraction test is exact integer "
+    "cross-multiplication (value * 1000 > total), immune to float "
+    "division. The per-part aggregate subtree is byte-identical on "
+    "both branches, so Spark reuses the exchange (one lineitem scan "
+    "at execution)",
+    tags=("F3", "join"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == _Q11_NATION)
+        .select("n_nationkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    ps = _derived_partsupp(spark, sf_dir)
+    byp = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_cost_ppc") * F.col("ps_qty_ppc"))
+            .cast("bigint")
+            .alias("value4")
+        )
+    )
+    tot = byp.agg(F.sum("value4").cast("bigint").alias("total4"))
+    return (
+        byp.join(
+            F.broadcast(tot),
+            F.col("value4") * F.lit(_Q11_FRACTION_DEN) > F.col("total4"),
+        )
+        .select(
+            "ps_partkey",
+            (F.floor(F.col("value4") / F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------- q16
+
+_Q16_SIZES = [1, 4, 9, 14, 19, 24, 30, 36]
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle=f"""
+WITH ps AS ({_PARTSUPP_SQL})
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#23'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN ({", ".join(str(s) for s in _Q16_SIZES)})
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H-Q16-shaped supplier diversity count (adapted: the "
+    "'customer complaints' exclusion is suppliers with negative "
+    "account balance — the schema has no s_comment). Postures: "
+    "negated predicates stay on the part scan, the NOT IN compiles "
+    "to a LEFT ANTI join (null-safe because s_suppkey is non-null), "
+    "and count(DISTINCT suppkey) per (brand, type, size) is Spark's "
+    "two-phase distinct aggregate — partial per partition, no "
+    "row-level distinct materialization",
+    tags=("A8", "join"),
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#23")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = _derived_partsupp(spark, sf_dir)
+    kept = ps.join(
+        bad_supp, ps.ps_suppkey == bad_supp.s_suppkey, "left_anti"
+    ).join(part, F.col("ps_partkey") == part.p_partkey)
+    return kept.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt")
+    )
+
+
+# --------------------------------------------------------------- q20
+
+_Q20_LO = "1996-01-01"
+_Q20_HI = "1997-01-01"
+_Q20_BRAND = "Brand#12"
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle=f"""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum({_QTY_PPC_SQL}) AS BIGINT) AS qty_ppc,
+         CAST(sum(CAST(sum({_QTY_PPC_SQL}) AS BIGINT))
+              OVER (PARTITION BY l_partkey) AS BIGINT) AS part_qty_ppc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q20_LO} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{_Q20_HI} 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+dominant AS (
+  SELECT DISTINCT sh.l_suppkey
+  FROM shipped sh
+  JOIN part p ON p.p_partkey = sh.l_partkey AND p.p_brand = '{_Q20_BRAND}'
+  WHERE 2 * sh.qty_ppc > sh.part_qty_ppc
+)
+SELECT s.s_name, n.n_name, s.s_acctbal
+FROM supplier s
+JOIN dominant d ON d.l_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+    doc="TPC-H-Q20-shaped dominant-supplier selection (adapted: Q20's "
+    "'availqty > half of shipped quantity' becomes 'this supplier "
+    "shipped more than half of the part's total for the year' — the "
+    "same nested EXISTS-over-aggregate chain). Spark-first: ONE "
+    "lineitem scan aggregated per (part, supplier), the per-part "
+    "total as a partkey-partitioned window OVER that aggregate "
+    "(cardinality = supplier pairs, never raw rows; same trick as "
+    "q21), the half test as exact integer cross-multiplication, then "
+    "a distinct-supplier semi set joined to supplier/nation. The "
+    "date filter pushes to the scan",
+    tags=("J7", "join"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q20_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q20_HI).cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", _qty_ppc_col().alias("qty_ppc"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty_ppc").cast("bigint").alias("qty_ppc")
+    )
+    w = Window.partitionBy("l_partkey")
+    shipped = shipped.withColumn(
+        "part_qty_ppc", F.sum("qty_ppc").over(w).cast("bigint")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _Q20_BRAND)
+        .select("p_partkey")
+    )
+    dominant = (
+        shipped.join(part, shipped.l_partkey == part.p_partkey)
+        .filter(F.lit(2) * F.col("qty_ppc") > F.col("part_qty_ppc"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name", "s_acctbal")
     )

@@ -131,7 +131,7 @@ _LOADED = False
 # parity suite (tests/test_oracle_parity.py, all queries) — the
 # overflow is chosen to be queries that are either trivial projections
 # or already driver-green in round 1.
-# Round-7 allocation: anchors (flagship/e2e/eval/kernels), the 13
+# Round-7 allocation: anchors (flagship/e2e/eval/kernels), the 18
 # NEW TPC-H-shaped queries (queries/tpch.py — driver-checked the
 # round they land), every query whose PLAN changed this round (the
 # LSH family's shared exact-fold kernels; dedup_semantic_keep's
@@ -164,6 +164,14 @@ _DRIVER_WINDOW = [
     "q15_top_supplier", "q17_small_qty_revenue",
     "q18_large_volume_customers", "q19_disjunctive_revenue",
     "q21_waiting_suppliers", "q22_sales_opportunity",
+    # ...and the 5 derived-partsupp TPC-H queries (q2/q9/q11/q16/q20,
+    # also NEW this round). Displaced: mix_temperature_sampling,
+    # curation_rule_attribution, dataset_card_stats, w19_forward_fill,
+    # w20_conversion_latency (all r6 driver-green, code unchanged,
+    # still mirror-swept in-repo).
+    "q2_min_cost_supplier", "q9_product_type_profit",
+    "q11_important_stock", "q16_supplier_part_count",
+    "q20_dominant_suppliers",
     # Round-7 rotation: plans changed this round for the whole LSH
     # family (shared exact-fold signature/Gram kernels + per-bucket
     # verify; dedup_semantic_keep additionally gained the adaptive
@@ -203,8 +211,7 @@ _DRIVER_WINDOW = [
     "dedup_edit_distance", "bpe_merge_step", "emb_kmeans_assign",
     "basket_pair_lift", "events_anomaly_mad", "text_bigram_logprob",
     "sim_maxsim_groups",
-    "mix_temperature_sampling", "curation_rule_attribution",
-    "emb_matryoshka_recall", "dataset_card_stats",
+    "emb_matryoshka_recall",
     # classifier_calibration_bins + dedup_keep_quota are NEW this
     # round (reliability/ECE audit; soft-dedup quota keep) —
     # driver-checked the round they land; displaced: w18_ema_decay and
@@ -213,12 +220,9 @@ _DRIVER_WINDOW = [
     "dedup_threshold_sweep", "dedup_keep_quota",
     "classifier_calibration_bins",
     "text_classifier_score", "shard_balance_audit",
-    # displaced for sim_knn_graph_lsh + w19_forward_fill +
-    # w20_conversion_latency + emb_norm_outliers: dedup_incremental,
-    # dedup_containment, dedup_exact_substring, sim_ivf_topk
-    # (r4/r5-green, unchanged)
-    "sim_knn_graph_lsh", "w19_forward_fill",
-    "w20_conversion_latency", "emb_norm_outliers",
+    # displaced for sim_knn_graph_lsh + emb_norm_outliers:
+    # dedup_incremental, dedup_containment (r4/r5-green, unchanged)
+    "sim_knn_graph_lsh", "emb_norm_outliers",
 ]
 
 

@@ -606,3 +606,58 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     assert "LeftAnti" in plan, f"expected LeftAnti:\n{plan[:3000]}"
     assert "Broadcast" in plan
     assert_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_q2_min_join_back_takeordered(spark):
+    """q2: per-part min-cost join-back stays equi (partkey + exact
+    BIGINT cost); top-100 is TakeOrdered; region chain broadcasts."""
+    df = q("q2_min_cost_supplier", spark)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(df)
+
+
+def test_q9_name_filter_pushed_no_cartesian(spark):
+    """q9: the LIKE residue pushes to the part scan; the compound-key
+    lineitem x partsupp join stays an equi-join; JVM-side end to end."""
+    df = q("q9_product_type_profit", spark)
+    assert_pushed_filter(df, "StringContains(p_name,red)")
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    _no_python(plan, "q9")
+    assert single_partition_sorts(df) == 0
+
+
+def test_q11_scalar_threshold_broadcasts(spark):
+    """q11: the total-value scalar rides a 1-row broadcast
+    (nested-loop against the per-part aggregate is fine — the build
+    side is one row), never a shuffle or collect."""
+    df = q("q11_important_stock", spark)
+    assert_broadcast_join(df)
+    assert single_partition_sorts(df) == 0
+
+
+def test_q16_not_in_is_left_anti(spark):
+    """q16: the NOT IN compiles to LeftAnti; the brand/type/size
+    negations push to the part scan."""
+    df = q("q16_supplier_part_count", spark)
+    plan = _executed(df)
+    assert "LeftAnti" in plan, f"expected LeftAnti:\n{plan[:3000]}"
+    assert_pushed_filter(df, "Not(EqualTo(p_brand,Brand#23))")
+    assert single_partition_sorts(df) == 0
+
+
+def test_q20_single_lineitem_scan(spark):
+    """q20: per-part totals as a window over the (part, supplier)
+    aggregate — one lineitem scan (q21's rule); date filter pushed."""
+    df = q("q20_dominant_suppliers", spark)
+    plan = _executed(df)
+    li_scans = sum(
+        1
+        for line in plan.splitlines()
+        if "lineitem.parquet" in line and ("Scan" in line or "Location" in line)
+    )
+    assert li_scans <= 1, f"expected one lineitem scan, got {li_scans}"
+    assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert single_partition_sorts(df) == 0
