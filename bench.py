@@ -150,6 +150,7 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",
+    "q12_shipping_modes",
     "q16_supplier_part_count",
     "q20_dominant_suppliers",
     # round-7 debuts

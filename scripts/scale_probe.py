@@ -92,6 +92,7 @@ HEAVY = [
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",
+    "q12_shipping_modes",
     "q16_supplier_part_count",
     "q20_dominant_suppliers",
     # round 7: bounded-query one-pass mining — should scale ~linearly

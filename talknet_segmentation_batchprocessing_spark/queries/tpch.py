@@ -32,9 +32,11 @@ distinct physical posture a 100 TB deployment hits daily —
   EXISTS-over-aggregate chain as a window over one grouped pass
   (q20).
 
-With these, all 22 canonical TPC-H query classes are covered: 18
-here + q1/q3/q5 in queries/aggregates.py + q12's
-conditional-count-by-group posture via a4_conditional_count.
+- q12: fact-fact join feeding complementary conditional counts per
+  class (CASE WHEN inside sum, one codegen pass).
+
+With these, all 22 canonical TPC-H query classes are covered: 19
+here + q1/q3/q5 in queries/aggregates.py.
 
 All money aggregates ride the exact 1e6 integer grid (the q1
 sum_disc_price rule, see _REV_PPM_SQL in aggregates.py) so BIGINT
@@ -1371,4 +1373,60 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(dominant, supp.s_suppkey == dominant.l_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .select("s_name", "n_name", "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------- q12
+
+_Q12_LO = "1996-01-01"
+_Q12_HI = "1997-01-01"
+_Q12_HIGH = ["1-URGENT", "2-HIGH"]
+
+
+@query(
+    "q12_shipping_modes",
+    oracle=f"""
+SELECT l.l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q12_LO} 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '{_Q12_HI} 00:00:00'
+GROUP BY l.l_linestatus
+""",
+    doc="TPC-H-Q12-shaped shipping-priority split (adapted: the schema "
+    "has no l_shipmode/commit/receipt dates, so the class column is "
+    "l_linestatus and 'received in the year' is the shipdate year). "
+    "The posture is Q12's exactly: a fact-fact equi-join feeding two "
+    "complementary conditional counts per class — CASE WHEN inside "
+    "sum, one pass, whole-stage codegen; the year filter pushes to "
+    "the lineitem scan and both sides are SF-linear (AQE decides the "
+    "join strategy)",
+    tags=("A4", "join"),
+)
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp"))
+        )
+        .select("l_orderkey", F.col("l_linestatus").alias("ship_class"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin(_Q12_HIGH)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
     )

@@ -170,8 +170,8 @@ _DRIVER_WINDOW = [
     # w20_conversion_latency (all r6 driver-green, code unchanged,
     # still mirror-swept in-repo).
     "q2_min_cost_supplier", "q9_product_type_profit",
-    "q11_important_stock", "q16_supplier_part_count",
-    "q20_dominant_suppliers",
+    "q11_important_stock", "q12_shipping_modes",
+    "q16_supplier_part_count", "q20_dominant_suppliers",
     # Round-7 rotation: plans changed this round for the whole LSH
     # family (shared exact-fold signature/Gram kernels + per-bucket
     # verify; dedup_semantic_keep additionally gained the adaptive
@@ -220,9 +220,10 @@ _DRIVER_WINDOW = [
     "dedup_threshold_sweep", "dedup_keep_quota",
     "classifier_calibration_bins",
     "text_classifier_score", "shard_balance_audit",
-    # displaced for sim_knn_graph_lsh + emb_norm_outliers:
-    # dedup_incremental, dedup_containment (r4/r5-green, unchanged)
-    "sim_knn_graph_lsh", "emb_norm_outliers",
+    # displaced for sim_knn_graph_lsh: dedup_incremental
+    # (r4/r5-green, unchanged); emb_norm_outliers displaced for
+    # q12_shipping_modes (r6-green, unchanged, mirror-swept in-repo)
+    "sim_knn_graph_lsh",
 ]
 
 

@@ -661,3 +661,14 @@ def test_q20_single_lineitem_scan(spark):
     assert li_scans <= 1, f"expected one lineitem scan, got {li_scans}"
     assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
     assert single_partition_sorts(df) == 0
+
+
+def test_q12_conditional_counts_one_pass(spark):
+    """q12: the split is one grouped pass (no second aggregate branch,
+    no distinct), the year filter pushes to the lineitem scan, and the
+    whole plan stays JVM-side."""
+    df = q("q12_shipping_modes", spark)
+    assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    plan = _executed(df)
+    _no_python(plan, "q12")
+    assert single_partition_sorts(df) == 0
