@@ -1172,7 +1172,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- q11
 
 _Q11_NATION = "NATION_3"
-_Q11_FRACTION_DEN = 1000  # keep parts holding > 1/1000 of total value
+_Q11_MEAN_MULT = 2  # keep parts worth more than 2x the mean part value
 
 
 @query(
@@ -1188,21 +1188,25 @@ byp AS (
   WHERE n.n_name = '{_Q11_NATION}'
   GROUP BY ps.ps_partkey
 ),
-tot AS (SELECT CAST(sum(value4) AS BIGINT) AS total4 FROM byp)
+tot AS (SELECT CAST(sum(value4) AS BIGINT) AS total4,
+               CAST(count(*) AS BIGINT) AS n_parts FROM byp)
 SELECT byp.ps_partkey, floor(byp.value4 / 1e2 + 0.5) / 1e2 AS part_value
 FROM byp, tot
-WHERE byp.value4 * {_Q11_FRACTION_DEN} > tot.total4
+WHERE byp.value4 > {_Q11_MEAN_MULT} * (tot.total4 // tot.n_parts)
 """,
     doc="TPC-H-Q11-shaped important stock identification: per-part "
     "inventory value (cost x quantity on the exact 1e4 integer grid) "
-    "for one nation's suppliers, keeping parts above a fixed fraction "
-    "of the total. The HAVING-against-a-scalar-subquery is a 1-row "
-    "broadcast join back onto the per-part aggregate — never a "
-    "driver collect — and the fraction test is exact integer "
-    "cross-multiplication (value * 1000 > total), immune to float "
-    "division. The per-part aggregate subtree is byte-identical on "
-    "both branches, so Spark reuses the exchange (one lineitem scan "
-    "at execution)",
+    "for one nation's suppliers, keeping parts above a multiple of "
+    "the MEAN part value. TPC-H's own fraction scales by 1/SF so the "
+    "row count stays stable as parts grow; a mean-relative threshold "
+    "achieves the same SF-invariance without knowing SF (a fixed "
+    "fraction-of-total returned 0 rows already at sf0.1). The "
+    "HAVING-against-a-scalar-subquery is a 1-row broadcast join back "
+    "onto the per-part aggregate — never a driver collect — and the "
+    "threshold is exact integer division on both engines (BIGINT "
+    "div), immune to float rounding. The per-part aggregate subtree "
+    "is byte-identical on both branches, so Spark reuses the "
+    "exchange (one lineitem scan at execution)",
     tags=("F3", "join"),
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,11 +1230,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value4")
         )
     )
-    tot = byp.agg(F.sum("value4").cast("bigint").alias("total4"))
+    tot = byp.agg(
+        F.sum("value4").cast("bigint").alias("total4"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
     return (
         byp.join(
             F.broadcast(tot),
-            F.col("value4") * F.lit(_Q11_FRACTION_DEN) > F.col("total4"),
+            F.col("value4")
+            > F.lit(_Q11_MEAN_MULT) * F.expr("total4 div n_parts"),
         )
         .select(
             "ps_partkey",
