@@ -83,6 +83,46 @@ def fold_norms(V):
     return np.sqrt(acc)
 
 
+def sign_matrix(V, n_j: int):
+    """Exact sign bits of V @ H^T for the shared hyperplane family:
+    returns a (len(V), n_j) bool array with entry [r, j] ==
+    (sequential-fold dot(V[r], H[j]) > 0) exactly. One BLAS matmul,
+    then any dot within the rigorous rounding bound re-folded
+    left-to-right before the sign is taken (module docstring). This is
+    THE kernel — batch ``sign_signatures`` and the streaming bucketer
+    (streaming/semantic.py) both call it, so a change to the bound or
+    the hyperplane family cannot desynchronize the two paths."""
+    import numpy as np
+
+    j = np.arange(n_j, dtype=np.int64)[:, None]
+    i = np.arange(64, dtype=np.int64)[None, :]
+    H = (((j * 64 + i) * 2654435761) % 2000) / 1000.0 - 1.0  # (n_j, 64)
+    Ht = np.ascontiguousarray(H.T)  # (64, n_j)
+    dots = V @ Ht
+    bound = _BORDER_REL * (np.abs(V) @ np.abs(Ht))
+    signs = dots > 0.0
+    for r, c in zip(*np.nonzero(np.abs(dots) <= bound)):
+        acc = 0.0
+        for x, h in zip(V[r], Ht[:, c]):
+            acc += x * h
+        signs[r, c] = acc > 0.0
+    return signs
+
+
+def band_pack_expr(bands: int, bits: int, signs_col: str = "signs") -> str:
+    """SQL expr packing a flat sign array into per-band integer bucket
+    ids: transform over bands, each aggregating its ``bits`` signs
+    into a bigint (bit k set iff signs[b*bits+k]). Shared by the batch
+    LSH family (queries/extensions.py) and the streaming corpus index
+    (streaming/semantic.py) — posexplode the result to (band, bucket)."""
+    return (
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> "
+        f"acc + IF({signs_col}[b * {bits} + k], "
+        f"cast(shiftleft(1, k) as bigint), 0L)))"
+    )
+
+
 def sign_signatures(emb: DataFrame, n_j: int) -> DataFrame:
     """(vec_id, v: array<double>) -> (vec_id, signs: array<boolean>)
     with signs[j] == (sequential-fold dot(v, H[j]) > 0) exactly.
@@ -99,25 +139,12 @@ def sign_signatures(emb: DataFrame, n_j: int) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        j = np.arange(n_j, dtype=np.int64)[:, None]
-        i = np.arange(64, dtype=np.int64)[None, :]
-        H = (((j * 64 + i) * 2654435761) % 2000) / 1000.0 - 1.0  # (n_j, 64)
-        Ht = np.ascontiguousarray(H.T)  # (64, n_j)
-        Ht_abs = np.abs(Ht)
-
         for pdf in batches:
             if pdf.empty:
                 yield pd.DataFrame({"vec_id": [], "signs": []})
                 continue
             V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # (b, 64)
-            dots = V @ Ht  # (b, n_j)
-            bound = _BORDER_REL * (np.abs(V) @ Ht_abs)
-            signs = dots > 0.0
-            for r, c in zip(*np.nonzero(np.abs(dots) <= bound)):
-                acc = 0.0
-                for x, h in zip(V[r], Ht[:, c]):
-                    acc += x * h
-                signs[r, c] = acc > 0.0
+            signs = sign_matrix(V, n_j)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].to_numpy(), "signs": list(signs)}
             )

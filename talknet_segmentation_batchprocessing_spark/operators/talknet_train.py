@@ -269,6 +269,7 @@ def train_distributed(
     lr_decay: float = 0.95,
     num_processes: int = 2,
     use_gpu: bool = False,
+    full_network: bool = False,
 ):
     """M5 front door for FULL-network training: the Spark-idiomatic
     path for backpropagating through the audio/visual trunks is
@@ -278,29 +279,36 @@ def train_distributed(
     trainTalkNet.py:70-83) under DDP, one process per GPU, reading the
     featurized table as shards.
 
-    Import-guarded like ``pyav_decoder``: when torch (and with it the
-    distributor) is absent — as in this image — the call FALLS BACK to
-    the exact frozen-trunk head trainer (:func:`train_heads_adam`,
-    same loss heads, same optimizer schedule) and reports which path
-    ran, so callers get a working training step everywhere and the
-    full-network upgrade is a dependency install, not a code change.
+    The DEFAULT path is the exact frozen-trunk head trainer
+    (:func:`train_heads_adam`, same loss heads, same optimizer
+    schedule) regardless of whether torch is installed — the
+    full-network DDP loop body is not yet ported (SURVEY.md M5 scopes
+    it out of the core engine), so merely having torch on the image
+    must not change what a default call computes. Passing
+    ``full_network=True`` opts into the distributor wiring: it
+    requires torch + ``pyspark.ml.torch.distributor`` (ImportError
+    otherwise, naming the missing wheel) and currently raises
+    NotImplementedError FROM INSIDE the distributor-launched process,
+    proving the launch plumbing while being explicit that the DDP
+    epoch body (talkNet.py:20-86 train_network) is the remaining
+    port.
 
     Returns ``(new_weights, per_epoch_losses, n_samples, backend)``
     with ``backend`` in ``("torch-distributor", "heads-allreduce")``.
     """
-    try:
-        import torch  # noqa: F401
-        from pyspark.ml.torch.distributor import TorchDistributor
-    except ImportError:
+    if not full_network:
         new_w, losses, n, _st = train_heads_adam(
             feats, w, epochs=epochs, lr=lr, lr_decay=lr_decay
         )
         return new_w, losses, n, "heads-allreduce"
 
-    # Torch present: ship the featurized shards to a DDP train loop.
-    # The loop body is the reference's train_network epoch, unchanged;
-    # only data loading is Spark-shaped (arrow batches -> tensors).
-    # Same embedding columns the head trainer consumes.
+    from pyspark.ml.torch.distributor import TorchDistributor
+
+    # Torch present and full-network explicitly requested: ship the
+    # featurized shards to a DDP train loop. The loop body is the
+    # reference's train_network epoch; only data loading is
+    # Spark-shaped (arrow batches -> tensors). Same embedding columns
+    # the head trainer consumes.
     feat_rows = feats.select("av", "a", "v", "label")
 
     def _train_fn():  # pragma: no cover - requires torch at runtime

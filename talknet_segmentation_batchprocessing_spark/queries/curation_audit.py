@@ -960,15 +960,20 @@ _CAL_BINS = 10  # fixed-width bins over the per-token-margin range
 # round-half-away-from-zero integer division written with POSITIVE
 # operands on each branch (Spark div truncates toward zero, DuckDB //
 # floors — they agree only on positives); {a}/{b} are SQL fragments.
+# mu = round(margin_ppm / n_tokens) is the canonical per-token margin
+# (text_classifier_score's margin_ppm / (1000 * n_tokens)) on a 1e3
+# milli-grid, so it lives in the binning domain [-1000, 1000]; an
+# extra *1000 here once blew mu up 1000x and clamped 99% of docs into
+# the edge bins (round-7 review finding).
 _CAL_RDIV_DUCK = (
     "(CASE WHEN margin_ppm < 0 "
-    "THEN -((-2 * margin_ppm * 1000 + n_tokens) // (2 * n_tokens)) "
-    "ELSE ((2 * margin_ppm * 1000 + n_tokens) // (2 * n_tokens)) END)"
+    "THEN -((-2 * margin_ppm + n_tokens) // (2 * n_tokens)) "
+    "ELSE ((2 * margin_ppm + n_tokens) // (2 * n_tokens)) END)"
 )
 _CAL_RDIV_SPARK = (
     "(CASE WHEN margin_ppm < 0 "
-    "THEN -((-2 * margin_ppm * 1000 + n_tokens) div (2 * n_tokens)) "
-    "ELSE ((2 * margin_ppm * 1000 + n_tokens) div (2 * n_tokens)) END)"
+    "THEN -((-2 * margin_ppm + n_tokens) div (2 * n_tokens)) "
+    "ELSE ((2 * margin_ppm + n_tokens) div (2 * n_tokens)) END)"
 )
 
 _CALIBRATION_ORACLE = f"""

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.lsh import sign_signatures
+from ..functions.lsh import band_pack_expr, sign_signatures
 from ..functions.rounding import stable_round
 from ..functions.shingles import word_shingles
 from ..registry import load, query, track_persist
@@ -2419,14 +2419,9 @@ def dedup_semantic_keep_lsh(
     sig = track_persist(
         sigs.select(
             "vec_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {_SKL_BANDS - 1}), b -> "
-                    f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> "
-                    f"acc + IF(signs[b * {bits} + k], "
-                    f"cast(shiftleft(1, k) as bigint), 0L)))"
-                )
-            ).alias("band", "bucket"),
+            F.posexplode(F.expr(band_pack_expr(_SKL_BANDS, bits))).alias(
+                "band", "bucket"
+            ),
         )
     )
     # Verify WITHIN each (band, bucket) group instead of materializing

@@ -154,7 +154,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        # timestamp + INTERVAL, not date_add: date_add truncates the
+        # time-of-day before adding, diverging from the oracle's
+        # '+ INTERVAL 30 DAY' whenever order timestamps are not
+        # midnight-aligned
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(
@@ -855,7 +859,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_suppkey",
         F.when(
-            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS),
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS"),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -896,7 +901,8 @@ _Q22_LAPSE = "1999-01-01"
     "q22_sales_opportunity",
     oracle=f"""
 WITH avg_bal AS (
-  SELECT CAST(floor(avg(c_acctbal) * 1e2 + 0.5) AS BIGINT) AS abal_ppc
+  SELECT CAST(sum(CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT))
+              // count(*) AS BIGINT) AS abal_ppc
   FROM customer WHERE c_acctbal > 0.0
 ),
 rich_idle AS (
@@ -920,8 +926,9 @@ FROM rich_idle GROUP BY c_nationkey
     "collect), the lapsed-customer NOT EXISTS is a LEFT ANTI join "
     "against the date-filtered orders projection (the filter pushes "
     "to the scan BEFORE the anti-join), and the balance comparison "
-    "happens on the exact 1e2 integer grid so the strict > against "
-    "the floored average is engine-stable",
+    "happens on the exact 1e2 integer grid with the average computed "
+    "as BIGINT sum div count — no double summation anywhere, so the "
+    "strict > is engine-stable",
     tags=("U3", "join"),
 )
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,12 +940,17 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_ppc"),
         "c_acctbal",
     )
+    # average on the quantized grid via exact BIGINT sum/count integer
+    # division — avg() over raw doubles is combine-order-dependent in
+    # the low bits, so floor(avg*1e2+0.5) can flip by one ulp between
+    # engines and move boundary customers across the strict '>'
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(
-            F.floor(F.avg("c_acctbal") * F.lit(1e2) + F.lit(0.5))
-            .cast("bigint")
-            .alias("abal_ppc")
+            F.expr(
+                "CAST(sum(CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT))"
+                " div count(*) AS BIGINT)"
+            ).alias("abal_ppc")
         )
     )
     orders = (

@@ -131,7 +131,7 @@ _LOADED = False
 # parity suite (tests/test_oracle_parity.py, all queries) — the
 # overflow is chosen to be queries that are either trivial projections
 # or already driver-green in round 1.
-# Round-7 allocation: anchors (flagship/e2e/eval/kernels), the 18
+# Round-7 allocation: anchors (flagship/e2e/eval/kernels), the 19
 # NEW TPC-H-shaped queries (queries/tpch.py — driver-checked the
 # round they land), every query whose PLAN changed this round (the
 # LSH family's shared exact-fold kernels; dedup_semantic_keep's
@@ -164,8 +164,9 @@ _DRIVER_WINDOW = [
     "q15_top_supplier", "q17_small_qty_revenue",
     "q18_large_volume_customers", "q19_disjunctive_revenue",
     "q21_waiting_suppliers", "q22_sales_opportunity",
-    # ...and the 5 derived-partsupp TPC-H queries (q2/q9/q11/q16/q20,
-    # also NEW this round). Displaced: mix_temperature_sampling,
+    # ...plus the 5 derived-partsupp TPC-H queries (q2/q9/q11/q16/
+    # q20) and q12 (fact-fact conditional counts), all also NEW this
+    # round. Displaced: mix_temperature_sampling,
     # curation_rule_attribution, dataset_card_stats, w19_forward_fill,
     # w20_conversion_latency (all r6 driver-green, code unchanged,
     # still mirror-swept in-repo).

@@ -64,19 +64,44 @@ def iter_dataset_source(
     samples: Iterator[Mapping] | Iterable[Mapping],
     schema: str = "video_id string, path string, byte_len long",
     batch_size: int = 1000,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """S2: adapt a sequential sample iterator (the reference's HF
     streaming loop, batchProcessVideos.py:111-124) into a DataFrame.
 
     The iterator is driver-side by nature (that is what 'streaming
     dataset' means in the reference); rows are consumed lazily with
-    ``itertools.islice`` in ``batch_size`` chunks, so the driver never
-    holds more than one batch of raw samples at a time — a corpus-sized
-    iterator (the exact use case S2 exists for) cannot OOM the driver
-    here. For true incremental processing use
-    streaming.pipeline.readStream on a drop-folder instead.
+    ``itertools.islice`` in ``batch_size`` chunks, so the transient
+    raw-Python peak is one batch. Memory contract — be precise,
+    because the two modes differ:
+
+    - ``spill_dir=None`` (default): each batch becomes a
+      driver-held LocalRelation and the chained union references all
+      of them until evaluation, so TOTAL driver memory is still
+      O(total rows). Fine for bounded manifests (the reference's use
+      is file listings), NOT for corpus-sized iterators.
+    - ``spill_dir`` set: each batch is appended to parquet as it is
+      consumed and the result is a plain scan of that directory —
+      driver memory is bounded by one batch regardless of corpus
+      size. This is the corpus-scale path.
+
+    For true incremental processing use streaming.pipeline.readStream
+    on a drop-folder instead.
     """
     it = iter(samples)
+    if spill_dir is not None:
+        wrote = False
+        while True:
+            batch = list(itertools.islice(it, batch_size))
+            if not batch:
+                break
+            spark.createDataFrame(batch, schema).write.mode("append").parquet(
+                spill_dir
+            )
+            wrote = True
+        if not wrote:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(spill_dir)
     out = None
     while True:
         batch = list(itertools.islice(it, batch_size))

@@ -259,18 +259,40 @@ def read_avi(buf: bytes) -> tuple[list[np.ndarray], float, np.ndarray, int]:
     stride = (width + 3) & ~3
     frames: list[np.ndarray] = []
     audio_parts: list[np.ndarray] = []
-    for mo, ms in movi_ranges:
-        for c, o, s in _iter_chunks(buf, mo, mo + ms):
+
+    def _declared(stream_no: int, want: bytes) -> bool:
+        # honor the strh-declared stream type when the index is in
+        # range; chunks of undeclared streams fall back to the fourcc
+        # suffix convention (db/dc video, wb audio)
+        if 0 <= stream_no < len(stream_types):
+            return stream_types[stream_no] == want
+        return True
+
+    def walk_movi(off: int, stop: int) -> None:
+        for c, o, s in _iter_chunks(buf, off, stop):
+            if c == b"LIST" and buf[o : o + 4] == b"rec ":
+                # interleaved AVIs group each frame's chunks in a
+                # 'rec ' list — recurse, or conforming files decode
+                # to zero frames
+                walk_movi(o + 4, o + s)
+                continue
             stream_no = int(c[:2]) if c[:2].isdigit() else -1
             kind = c[2:]
             if kind in (b"db", b"dc") and stream_no >= 0:
+                if not _declared(stream_no, b"vids"):
+                    continue
                 rows = np.frombuffer(buf, dtype=np.uint8, count=s, offset=o)
                 rows = rows.reshape(height, stride)[:, :width]
                 frames.append(rows[::-1].copy())  # bottom-up -> top-down
             elif kind == b"wb":
+                if not _declared(stream_no, b"auds"):
+                    continue
                 audio_parts.append(
                     np.frombuffer(buf, dtype="<i2", count=s // 2, offset=o)
                 )
+
+    for mo, ms in movi_ranges:
+        walk_movi(mo, mo + ms)
     samples = (
         np.concatenate(audio_parts) if audio_parts else np.zeros(0, dtype=np.int16)
     )

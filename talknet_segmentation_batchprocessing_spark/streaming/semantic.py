@@ -47,19 +47,12 @@ def corpus_lsh_index(emb: DataFrame, bands: int, bits: int) -> DataFrame:
     side of the stream-static join. Buckets come from the shared
     exact-sign kernel; bits should follow the batch pipeline's
     adaptive rule (ceil(log2(n/target))) computed on THIS corpus."""
-    from ..functions.lsh import sign_signatures
+    from ..functions.lsh import band_pack_expr, sign_signatures
 
     sigs = sign_signatures(emb, bands * bits)
     sig = sigs.select(
         F.col("vec_id").alias("corpus_id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> "
-                f"acc + IF(signs[b * {bits} + k], "
-                f"cast(shiftleft(1, k) as bigint), 0L)))"
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.expr(band_pack_expr(bands, bits))).alias("band", "bucket"),
     )
     payload = emb.select(
         F.col("vec_id").alias("corpus_id"),
@@ -82,29 +75,19 @@ def _stream_signatures(vec_stream: DataFrame, bands: int, bits: int) -> DataFram
         import numpy as np
 
         from talknet_segmentation_batchprocessing_spark.functions.lsh import (
-            _BORDER_REL,
             fold_norms,
+            sign_matrix,
         )
 
-        j = np.arange(n_j, dtype=np.int64)[:, None]
-        i = np.arange(64, dtype=np.int64)[None, :]
-        H = (((j * 64 + i) * 2654435761) % 2000) / 1000.0 - 1.0
-        Ht = np.ascontiguousarray(H.T)
-        Ht_abs = np.abs(Ht)
         w = 1 << np.arange(bits, dtype=np.int64)  # bit weights
 
         for pdf in batches:
             if pdf.empty:
                 continue
             V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            dots = V @ Ht
-            bound = _BORDER_REL * (np.abs(V) @ Ht_abs)
-            signs = dots > 0.0
-            for r, c in zip(*np.nonzero(np.abs(dots) <= bound)):
-                acc = 0.0
-                for x, h in zip(V[r], Ht[:, c]):
-                    acc += x * h
-                signs[r, c] = acc > 0.0
+            # THE shared kernel — same hyperplanes, same borderline
+            # re-fold as the batch pipeline (functions/lsh.py)
+            signs = sign_matrix(V, n_j)
             buckets = signs.reshape(len(V), bands, bits) @ w  # (n, bands)
             nrm = fold_norms(V)
             yield pd.DataFrame(

@@ -213,3 +213,31 @@ def test_full_pipeline_real_forward(spark, tmp_path):
                             min_duration_s=0.12).toPandas()
     # with a median threshold there is at least one above-threshold run
     assert (segs.end_frame > segs.start_frame).all()
+
+
+def test_iter_dataset_source_spill_dir_bounded(spark, tmp_path):
+    """spill_dir mode: batches land in parquet as they are consumed
+    and the result is a scan — the corpus-scale path where driver
+    memory stays one-batch-bounded (no accumulated LocalRelations)."""
+    from talknet_segmentation_batchprocessing_spark.sources.corpus import (
+        iter_dataset_source,
+    )
+
+    samples = (
+        {"video_id": f"v{i:03d}", "path": f"/x/v{i}.mp4", "byte_len": i}
+        for i in range(25)
+    )
+    spill = str(tmp_path / "spill")
+    df = iter_dataset_source(spark, samples, batch_size=4, spill_dir=spill)
+    # the plan must be a file scan of the spill dir, not a union of
+    # in-memory relations
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan and "Union" not in plan
+    pdf = df.toPandas().sort_values("video_id")
+    assert pdf.video_id.tolist() == [f"v{i:03d}" for i in range(25)]
+    assert pdf.byte_len.sum() == sum(range(25))
+
+    empty = iter_dataset_source(
+        spark, [], spill_dir=str(tmp_path / "spill_empty")
+    )
+    assert empty.count() == 0

@@ -177,3 +177,52 @@ def test_real_bytes_pipeline_e2e(spark, tmp_path):
     ).toPandas()
     assert len(segs) > 0
     assert (segs.end_frame > segs.start_frame).all()
+
+
+def test_avi_rec_list_interleaving_decodes():
+    """Conforming interleaved AVIs wrap movi chunks in 'LIST rec '
+    groups; the reader must recurse into them (round-7 review: they
+    were silently skipped, decoding to zero frames)."""
+    import struct
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 255, (16, 12), dtype=np.uint8) for _ in range(3)]
+    samples = (rng.integers(-3000, 3000, 640)).astype(np.int16)
+    buf = write_avi(frames, fps=25.0, samples=samples, sr=16000)
+
+    # locate the movi list and re-wrap each of its chunks in a rec list
+    i = buf.find(b"LIST", 12)
+    while buf[i + 8 : i + 12] != b"movi":
+        size = struct.unpack_from("<I", buf, i + 4)[0]
+        i += 8 + size + (size & 1)
+    movi_size = struct.unpack_from("<I", buf, i + 4)[0]
+    inner = buf[i + 12 : i + 8 + movi_size]
+    out, off = b"", 0
+    while off < len(inner):
+        csz = struct.unpack_from("<I", inner, off + 4)[0]
+        chunk = inner[off : off + 8 + csz + (csz & 1)]
+        out += (
+            b"LIST"
+            + struct.pack("<I", 4 + len(chunk))
+            + b"rec "
+            + chunk
+        )
+        off += 8 + csz + (csz & 1)
+    rewrapped = (
+        buf[: i + 4]
+        + struct.pack("<I", 4 + len(out))
+        + b"movi"
+        + out
+        + buf[i + 8 + movi_size :]
+    )
+    # outer RIFF size changed
+    rewrapped = (
+        rewrapped[:4] + struct.pack("<I", len(rewrapped) - 8) + rewrapped[8:]
+    )
+
+    got_frames, fps, got_samples, sr = read_avi(bytes(rewrapped))
+    assert fps == 25.0 and sr == 16000
+    assert len(got_frames) == 3
+    for a, b in zip(got_frames, frames):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(got_samples, samples)
