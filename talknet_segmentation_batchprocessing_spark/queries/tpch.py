@@ -1036,12 +1036,14 @@ LIMIT 100
     doc="TPC-H-Q2-shaped minimum-cost supplier (adapted: supply cost "
     "is the min lineitem price per (part, supplier) from the derived "
     "partsupp — see _PARTSUPP_SQL). The correlated min-cost subquery "
-    "is decorrelated by construction: one groupBy computes the "
-    "per-part min over region-eligible suppliers, then an equi "
-    "join-back on (partkey, exact BIGINT cost) — the q17 pattern on "
-    "a snowflake. Region->nation chain broadcasts; supplier/part "
-    "sides are SF-linear so AQE picks their strategy; final top-100 "
-    "is TakeOrdered with a full deterministic tie-break",
+    "is decorrelated by construction: a partkey-partitioned window "
+    "takes the per-part min over region-eligible suppliers in ONE "
+    "pass (a groupBy + join-back would duplicate the eligible "
+    "subtree into two plan branches), and the equality filter on the "
+    "exact BIGINT cost keeps the argmin rows. Region->nation chain "
+    "broadcasts; supplier/part sides are SF-linear so AQE picks "
+    "their strategy; final top-100 is TakeOrdered with a full "
+    "deterministic tie-break",
     tags=("J8", "join"),
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1071,14 +1073,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, ps.ps_suppkey == supp.s_suppkey)
         .select("p_partkey", "ps_suppkey", "ps_cost_ppc", "s_name", "s_acctbal", "n_name")
     )
-    mn = eligible.groupBy(F.col("p_partkey").alias("mn_partkey")).agg(
-        F.min("ps_cost_ppc").alias("min_cost_ppc")
-    )
-    top = eligible.join(
-        mn,
-        (eligible.p_partkey == F.col("mn_partkey"))
-        & (eligible.ps_cost_ppc == F.col("min_cost_ppc")),
-    )
+    # per-part min as a partkey window, not a groupBy + join-back: the
+    # join-back form duplicates the whole eligible subtree into two
+    # plan branches (9 shuffles measured); the window is one pass over
+    # the same partitioning and keeps exactly the min-cost rows
+    w = Window.partitionBy("p_partkey")
+    top = eligible.withColumn(
+        "min_cost_ppc", F.min("ps_cost_ppc").over(w)
+    ).filter(F.col("ps_cost_ppc") == F.col("min_cost_ppc"))
     return (
         top.orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
