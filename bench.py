@@ -157,6 +157,7 @@ HEADLINE = [
     "contamination_semantic",
     "dedup_keep_quota",
     "classifier_calibration_bins",
+    "dsir_importance_weights",
 ]
 
 

@@ -2964,3 +2964,155 @@ def _late_bind_rrf() -> None:
 
 
 _late_bind_rrf()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 7): distribution-matched data
+# selection via hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096  # hashed bigram feature space (DSIR's "hashed n-grams")
+_DSIR_TARGET = "src0"  # the curated-domain proxy the raw corpus is matched to
+
+
+_DSIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source, i AS pos,
+         CAST(('0x' || substr(md5(toks[CAST(i AS INTEGER)] || ' ' ||
+               toks[CAST(i + 1 AS INTEGER)]), 1, 12)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS fid
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+rawc AS (SELECT fid, count(*) AS rc FROM bg GROUP BY fid),
+tgtc AS (SELECT fid, count(*) AS tc FROM bg
+         WHERE source = '{_DSIR_TARGET}' GROUP BY fid),
+tot AS (
+  SELECT count(*) AS r_tot,
+         count(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS t_tot
+  FROM bg
+),
+per_doc AS (
+  SELECT bg.doc_id, count(*) AS n_feats,
+         list_sum(list_transform(array_agg(
+           (ln(COALESCE(tc, 0) + 1.0) - ln(t_tot + {_DSIR_BUCKETS}.0))
+           - (ln(rc + 1.0) - ln(r_tot + {_DSIR_BUCKETS}.0))
+           ORDER BY bg.pos), x -> x)) AS s
+  FROM bg
+  JOIN rawc USING (fid)
+  LEFT JOIN tgtc USING (fid)
+  CROSS JOIN tot
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       floor(s * 1e4 + 0.5) / 1e4 AS dsir_logw,
+       s > 0 AS keep
+FROM per_doc
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=_DSIR_ORACLE,
+    doc="DSIR data selection (Xie et al., NeurIPS 2023 'Data Selection "
+    "for Language Models via Importance Resampling'): fit two hashed-"
+    f"bigram bag-of-ngrams distributions — the {_DSIR_TARGET!r} docs as "
+    "the curated-target proxy, the full corpus as raw — and score every "
+    "document with the importance log-weight sum_f c_f(x) * "
+    "(ln p_tgt(f) - ln p_raw(f)) under add-one smoothing over "
+    f"{_DSIR_BUCKETS} hash buckets; keep = weight > 0 (more target-like "
+    "than raw-like). Determinism spine: md5-derived feature ids "
+    "(bit-identical on both engines), per-element double log-ratios on "
+    "exact integer counts, then the ORDERED sequential fold by bigram "
+    "position (the text_bigram_logprob pattern) so the per-doc sum is "
+    "bit-identical; strict compare for keep is safe on identical IEEE "
+    "inputs. Scale: the feature space is CAPPED at the bucket count, so "
+    "both count tables broadcast regardless of corpus size — the only "
+    "shuffles are the bigram count (map-side combinable) and the "
+    "doc_id-keyed fold; no sort, no self-join, linear end to end",
+    tags=("dataset", "curation", "text", "ext"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # materialize the token array before the lambda (the round-4
+    # expression-capture finding: a lambda over raw split() re-splits
+    # per element)
+    t = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("toks")
+    )
+    # size >= 2 guard: sequence(0, -1) yields [0, -1] not [] (the
+    # text_bigram_logprob edge finding); single-token docs have no
+    # bigram features and drop out on both engines
+    bg = track_persist(
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> concat(element_at(toks, i + 1), ' ', "
+                    "element_at(toks, i + 2)))"
+                )
+            ).alias("pos", "bigram"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "pos",
+            (
+                F.conv(F.substring(F.md5("bigram"), 1, 12), 16, 10).cast(
+                    "bigint"
+                )
+                % _DSIR_BUCKETS
+            ).alias("fid"),
+        )
+    )
+    rawc = bg.groupBy("fid").agg(F.count("*").alias("rc"))
+    tgtc = (
+        bg.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("fid")
+        .agg(F.count("*").alias("tc"))
+    )
+    tot = bg.agg(
+        F.count("*").alias("r_tot"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("t_tot"),
+    )
+    nb = F.lit(float(_DSIR_BUCKETS))
+    joined = (
+        bg.join(F.broadcast(rawc), "fid")
+        .join(F.broadcast(tgtc), "fid", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_feats"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tc", "rc", "t_tot", "r_tot"))
+                ),
+                lambda e: (
+                    F.log(F.coalesce(e["tc"], F.lit(0)).cast("double") + F.lit(1.0))
+                    - F.log(e["t_tot"].cast("double") + nb)
+                )
+                - (
+                    F.log(e["rc"].cast("double") + F.lit(1.0))
+                    - F.log(e["r_tot"].cast("double") + nb)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_feats",
+        stable_round("s", 4).alias("dsir_logw"),
+        (F.col("s") > 0).alias("keep"),
+    )
