@@ -158,6 +158,7 @@ HEADLINE = [
     "dedup_keep_quota",
     "classifier_calibration_bins",
     "dsir_importance_weights",
+    "w23_rfm_segments",
 ]
 
 

@@ -1173,3 +1173,167 @@ def w22_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import REGISTRY as _WREG  # noqa: E402
 
 _WREG["w20_conversion_latency"].oracle = _conversion_latency_oracle()
+
+
+# ---------------------------------------------------------------------------
+# w23: RFM customer segmentation (round 7)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmicro
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+per_user AS (
+  SELECT user_id, max(us) AS last_us, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(vmicro) AS BIGINT) AS mon
+  FROM p GROUP BY user_id
+),
+anchor AS (SELECT max(us) AS amax FROM p),
+r AS (
+  SELECT user_id, CAST((amax - last_us) // 86400000000 AS BIGINT) AS r_days,
+         freq, mon
+  FROM per_user CROSS JOIN anchor
+),
+th AS (
+  SELECT quantile_cont(r_days, 0.2) AS r20, quantile_cont(r_days, 0.4) AS r40,
+         quantile_cont(r_days, 0.6) AS r60, quantile_cont(r_days, 0.8) AS r80,
+         quantile_cont(freq, 0.2) AS f20, quantile_cont(freq, 0.4) AS f40,
+         quantile_cont(freq, 0.6) AS f60, quantile_cont(freq, 0.8) AS f80,
+         quantile_cont(mon, 0.2) AS m20, quantile_cont(mon, 0.4) AS m40,
+         quantile_cont(mon, 0.6) AS m60, quantile_cont(mon, 0.8) AS m80
+  FROM r
+),
+scored AS (
+  SELECT user_id, r_days, freq, mon / 1e6 AS monetary,
+         CAST(1 + CAST(r_days < r80 AS INTEGER) + CAST(r_days < r60 AS INTEGER)
+                + CAST(r_days < r40 AS INTEGER) + CAST(r_days < r20 AS INTEGER)
+              AS INTEGER) AS r_score,
+         CAST(1 + CAST(freq > f20 AS INTEGER) + CAST(freq > f40 AS INTEGER)
+                + CAST(freq > f60 AS INTEGER) + CAST(freq > f80 AS INTEGER)
+              AS INTEGER) AS f_score,
+         CAST(1 + CAST(mon > m20 AS INTEGER) + CAST(mon > m40 AS INTEGER)
+                + CAST(mon > m60 AS INTEGER) + CAST(mon > m80 AS INTEGER)
+              AS INTEGER) AS m_score
+  FROM r CROSS JOIN th
+)
+SELECT user_id, r_days, freq, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            ELSE 'other' END AS segment
+FROM scored
+"""
+
+
+@query(
+    "w23_rfm_segments",
+    oracle=_RFM_ORACLE,
+    doc="RFM customer segmentation (Hughes' classic recency/frequency/"
+    "monetary scoring): per user over purchase events, recency in "
+    "integer days from the corpus's last purchase (exact microsecond "
+    "arithmetic, the j9 timestamp-delta rule), purchase count, and "
+    "monetary total summed as BIGINT micro-units so combine order "
+    "cannot flip low bits. Quintile scores come from exact 20/40/60/80 "
+    "percentiles compared branchlessly — NOT a global ntile() window, "
+    "which would pull every user into one partition; the thresholds "
+    "are a 1-row broadcast, the score pass is embarrassingly parallel "
+    "(strict compares on bit-identical IEEE inputs: Spark percentile() "
+    "== DuckDB quantile_cont(), the sketch_quantile_sampled finding). "
+    "Segments via the standard champion/recent/loyal/at_risk CASE. "
+    "Shape: one fact filter + user-keyed aggregate, two 1-row "
+    "broadcasts; the exact percentile swaps to the "
+    "sketch_quantile_sampled bounded-memory path at 100 TB",
+    tags=("window", "timeseries", "analytics", "ext"),
+)
+def w23_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import track_persist
+
+    p = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("vmicro"),
+        )
+    )
+    p = track_persist(p)
+    per_user = p.groupBy("user_id").agg(
+        F.max("us").alias("last_us"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("vmicro").cast("bigint").alias("mon"),
+    )
+    anchor = p.agg(F.max("us").alias("amax"))
+    r = track_persist(
+        per_user.crossJoin(F.broadcast(anchor)).select(
+            "user_id",
+            F.expr("(amax - last_us) div 86400000000").cast("bigint").alias("r_days"),
+            "freq",
+            "mon",
+        )
+    )
+    th = r.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{a}{int(q * 100)}")
+            for c, a in (("r_days", "r"), ("freq", "f"), ("mon", "m"))
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+    b = lambda cond: cond.cast("int")  # noqa: E731
+    scored = r.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "r_days",
+        "freq",
+        (F.col("mon") / F.lit(1e6)).alias("monetary"),
+        (
+            F.lit(1)
+            + b(F.col("r_days") < F.col("r80"))
+            + b(F.col("r_days") < F.col("r60"))
+            + b(F.col("r_days") < F.col("r40"))
+            + b(F.col("r_days") < F.col("r20"))
+        )
+        .cast("int")
+        .alias("r_score"),
+        (
+            F.lit(1)
+            + b(F.col("freq") > F.col("f20"))
+            + b(F.col("freq") > F.col("f40"))
+            + b(F.col("freq") > F.col("f60"))
+            + b(F.col("freq") > F.col("f80"))
+        )
+        .cast("int")
+        .alias("f_score"),
+        (
+            F.lit(1)
+            + b(F.col("mon") > F.col("m20"))
+            + b(F.col("mon") > F.col("m40"))
+            + b(F.col("mon") > F.col("m60"))
+            + b(F.col("mon") > F.col("m80"))
+        )
+        .cast("int")
+        .alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "r_days",
+        "freq",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), F.lit("champion")
+        )
+        .when(F.col("r_score") >= 4, F.lit("recent"))
+        .when(F.col("f_score") >= 4, F.lit("loyal"))
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 3), F.lit("at_risk")
+        )
+        .otherwise(F.lit("other"))
+        .alias("segment"),
+    )

@@ -210,7 +210,7 @@ _DRIVER_WINDOW = [
     # w14_cohort_retention, text_bigram_topk, sketch_countmin_topk,
     # w15_event_pattern — all r2-r5 driver-green and unchanged since)
     "dedup_edit_distance", "bpe_merge_step", "emb_kmeans_assign",
-    "basket_pair_lift", "text_bigram_logprob",
+    "text_bigram_logprob",
     "sim_maxsim_groups",
     "emb_matryoshka_recall",
     # classifier_calibration_bins + dedup_keep_quota are NEW this
@@ -225,11 +225,13 @@ _DRIVER_WINDOW = [
     # (r4/r5-green, unchanged); emb_norm_outliers displaced for
     # q12_shipping_modes (r6-green, unchanged, mirror-swept in-repo)
     "sim_knn_graph_lsh",
-    # dsir_importance_weights is NEW this round (DSIR hashed-ngram
-    # importance resampling) — driver-checked the round it lands;
-    # displaced: events_anomaly_mad (r6 driver-green, code unchanged
-    # this round, still mirror-swept in-repo)
+    # dsir_importance_weights + w23_rfm_segments are NEW this round
+    # (DSIR hashed-ngram importance resampling; RFM segmentation) —
+    # driver-checked the round they land; displaced: events_anomaly_mad
+    # and basket_pair_lift (both r6 driver-green, code unchanged this
+    # round, still mirror-swept in-repo)
     "dsir_importance_weights",
+    "w23_rfm_segments",
 ]
 
 
