@@ -524,6 +524,39 @@ def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_unpivot",
+    oracle=None,  # late-bound below: UNPIVOT over ext_pivot's registered oracle
+    doc="Extension surface: UNPIVOT/melt — the inverse of ext_pivot, "
+    "exercising Spark's native DataFrame.unpivot (Expand under the "
+    "hood: one stateless row-multiplying projection, no shuffle, no "
+    "UDF) against DuckDB's UNPIVOT on the same pivoted frame. The "
+    "wide->long reshape every feature-store export needs; cost is "
+    "O(rows * melted_cols) map-side work with zero exchanges beyond "
+    "the parent's",
+    tags=("ext",),
+)
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = ext_pivot(spark, sf_dir)
+    return p.unpivot(
+        "user_id", ["v_click", "v_view", "v_purchase"], "metric", "v"
+    )
+
+
+def _late_bind_unpivot() -> None:
+    from ..registry import REGISTRY
+
+    pivot = REGISTRY["ext_pivot"].oracle
+    REGISTRY["ext_unpivot"].oracle = f"""
+WITH p AS ({pivot})
+SELECT user_id, metric, v
+FROM (UNPIVOT p ON v_click, v_view, v_purchase INTO NAME metric VALUE v)
+"""
+
+
+_late_bind_unpivot()
+
+
+@query(
     "agg_salted_hot_keys",
     oracle="""
 SELECT event_type, count(*) AS n,

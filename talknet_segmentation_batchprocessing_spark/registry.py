@@ -209,7 +209,7 @@ _DRIVER_WINDOW = [
     # w12_funnel_steps, j10_interval_join, agg_time_rollup,
     # w14_cohort_retention, text_bigram_topk, sketch_countmin_topk,
     # w15_event_pattern — all r2-r5 driver-green and unchanged since)
-    "dedup_edit_distance", "bpe_merge_step", "emb_kmeans_assign",
+    "bpe_merge_step", "emb_kmeans_assign",
     "text_bigram_logprob",
     "sim_maxsim_groups",
     "emb_matryoshka_recall",
@@ -232,6 +232,10 @@ _DRIVER_WINDOW = [
     # round, still mirror-swept in-repo)
     "dsir_importance_weights",
     "w23_rfm_segments",
+    # ext_unpivot is NEW this round (the melt inverse of ext_pivot) —
+    # driver-checked the round it lands; displaced: dedup_edit_distance
+    # (r6 driver-green, code unchanged this round, mirror-swept in-repo)
+    "ext_unpivot",
 ]
 
 
