@@ -125,6 +125,11 @@ TWO_PHASE_QUERIES = [
     "pack_token_sequences",
     "dedup_line_corpus",
     "talkset_generate",
+    # round-7 additions: broadcast-threshold / partitioned-fold /
+    # Expand-only by construction — the guard keeps them that way
+    "dsir_importance_weights",
+    "w23_rfm_segments",
+    "ext_unpivot",
 ]
 
 
