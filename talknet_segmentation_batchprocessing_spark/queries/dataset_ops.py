@@ -3007,11 +3007,21 @@ per_doc AS (
   LEFT JOIN tgtc USING (fid)
   CROSS JOIN tot
   GROUP BY bg.doc_id
+),
+m AS (
+  SELECT doc_id, n_feats, s,
+         CAST(floor(s / n_feats * 1e6 + 0.5) AS BIGINT) AS m_fixed
+  FROM per_doc
+),
+thr AS (
+  SELECT CAST(sum(m_fixed) AS BIGINT) AS m_total,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM m
 )
 SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
        floor(s * 1e4 + 0.5) / 1e4 AS dsir_logw,
-       s > 0 AS keep
-FROM per_doc
+       m_fixed * n_docs > m_total AS keep
+FROM m CROSS JOIN thr
 """
 
 
@@ -3024,13 +3034,18 @@ FROM per_doc
     "the curated-target proxy, the full corpus as raw — and score every "
     "document with the importance log-weight sum_f c_f(x) * "
     "(ln p_tgt(f) - ln p_raw(f)) under add-one smoothing over "
-    f"{_DSIR_BUCKETS} hash buckets; keep = weight > 0 (more target-like "
-    "than raw-like). Determinism spine: md5-derived feature ids "
-    "(bit-identical on both engines), per-element double log-ratios on "
-    "exact integer counts, then the ORDERED sequential fold by bigram "
-    "position (the text_bigram_logprob pattern) so the per-doc sum is "
-    "bit-identical; strict compare for keep is safe on identical IEEE "
-    "inputs. Scale: the feature space is CAPPED at the bucket count, so "
+    f"{_DSIR_BUCKETS} hash buckets; keep = the doc's length-normalized "
+    "mean log-ratio strictly above the corpus mean (the q11 "
+    "mean-relative rule: add-one smoothing on the sparse target side "
+    "shifts ALL weights negative, so a fixed sign cutoff selects "
+    "nothing — relative rank is what DSIR resamples on). Determinism "
+    "spine: md5-derived feature ids (bit-identical on both engines), "
+    "per-element double log-ratios on exact integer counts, the ORDERED "
+    "sequential fold by bigram position (the text_bigram_logprob "
+    "pattern), then the threshold as pure BIGINT multiply-compare "
+    "(m_fixed * n_docs > total) — no float mean, no div-vs-floor "
+    "negative-division mismatch. Scale: the feature space is CAPPED at "
+    "the bucket count, so "
     "both count tables broadcast regardless of corpus size — the only "
     "shuffles are the bigram count (map-side combinable) and the "
     "doc_id-keyed fold; no sort, no self-join, linear end to end",
@@ -3110,9 +3125,23 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("s"),
     )
-    return per_doc.select(
+    m = track_persist(
+        per_doc.select(
+            "doc_id",
+            "n_feats",
+            "s",
+            F.floor(F.col("s") / F.col("n_feats") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("m_fixed"),
+        )
+    )
+    thr = m.agg(
+        F.sum("m_fixed").cast("bigint").alias("m_total"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    return m.crossJoin(F.broadcast(thr)).select(
         "doc_id",
         "n_feats",
         stable_round("s", 4).alias("dsir_logw"),
-        (F.col("s") > 0).alias("keep"),
+        (F.col("m_fixed") * F.col("n_docs") > F.col("m_total")).alias("keep"),
     )

@@ -1443,3 +1443,57 @@ def test_streaming_semantic_flag_matches_batch(spark, tmp_path):
         na = np.sqrt(fold_dot(a, a))
         nb = np.sqrt(fold_dot(b, b))
         assert fold_dot(a, b) / (na * nb) > 0.45
+
+
+def test_streaming_dsir_matches_batch(spark, tmp_path):
+    """streaming/dsir.py fit-offline/score-online vs the registered
+    dsir_importance_weights batch query: every doc scored across two
+    micro-batches must carry the batch query's exact rounded log-weight
+    and keep flag (bit-parity via integer-count literals + the same
+    position-ordered JVM fold, not a tolerance)."""
+    from talknet_segmentation_batchprocessing_spark.streaming.dsir import (
+        fit_dsir,
+        streaming_dsir_scorer,
+    )
+
+    want = (
+        registry.REGISTRY["dsir_importance_weights"]
+        .fn(spark, SF_CORRECT)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    tc, rc, t_tot, r_tot, m_total, n_docs = fit_dsir(spark, SF_CORRECT)
+    assert t_tot > 0 and r_tot > t_tot and n_docs == len(want)
+
+    docs = load(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    # two event-order micro-batches: stateless scoring must not care
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(drop / "b0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(drop / "b1")
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(str(drop / "*"))
+    got = (
+        _drain(
+            streaming_dsir_scorer(stream, tc, rc, t_tot, r_tot, m_total, n_docs),
+            tmp_path,
+            "dsir_stream",
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == len(want) > 0
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_feats"].tolist() == want["n_feats"].tolist()
+    np.testing.assert_array_equal(
+        got["dsir_logw"].to_numpy(), want["dsir_logw"].to_numpy()
+    )
+    assert got["keep"].tolist() == want["keep"].tolist()
+    # the fit corpus must exercise both verdicts or keep-parity is vacuous
+    assert 0 < int(want["keep"].sum()) < len(want)
