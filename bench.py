@@ -159,6 +159,7 @@ HEADLINE = [
     "classifier_calibration_bins",
     "dsir_importance_weights",
     "w23_rfm_segments",
+    "doc_ngram_novelty",
 ]
 
 

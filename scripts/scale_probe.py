@@ -97,6 +97,10 @@ HEAVY = [
     "q20_dominant_suppliers",
     # round 7: bounded-query one-pass mining — should scale ~linearly
     "sim_hard_negatives",
+    # round 7, second wave: corpus-wide folds / shingle joins — both
+    # designed linear (capped feature space; sid-keyed join)
+    "dsir_importance_weights",
+    "doc_ngram_novelty",
 ]
 
 # dims + streams copied as-is (nation/region are constant-size at any

@@ -3765,3 +3765,83 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cs") > _SCON_THRESHOLD).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_ngram_novelty (round 7): per-doc corpus-contribution metric
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ids AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS sid
+  FROM sh
+),
+first_seen AS (
+  SELECT sid, min(doc_id) AS first_doc FROM ids GROUP BY sid
+),
+per_doc AS (
+  SELECT ids.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(*) FILTER (WHERE first_doc = ids.doc_id) AS BIGINT)
+           AS n_novel
+  FROM ids JOIN first_seen USING (sid)
+  GROUP BY ids.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       CAST((2 * n_novel * 1000000 + n_shingles) // (2 * n_shingles)
+            AS BIGINT) AS novelty_ppm
+FROM per_doc
+"""
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=_NOVELTY_ORACLE,
+    doc="Per-document novelty: the fraction of a doc's distinct "
+    "3-shingles whose corpus-wide FIRST occurrence (min doc_id) is the "
+    "doc itself — the contribution/diversity metric of the Lee-et-al "
+    "novel-tokens family (a doc of all-recycled shingles scores 0; the "
+    "corpus's first doc scores 1e6 ppm). Deduplication asks 'is this a "
+    "copy?'; novelty asks the curation question 'does keeping this doc "
+    "add anything?'. Shingle ids are the md5-derived 48-bit sids on "
+    "BOTH engines so a hash collision collapses identically, shuffles "
+    "carry 8-byte ids never text, and the ratio is the exact rounded-"
+    "integer-ppm division — no floats anywhere. Shape: the shared "
+    "shingle frame, one sid-keyed min aggregate (map-side combinable), "
+    "one sid-keyed join back, one doc-keyed count — the dedup family's "
+    "proven scale pattern",
+    tags=("text", "dedup", "curation", "ext"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    ids = track_persist(
+        sh.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("sid"),
+        )
+    )
+    first_seen = ids.groupBy("sid").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ids.join(first_seen, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr(
+            "(2 * n_novel * 1000000 + n_shingles) div (2 * n_shingles)"
+        )
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )

@@ -209,7 +209,7 @@ _DRIVER_WINDOW = [
     # w12_funnel_steps, j10_interval_join, agg_time_rollup,
     # w14_cohort_retention, text_bigram_topk, sketch_countmin_topk,
     # w15_event_pattern — all r2-r5 driver-green and unchanged since)
-    "bpe_merge_step", "emb_kmeans_assign",
+    "bpe_merge_step",
     "text_bigram_logprob",
     "sim_maxsim_groups",
     "emb_matryoshka_recall",
@@ -236,6 +236,11 @@ _DRIVER_WINDOW = [
     # driver-checked the round it lands; displaced: dedup_edit_distance
     # (r6 driver-green, code unchanged this round, mirror-swept in-repo)
     "ext_unpivot",
+    # doc_ngram_novelty is NEW this round (corpus-first shingle
+    # contribution metric) — driver-checked the round it lands;
+    # displaced: emb_kmeans_assign (r6 driver-green, code unchanged
+    # this round, mirror-swept in-repo)
+    "doc_ngram_novelty",
 ]
 
 

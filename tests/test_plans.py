@@ -130,6 +130,7 @@ TWO_PHASE_QUERIES = [
     "dsir_importance_weights",
     "w23_rfm_segments",
     "ext_unpivot",
+    "doc_ngram_novelty",
 ]
 
 
