@@ -1062,3 +1062,112 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(rate - pred) * F.col("n_docs") / F.col("n_total"), 6
         ).alias("ece_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-vs-rules agreement audit (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_dsir_vs_rules",
+    oracle=None,  # late-bound below: composes the two registered oracles
+    doc="Selection-method agreement audit: the confusion matrix between "
+    "DSIR's distribution-matched keep (dsir_importance_weights) and the "
+    "Gopher hand-rule keep (text_gopher_rules) over the docs both score "
+    "(DSIR skips <2-token docs by definition) — both-keep / dsir-only / "
+    "rules-only / both-drop counts plus exact rounded-integer-ppm "
+    "agreement and keep-set Jaccard. THE before-you-switch report: a "
+    "team replacing hand rules with learned importance weights reads "
+    "exactly this table to see what each method keeps that the other "
+    "throws away. Composed over the two REGISTERED oracles so it audits "
+    "precisely what users run. Shape: the parents' plans + one doc_id "
+    "equi-join + a single global count — output is ONE row however "
+    "large the corpus",
+    tags=("curation", "audit", "ext"),
+)
+def curation_dsir_vs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dataset_ops import dsir_importance_weights, text_gopher_rules
+
+    d = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("dsir_keep")
+    )
+    g = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rules_keep")
+    )
+    j = d.join(g, "doc_id")
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("dsir_keep") & F.col("rules_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both_keep"),
+        F.sum(F.when(F.col("dsir_keep") & ~F.col("rules_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dsir_only"),
+        F.sum(F.when(~F.col("dsir_keep") & F.col("rules_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rules_only"),
+        F.sum(F.when(~F.col("dsir_keep") & ~F.col("rules_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both_drop"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_both_keep",
+        "n_dsir_only",
+        "n_rules_only",
+        "n_both_drop",
+        F.expr(
+            "(2 * (n_both_keep + n_both_drop) * 1000000 + n_docs) "
+            "div (2 * n_docs)"
+        )
+        .cast("bigint")
+        .alias("agreement_ppm"),
+        F.expr(
+            "CASE WHEN n_both_keep + n_dsir_only + n_rules_only = 0 THEN 0 "
+            "ELSE (2 * n_both_keep * 1000000 "
+            "+ (n_both_keep + n_dsir_only + n_rules_only)) "
+            "div (2 * (n_both_keep + n_dsir_only + n_rules_only)) END"
+        )
+        .cast("bigint")
+        .alias("keep_jaccard_ppm"),
+    )
+
+
+def _late_bind_dsir_vs_rules() -> None:
+    from . import dataset_ops  # noqa: F401  (registers the two parents)
+
+    dsir = REGISTRY["dsir_importance_weights"].oracle
+    gopher = REGISTRY["text_gopher_rules"].oracle
+    REGISTRY["curation_dsir_vs_rules"].oracle = f"""
+WITH d AS ({dsir}),
+g AS ({gopher}),
+j AS (
+  SELECT d.doc_id, d.keep AS dsir_keep, g.keep AS rules_keep
+  FROM d JOIN g USING (doc_id)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (WHERE dsir_keep AND rules_keep) AS BIGINT)
+           AS n_both_keep,
+         CAST(count(*) FILTER (WHERE dsir_keep AND NOT rules_keep) AS BIGINT)
+           AS n_dsir_only,
+         CAST(count(*) FILTER (WHERE NOT dsir_keep AND rules_keep) AS BIGINT)
+           AS n_rules_only,
+         CAST(count(*) FILTER (WHERE NOT dsir_keep AND NOT rules_keep)
+              AS BIGINT) AS n_both_drop
+  FROM j
+)
+SELECT n_docs, n_both_keep, n_dsir_only, n_rules_only, n_both_drop,
+       CAST((2 * (n_both_keep + n_both_drop) * 1000000 + n_docs)
+            // (2 * n_docs) AS BIGINT) AS agreement_ppm,
+       CAST(CASE WHEN n_both_keep + n_dsir_only + n_rules_only = 0 THEN 0
+            ELSE (2 * n_both_keep * 1000000
+                  + (n_both_keep + n_dsir_only + n_rules_only))
+                 // (2 * (n_both_keep + n_dsir_only + n_rules_only)) END
+            AS BIGINT) AS keep_jaccard_ppm
+FROM agg
+"""
+
+
+_late_bind_dsir_vs_rules()

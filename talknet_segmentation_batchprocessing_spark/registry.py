@@ -209,7 +209,6 @@ _DRIVER_WINDOW = [
     # w12_funnel_steps, j10_interval_join, agg_time_rollup,
     # w14_cohort_retention, text_bigram_topk, sketch_countmin_topk,
     # w15_event_pattern — all r2-r5 driver-green and unchanged since)
-    "bpe_merge_step",
     "text_bigram_logprob",
     "sim_maxsim_groups",
     "emb_matryoshka_recall",
@@ -241,6 +240,11 @@ _DRIVER_WINDOW = [
     # displaced: emb_kmeans_assign (r6 driver-green, code unchanged
     # this round, mirror-swept in-repo)
     "doc_ngram_novelty",
+    # curation_dsir_vs_rules is NEW this round (DSIR-vs-Gopher
+    # agreement audit over the two registered oracles) — driver-checked
+    # the round it lands; displaced: bpe_merge_step (r6 driver-green,
+    # code unchanged this round, mirror-swept in-repo)
+    "curation_dsir_vs_rules",
 ]
 
 

@@ -131,6 +131,7 @@ TWO_PHASE_QUERIES = [
     "w23_rfm_segments",
     "ext_unpivot",
     "doc_ngram_novelty",
+    "curation_dsir_vs_rules",
 ]
 
 
