@@ -160,6 +160,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "w23_rfm_segments",
     "doc_ngram_novelty",
+    "sim_ivfpq_topk",
 ]
 
 

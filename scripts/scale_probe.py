@@ -101,6 +101,8 @@ HEAVY = [
     # designed linear (capped feature space; sid-keyed join)
     "dsir_importance_weights",
     "doc_ngram_novelty",
+    # composed ANN: candidate volume ~ n*nprobe/K, ADC is 4 lookups
+    "sim_ivfpq_topk",
 ]
 
 # dims + streams copied as-is (nation/region are constant-size at any

@@ -3145,3 +3145,200 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round("s", 4).alias("dsir_logw"),
         (F.col("m_fixed") * F.col("n_docs") > F.col("m_total")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composed index (round 7): the canonical billion-scale ANN
+# architecture — coarse routing + compressed-domain scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=None,  # late-bound below: stitches the IVF and PQ CTE chains
+    doc="IVF+PQ search (Jegou et al. TPAMI'11, the FAISS IVFPQ "
+    "architecture): queries route through the IVF coarse quantizer to "
+    "their nprobe nearest centroid lists, and only vectors in the "
+    "probed lists are scored — in the COMPRESSED domain, by PQ "
+    "asymmetric distance over the 16x-smaller code table, never raw "
+    "vectors. Composes the two registered index definitions "
+    "(sim_ivf_topk's routing, sim_pq_topk's codebooks/LUT/fixed-m-order "
+    "ADC) so the composite searches exactly the structures users "
+    "already build. Candidate count ~ n*nprobe/K AND each candidate "
+    "costs 4 array lookups instead of a 64-dim dot product — the "
+    "multiplicative combination that makes billion-scale serving "
+    "possible. Shape: bounded-sample training (broadcast), one "
+    "cent_id-keyed candidate join, one code-table join, per-query "
+    "rank windows; no global sort, no all-pairs anywhere",
+    tags=("similarity", "quantization", "ext"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions import (
+        _DOT_VC_SPARK,
+        _IVF_NPROBE,
+        _NORM_CV_SPARK,
+        _NORM_SPARK,
+        _ivf_centroids,
+    )
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    # ---- IVF routing (sim_ivf_topk's exact assign/probe stages) ----
+    ivf_emb = emb.withColumn("nrm", F.expr(_NORM_SPARK))
+    cent = _ivf_centroids(ivf_emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
+    pairs = ivf_emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    ranked = track_persist(
+        pairs.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= max(1, _IVF_NPROBE))
+        .select("vec_id", "cent_id", "rn")
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    qprobe = ranked.filter(
+        (F.col("vec_id") < _PQ_NQ) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    cand = (
+        F.broadcast(qprobe)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # ---- PQ compressed-domain scoring (sim_pq_topk's exact stages) ----
+    cb = _pq_cb(spark, emb)
+    pcodes = _pq_wide_codes(_pq_assign_long(spark, emb, cb))
+    q = emb.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    lut_d2 = F.expr(
+        "aggregate(zip_with(transform(sequence(1, 16), i -> element_at(v, int(m*16 + i))), cv,"
+        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "m", "code_id", lut_d2.alias("d2")
+    )
+    lut_m = lut.groupBy("query_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
+            lambda p: p["d2"],
+        ).alias("arr")
+    )
+    lut_q = lut_m.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "arr"))),
+            lambda p: p["arr"],
+        ).alias("luts")
+    )
+    base = cand.join(
+        pcodes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).join(F.broadcast(lut_q), "query_id")
+    d = [
+        F.element_at(
+            F.element_at(F.col("luts"), m + 1), F.col(f"code{m}").cast("int") + 1
+        )
+        for m in range(_PQ_M)
+    ]
+    adc = d[0] + d[1] + d[2] + d[3]  # fixed m-order, matching the oracle
+    scored = base.select("query_id", "neighbor_id", adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            stable_round(F.col("adc"), 6).alias("adc_dist"),
+        )
+    )
+
+
+def _late_bind_ivfpq() -> None:
+    """Stitch the two registered index definitions' CTE chains into one
+    oracle. Each chain lives in its OWN nested WITH scope (their CTE
+    names collide: samp/dims/c0/a1...), referencing the shared outer
+    ``e``; DuckDB scopes nested WITHs per subquery."""
+    from .extensions import _COS_VC_DUCK, _IVF_NPROBE, _ivf_kmeans_cte
+    from ..registry import REGISTRY
+
+    cand_sql = f"""
+  WITH {_ivf_kmeans_cte()}
+  assign AS (
+    SELECT vec_id, cent_id FROM (
+      SELECT e.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+      FROM e CROSS JOIN cent c
+    ) WHERE rn = 1
+  ),
+  qprobe AS (
+    SELECT vec_id AS query_id, cent_id FROM (
+      SELECT e.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+      FROM e CROSS JOIN cent c WHERE e.vec_id < {_PQ_NQ}
+    ) WHERE rn <= {_IVF_NPROBE}
+  )
+  SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+  FROM qprobe q JOIN assign a ON a.cent_id = q.cent_id
+  WHERE a.vec_id <> q.query_id
+"""
+    pc_sql = f"""
+  WITH {_pq_kmeans_cte()}
+  allsub AS (
+    SELECT vec_id, m, list_transform(range(1, 17), i -> v[m*16 + i]) AS sv
+    FROM e CROSS JOIN ms
+  ),
+  codes AS (
+    SELECT vec_id, m, code_id FROM (
+      SELECT s.vec_id, s.m, c.code_id,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {_PQ_L2} ASC, c.code_id) AS rn
+      FROM allsub s JOIN cb c ON c.m = s.m
+    ) WHERE rn = 1
+  )
+  SELECT vec_id,
+         max(CASE WHEN m = 0 THEN code_id END) AS code0,
+         max(CASE WHEN m = 1 THEN code_id END) AS code1,
+         max(CASE WHEN m = 2 THEN code_id END) AS code2,
+         max(CASE WHEN m = 3 THEN code_id END) AS code3
+  FROM codes GROUP BY vec_id
+"""
+    lut_sql = f"""
+  WITH {_pq_kmeans_cte()}
+  q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {_PQ_NQ})
+  SELECT q.query_id, c.m, c.code_id,
+         list_sum(list_transform(range(1, 17),
+           i -> (q.v[c.m*16 + i] - c.cv[i]) * (q.v[c.m*16 + i] - c.cv[i]))) AS d2
+  FROM q CROSS JOIN cb c
+"""
+    REGISTRY["sim_ivfpq_topk"].oracle = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS ({cand_sql}),
+pc AS ({pc_sql}),
+lut AS ({lut_sql}),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+  FROM cand cd
+  JOIN pc p ON p.vec_id = cd.neighbor_id
+  JOIN lut l0 ON l0.query_id = cd.query_id AND l0.m = 0 AND l0.code_id = p.code0
+  JOIN lut l1 ON l1.query_id = cd.query_id AND l1.m = 1 AND l1.code_id = p.code1
+  JOIN lut l2 ON l2.query_id = cd.query_id AND l2.m = 2 AND l2.code_id = p.code2
+  JOIN lut l3 ON l3.query_id = cd.query_id AND l3.m = 3 AND l3.code_id = p.code3
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+       floor(adc * 1e6 + 0.5) / 1e6 AS adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {_PQ_TOPK}
+"""
+
+
+_late_bind_ivfpq()

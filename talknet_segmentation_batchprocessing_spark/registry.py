@@ -211,7 +211,6 @@ _DRIVER_WINDOW = [
     # w15_event_pattern — all r2-r5 driver-green and unchanged since)
     "text_bigram_logprob",
     "sim_maxsim_groups",
-    "emb_matryoshka_recall",
     # classifier_calibration_bins + dedup_keep_quota are NEW this
     # round (reliability/ECE audit; soft-dedup quota keep) —
     # driver-checked the round they land; displaced: w18_ema_decay and
@@ -245,6 +244,11 @@ _DRIVER_WINDOW = [
     # the round it lands; displaced: bpe_merge_step (r6 driver-green,
     # code unchanged this round, mirror-swept in-repo)
     "curation_dsir_vs_rules",
+    # sim_ivfpq_topk is NEW this round (IVF routing + PQ ADC composed —
+    # the FAISS IVFPQ architecture) — driver-checked the round it
+    # lands; displaced: emb_matryoshka_recall (r6 driver-green, code
+    # unchanged this round, mirror-swept in-repo)
+    "sim_ivfpq_topk",
 ]
 
 

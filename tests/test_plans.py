@@ -132,6 +132,7 @@ TWO_PHASE_QUERIES = [
     "ext_unpivot",
     "doc_ngram_novelty",
     "curation_dsir_vs_rules",
+    "sim_ivfpq_topk",
 ]
 
 
