@@ -161,6 +161,7 @@ HEADLINE = [
     "w23_rfm_segments",
     "doc_ngram_novelty",
     "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
 ]
 
 

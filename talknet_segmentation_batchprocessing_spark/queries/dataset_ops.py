@@ -3342,3 +3342,61 @@ FROM (
 
 
 _late_bind_ivfpq()
+
+
+@query(
+    "sim_ivfpq_recall",
+    oracle=None,  # late-bound below: composes two registered oracles
+    doc="ANN quality audit for the composed index — recall@3 of "
+    "sim_ivfpq_topk (its top-3 of 5) against the brute-force ground "
+    "truth per query: the go/no-go report for serving IVF+PQ, read "
+    "next to sim_recall_eval (IVF-Flat) to see what ROUTING loses vs "
+    "what COMPRESSION loses — the two error sources tune independently "
+    "(nprobe vs codebook bits). Both sides are the registered queries; "
+    "the oracle composes the two proven oracles. Cost: the parents' "
+    "plans + one (query, neighbor) equi-join over two top-k lists",
+    tags=("similarity", "eval", "quantization", "ext"),
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions import sim_topk_bruteforce
+
+    bf = sim_topk_bruteforce(spark, sf_dir).filter(F.col("rank") <= 3)
+    ipq = sim_ivfpq_topk(spark, sf_dir).filter(F.col("rank") <= 3)
+    hits = (
+        bf.join(ipq, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_nh"))
+    )
+    q = bf.select("query_id").distinct()
+    nh = F.coalesce(F.col("_nh"), F.lit(0))
+    return q.join(hits, "query_id", "left").select(
+        "query_id",
+        nh.cast("bigint").alias("n_hits"),
+        stable_round(nh / 3.0, 6).alias("recall_at_3"),
+    )
+
+
+def _late_bind_ivfpq_recall() -> None:
+    from . import extensions  # noqa: F401  (registers the brute-force oracle)
+    from ..registry import REGISTRY
+
+    bf = REGISTRY["sim_topk_bruteforce"].oracle
+    ipq = REGISTRY["sim_ivfpq_topk"].oracle
+    REGISTRY["sim_ivfpq_recall"].oracle = f"""
+WITH bf AS ({bf}),
+ipq AS ({ipq}),
+hits AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM bf b JOIN ipq i ON i.query_id = b.query_id
+   AND i.neighbor_id = b.neighbor_id
+  WHERE b.rank <= 3 AND i.rank <= 3
+  GROUP BY b.query_id
+),
+q AS (SELECT DISTINCT query_id FROM bf)
+SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       floor((coalesce(h.n_hits, 0) / 3.0) * 1e6 + 0.5) / 1e6 AS recall_at_3
+FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+_late_bind_ivfpq_recall()

@@ -216,7 +216,7 @@ _DRIVER_WINDOW = [
     # driver-checked the round they land; displaced: w18_ema_decay and
     # w17_rate_limit (both r6 driver-green, code unchanged,
     # mirror-swept in-repo)
-    "dedup_threshold_sweep", "dedup_keep_quota",
+    "dedup_keep_quota",
     "classifier_calibration_bins",
     "text_classifier_score", "shard_balance_audit",
     # displaced for sim_knn_graph_lsh: dedup_incremental
@@ -249,6 +249,11 @@ _DRIVER_WINDOW = [
     # lands; displaced: emb_matryoshka_recall (r6 driver-green, code
     # unchanged this round, mirror-swept in-repo)
     "sim_ivfpq_topk",
+    # sim_ivfpq_recall is NEW this round (the composed index's recall
+    # audit vs brute force) — driver-checked the round it lands;
+    # displaced: dedup_threshold_sweep (r6 driver-green, code unchanged
+    # this round, mirror-swept in-repo)
+    "sim_ivfpq_recall",
 ]
 
 

@@ -133,6 +133,7 @@ TWO_PHASE_QUERIES = [
     "doc_ngram_novelty",
     "curation_dsir_vs_rules",
     "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
 ]
 
 
