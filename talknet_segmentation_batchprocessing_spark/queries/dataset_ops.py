@@ -3400,3 +3400,59 @@ FROM q LEFT JOIN hits h ON h.query_id = q.query_id
 
 
 _late_bind_ivfpq_recall()
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted reservoir sampling (round 7)
+# ---------------------------------------------------------------------------
+
+_RES_K = 50  # reservoir size
+_RES_PPM = 1_000_000
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         (CAST(('0x' || substr(md5('res#' || CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT) % {_RES_PPM} + 1) / {_RES_PPM + 1}.0 AS uu
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars,
+       floor((ln(uu) / n_chars) * 1e9 + 0.5) / 1e9 AS es_key
+FROM u
+ORDER BY ln(uu) / n_chars DESC, doc_id
+LIMIT {_RES_K}
+""",
+    doc="Weighted sampling WITHOUT replacement (Efraimidis & Spirakis "
+    "2006, A-Res): each doc draws a deterministic uniform u from a "
+    "salted md5 (exact integer ppm, shifted off zero) and the "
+    f"{_RES_K} docs with the largest ln(u)/w survive, w = n_chars — "
+    "the log-space monotone equivalent of the canonical u^(1/w) key "
+    "that avoids pow() (whose rounding is not IEEE-pinned cross-"
+    "engine; ln and division are). The fixed-SIZE companion to "
+    "sample_weighted_hash's fixed-RATE draw: a char-budgeted corpus "
+    "draw that returns exactly k docs, inclusion probability "
+    "proportional to weight, no replacement. Shape: one scan + "
+    "TakeOrderedAndProject partial top-k per partition merged on the "
+    "driver — no global sort, no shuffle of the corpus; the ordering "
+    "key is bit-identical cross-engine so the reservoir boundary "
+    "cannot flip",
+    tags=("dataset", "sampling", "ext"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = _md5_bigint(F.concat(F.lit("res#"), F.col("doc_id"))) % _RES_PPM
+    u = (h + F.lit(1)) / F.lit(float(_RES_PPM + 1))
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            key.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), "doc_id")
+        .limit(_RES_K)
+        .select("doc_id", "n_chars", stable_round("_k", 9).alias("es_key"))
+    )

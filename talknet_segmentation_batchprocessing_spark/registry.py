@@ -218,7 +218,7 @@ _DRIVER_WINDOW = [
     # mirror-swept in-repo)
     "dedup_keep_quota",
     "classifier_calibration_bins",
-    "text_classifier_score", "shard_balance_audit",
+    "shard_balance_audit",
     # displaced for sim_knn_graph_lsh: dedup_incremental
     # (r4/r5-green, unchanged); emb_norm_outliers displaced for
     # q12_shipping_modes (r6-green, unchanged, mirror-swept in-repo)
@@ -254,6 +254,11 @@ _DRIVER_WINDOW = [
     # displaced: dedup_threshold_sweep (r6 driver-green, code unchanged
     # this round, mirror-swept in-repo)
     "sim_ivfpq_recall",
+    # sample_weighted_reservoir is NEW this round (Efraimidis-Spirakis
+    # A-Res fixed-size weighted draw) — driver-checked the round it
+    # lands; displaced: text_classifier_score (r6 driver-green, code
+    # unchanged this round, mirror-swept in-repo)
+    "sample_weighted_reservoir",
 ]
 
 

@@ -134,6 +134,7 @@ TWO_PHASE_QUERIES = [
     "curation_dsir_vs_rules",
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
+    "sample_weighted_reservoir",
 ]
 
 
