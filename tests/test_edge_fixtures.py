@@ -103,12 +103,20 @@ EDGE_QUERIES = [
     "emb_pca_power",  # zero vectors contribute nothing; tiny-corpus iterate
     "w21_attribution_linear",  # purchase-first users, zero-gap ties, no touches
     "w22_markov_transitions",  # single-event users, null types, zero-gap ties
-    # sim_rrf_fusion is NOT edge-swept: its sim_pq_topk parent trains an
-    # 8-codeword codebook, undefined on this 10-vector fixture (7
-    # distinct codewords -> element_at out of bounds on BOTH engines —
-    # a documented precondition of PQ, n >> k, not an engine divergence;
-    # the fusion itself is pure integer rank arithmetic over the
-    # parents' outputs and is oracle-checked at sf0.001/0.01/0.1)
+    # round-7 additions
+    "dsir_importance_weights",  # empty/null/single-token docs drop out identically
+    "w23_rfm_segments",  # 3 purchase users, percentile thresholds over tiny n
+    "ext_unpivot",  # null-valued pivot cells melt identically
+    "doc_ngram_novelty",  # dup docs score 0 novel, sub-shingle docs drop
+    "curation_dsir_vs_rules",  # both parents on the adversarial corpus
+    "sample_weighted_reservoir",  # zero/null n_chars excluded; k > corpus
+    # sim_rrf_fusion and sim_ivfpq_topk/_recall are NOT edge-swept:
+    # their sim_pq_topk parent trains an 8-codeword codebook, undefined
+    # on this 10-vector fixture (7 distinct codewords -> element_at out
+    # of bounds on BOTH engines — a documented precondition of PQ,
+    # n >> k, not an engine divergence; the fusion/routing layers are
+    # pure integer/rank arithmetic over the parents' outputs and are
+    # oracle-checked at sf0.001/0.01/0.1)
 ]
 
 TABLES = [
