@@ -162,6 +162,7 @@ HEADLINE = [
     "doc_ngram_novelty",
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
+    "w24_active_users",
 ]
 
 

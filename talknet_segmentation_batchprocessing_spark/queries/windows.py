@@ -1337,3 +1337,85 @@ def w23_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("other"))
         .alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w24: rolling active users (round 7) — DAU / trailing-7-day WAU
+# ---------------------------------------------------------------------------
+
+_WAU_WINDOW_DAYS = 7
+
+_WAU_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+cov AS (
+  SELECT DISTINCT user_id, day + o AS day
+  FROM ud, unnest(range(0, {_WAU_WINDOW_DAYS})) AS u(o)
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY day)
+SELECT d.day AS day, dau.dau, wau.wau,
+       CAST((2 * dau.dau * 1000000 + wau.wau) // (2 * wau.wau) AS BIGINT)
+         AS stickiness_ppm
+FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+"""
+
+
+@query(
+    "w24_active_users",
+    oracle=_WAU_ORACLE,
+    doc="Rolling engagement: per calendar day (exact integer-microsecond "
+    f"day buckets) the distinct active users that day (DAU) and in the "
+    f"trailing {_WAU_WINDOW_DAYS}-day window (WAU), plus the DAU/WAU "
+    "stickiness ratio in exact rounded-integer ppm — the canonical "
+    "product-engagement report. The rolling DISTINCT is NOT a windowed "
+    "count-distinct (which Spark cannot express over ranges without a "
+    "quadratic self-join): each (user, day) activity row explodes into "
+    f"the {_WAU_WINDOW_DAYS} future days it covers, and WAU is a plain "
+    "distinct count per covered day — fan-out is a CONSTANT 7x on the "
+    "deduped user-day table (already collapsed from raw events), every "
+    "shuffle keys on (user, day) or day. Days with zero events are "
+    "absent rather than zero-filled, matching the deduped frame on "
+    "both engines",
+    tags=("window", "timeseries", "analytics", "ext"),
+)
+def w24_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import track_persist
+
+    ud = track_persist(
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day"
+            ),
+        )
+        .distinct()
+    )
+    cov = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + _WAU_WINDOW_DAYS - 1)
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    wau = cov.groupBy("day").agg(F.count("*").cast("bigint").alias("wau"))
+    days = ud.select("day").distinct()
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(2 * dau * 1000000 + wau) div (2 * wau)")
+            .cast("bigint")
+            .alias("stickiness_ppm"),
+        )
+    )

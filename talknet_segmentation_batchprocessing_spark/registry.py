@@ -218,7 +218,6 @@ _DRIVER_WINDOW = [
     # mirror-swept in-repo)
     "dedup_keep_quota",
     "classifier_calibration_bins",
-    "shard_balance_audit",
     # displaced for sim_knn_graph_lsh: dedup_incremental
     # (r4/r5-green, unchanged); emb_norm_outliers displaced for
     # q12_shipping_modes (r6-green, unchanged, mirror-swept in-repo)
@@ -259,6 +258,11 @@ _DRIVER_WINDOW = [
     # lands; displaced: text_classifier_score (r6 driver-green, code
     # unchanged this round, mirror-swept in-repo)
     "sample_weighted_reservoir",
+    # w24_active_users is NEW this round (DAU/WAU rolling distinct via
+    # constant-fan-out coverage explode) — driver-checked the round it
+    # lands; displaced: shard_balance_audit (r6 driver-green, code
+    # unchanged this round, mirror-swept in-repo)
+    "w24_active_users",
 ]
 
 

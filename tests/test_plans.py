@@ -135,6 +135,7 @@ TWO_PHASE_QUERIES = [
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
     "sample_weighted_reservoir",
+    "w24_active_users",
 ]
 
 
