@@ -1171,3 +1171,113 @@ FROM agg
 
 
 _late_bind_dsir_vs_rules()
+
+
+# ---------------------------------------------------------------------------
+# quality-signal ensemble vote (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_ensemble_vote",
+    oracle=None,  # late-bound below: composes three registered oracles
+    doc="Ensemble quality filtering (the FineWeb-Edu/DataComp pattern: "
+    "no single signal is trusted alone): every doc collects three "
+    "binary verdicts — the fasttext-style classifier's keep, Gopher "
+    "rule-battery keep, and corpus-LM fluency (per-doc mean -log p "
+    "strictly below the corpus mean, decided by the exact BIGINT "
+    "multiply-compare on the 1e6 grid — the q11/DSIR mean-relative "
+    "rule, no float mean, no global sort) — and survives on a "
+    "majority (>= 2 of 3). Output carries the per-signal votes so the "
+    "disagreement structure is auditable next to "
+    "curation_dsir_vs_rules. Composed over three REGISTERED oracles. "
+    "Shape: the parents' plans + two doc-keyed equi-joins + one 1-row "
+    "broadcast threshold; rank-free by design — a global-rank RRF "
+    "over docs would serialize the corpus into one window partition",
+    tags=("curation", "text", "quality", "ext"),
+)
+def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dataset_ops import text_gopher_rules, text_unigram_logprob
+
+    clf = text_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("clf_keep")
+    )
+    gop = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rules_keep")
+    )
+    lm = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("mean_neg_logprob") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("m_fixed"),
+    )
+    from ..registry import track_persist
+
+    lm = track_persist(lm)
+    thr = lm.agg(
+        F.sum("m_fixed").cast("bigint").alias("m_total"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    flu = lm.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        (F.col("m_fixed") * F.col("n_docs") < F.col("m_total")).alias(
+            "fluent_keep"
+        ),
+    )
+    j = clf.join(gop, "doc_id").join(flu, "doc_id")
+    votes = (
+        F.col("clf_keep").cast("int")
+        + F.col("rules_keep").cast("int")
+        + F.col("fluent_keep").cast("int")
+    )
+    return j.select(
+        "doc_id",
+        "clf_keep",
+        "rules_keep",
+        "fluent_keep",
+        votes.cast("int").alias("n_votes"),
+        (votes >= 2).alias("keep"),
+    )
+
+
+def _late_bind_quality_ensemble() -> None:
+    from . import dataset_ops  # noqa: F401  (registers the three parents)
+
+    clf = REGISTRY["text_classifier_score"].oracle
+    gop = REGISTRY["text_gopher_rules"].oracle
+    lm = REGISTRY["text_unigram_logprob"].oracle
+    REGISTRY["quality_ensemble_vote"].oracle = f"""
+WITH clf AS ({clf}),
+gop AS ({gop}),
+lm AS ({lm}),
+m AS (
+  SELECT doc_id,
+         CAST(floor(mean_neg_logprob * 1e6 + 0.5) AS BIGINT) AS m_fixed
+  FROM lm
+),
+thr AS (
+  SELECT CAST(sum(m_fixed) AS BIGINT) AS m_total,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM m
+),
+flu AS (
+  SELECT doc_id, m_fixed * n_docs < m_total AS fluent_keep
+  FROM m CROSS JOIN thr
+),
+j AS (
+  SELECT clf.doc_id, clf.keep AS clf_keep, gop.keep AS rules_keep,
+         flu.fluent_keep
+  FROM clf
+  JOIN gop ON gop.doc_id = clf.doc_id
+  JOIN flu ON flu.doc_id = clf.doc_id
+)
+SELECT doc_id, clf_keep, rules_keep, fluent_keep,
+       CAST(CAST(clf_keep AS INTEGER) + CAST(rules_keep AS INTEGER)
+            + CAST(fluent_keep AS INTEGER) AS INTEGER) AS n_votes,
+       CAST(clf_keep AS INTEGER) + CAST(rules_keep AS INTEGER)
+         + CAST(fluent_keep AS INTEGER) >= 2 AS keep
+FROM j
+"""
+
+
+_late_bind_quality_ensemble()

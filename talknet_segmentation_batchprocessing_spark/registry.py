@@ -209,7 +209,6 @@ _DRIVER_WINDOW = [
     # w12_funnel_steps, j10_interval_join, agg_time_rollup,
     # w14_cohort_retention, text_bigram_topk, sketch_countmin_topk,
     # w15_event_pattern — all r2-r5 driver-green and unchanged since)
-    "text_bigram_logprob",
     "sim_maxsim_groups",
     # classifier_calibration_bins + dedup_keep_quota are NEW this
     # round (reliability/ECE audit; soft-dedup quota keep) —
@@ -263,6 +262,11 @@ _DRIVER_WINDOW = [
     # lands; displaced: shard_balance_audit (r6 driver-green, code
     # unchanged this round, mirror-swept in-repo)
     "w24_active_users",
+    # quality_ensemble_vote is NEW this round (majority vote over three
+    # registered quality signals) — driver-checked the round it lands;
+    # displaced: text_bigram_logprob (r6 driver-green, code unchanged
+    # this round, mirror-swept in-repo)
+    "quality_ensemble_vote",
 ]
 
 

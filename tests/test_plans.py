@@ -136,6 +136,7 @@ TWO_PHASE_QUERIES = [
     "sim_ivfpq_recall",
     "sample_weighted_reservoir",
     "w24_active_users",
+    "quality_ensemble_vote",
 ]
 
 
