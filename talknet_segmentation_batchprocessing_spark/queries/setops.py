@@ -195,3 +195,25 @@ def u5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.upsert import merge_frames
 
     return merge_frames(target, updates, on="doc_id")
+
+
+@query(
+    "u6_intersect",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    doc="U6 set intersection (round 7): users who both clicked AND "
+    "purchased — INTERSECT DISTINCT semantics via DataFrame.intersect, "
+    "completing the set-op family (union/union-split/except/explode/"
+    "merge already in). Spark plans it as a left-semi hash aggregate "
+    "on the key — one exchange per side, no row payload survives the "
+    "shuffle",
+    tags=("U6", "ext"),
+)
+def u6_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)

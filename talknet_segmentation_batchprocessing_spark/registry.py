@@ -209,7 +209,6 @@ _DRIVER_WINDOW = [
     # w12_funnel_steps, j10_interval_join, agg_time_rollup,
     # w14_cohort_retention, text_bigram_topk, sketch_countmin_topk,
     # w15_event_pattern — all r2-r5 driver-green and unchanged since)
-    "sim_maxsim_groups",
     # classifier_calibration_bins + dedup_keep_quota are NEW this
     # round (reliability/ECE audit; soft-dedup quota keep) —
     # driver-checked the round they land; displaced: w18_ema_decay and
@@ -267,6 +266,11 @@ _DRIVER_WINDOW = [
     # displaced: text_bigram_logprob (r6 driver-green, code unchanged
     # this round, mirror-swept in-repo)
     "quality_ensemble_vote",
+    # u6_intersect is NEW this round (INTERSECT completes the set-op
+    # family) — driver-checked the round it lands; displaced:
+    # sim_maxsim_groups (r6 driver-green, code unchanged this round,
+    # mirror-swept in-repo)
+    "u6_intersect",
 ]
 
 

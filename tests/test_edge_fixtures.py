@@ -112,6 +112,7 @@ EDGE_QUERIES = [
     "sample_weighted_reservoir",  # zero/null n_chars excluded; k > corpus
     "w24_active_users",  # single-day corpus, duplicate-timestamp users
     "quality_ensemble_vote",  # three parents on empty/null/unicode docs
+    "u6_intersect",  # empty intersection side, null event types
     # sim_rrf_fusion and sim_ivfpq_topk/_recall are NOT edge-swept:
     # their sim_pq_topk parent trains an 8-codeword codebook, undefined
     # on this 10-vector fixture (7 distinct codewords -> element_at out

@@ -137,6 +137,7 @@ TWO_PHASE_QUERIES = [
     "sample_weighted_reservoir",
     "w24_active_users",
     "quality_ensemble_vote",
+    "u6_intersect",
 ]
 
 
