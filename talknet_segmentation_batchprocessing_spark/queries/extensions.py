@@ -3845,3 +3845,91 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_token_fertility (round 7): the multilingual tokenizer-efficiency
+# report
+# ---------------------------------------------------------------------------
+
+_FERT_ORACLE = r"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+         CAST(length(text) AS BIGINT) AS n_chr
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(n_ws), 0) AS BIGINT) AS sum_ws,
+         CAST(coalesce(sum(n_bpe), 0) AS BIGINT) AS sum_bpe,
+         CAST(coalesce(sum(n_chr), 0) AS BIGINT) AS sum_chars
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, sum_ws, sum_bpe, sum_chars,
+       CAST(CASE WHEN sum_ws = 0 THEN 0
+            ELSE (2 * sum_bpe * 1000000 + sum_ws) // (2 * sum_ws) END
+            AS BIGINT) AS fertility_ppm,
+       CAST(CASE WHEN sum_bpe = 0 THEN 0
+            ELSE (2 * sum_chars * 1000000 + sum_bpe) // (2 * sum_bpe) END
+            AS BIGINT) AS chars_per_token_ppm
+FROM agg
+"""
+
+
+@query(
+    "text_token_fertility",
+    oracle=_FERT_ORACLE,
+    doc="Tokenizer fertility by language (the mBERT/XLM-R multilingual "
+    "efficiency metric): per lang the subword-per-word ratio (BPE-ish "
+    "regex tokens / whitespace words) and chars-per-token, in exact "
+    "rounded-integer ppm over BIGINT corpus sums — the report that "
+    "decides whether a tokenizer taxes some languages with 2-3x more "
+    "tokens per word (and therefore 2-3x the training/serving cost for "
+    "the same text). Null-text docs count toward n_docs but contribute "
+    "nothing to the sums, identically on both engines. Shape: one "
+    "stateless per-doc projection + one lang-keyed map-side-combinable "
+    "aggregate; output O(languages)",
+    tags=("text", "analytics", "ext"),
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        )
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.length("text").cast("bigint").alias("n_chr"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("n_ws"), F.lit(0)).cast("bigint").alias("sum_ws"),
+        F.coalesce(F.sum("n_bpe"), F.lit(0)).cast("bigint").alias("sum_bpe"),
+        F.coalesce(F.sum("n_chr"), F.lit(0)).cast("bigint").alias("sum_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_ws",
+        "sum_bpe",
+        "sum_chars",
+        F.expr(
+            "CASE WHEN sum_ws = 0 THEN 0 "
+            "ELSE (2 * sum_bpe * 1000000 + sum_ws) div (2 * sum_ws) END"
+        )
+        .cast("bigint")
+        .alias("fertility_ppm"),
+        F.expr(
+            "CASE WHEN sum_bpe = 0 THEN 0 "
+            "ELSE (2 * sum_chars * 1000000 + sum_bpe) div (2 * sum_bpe) END"
+        )
+        .cast("bigint")
+        .alias("chars_per_token_ppm"),
+    )

@@ -202,7 +202,7 @@ _DRIVER_WINDOW = [
     # mirror-swept in-repo)
     "sim_hard_negatives", "contamination_semantic",
     "q3_shipping_priority",
-    "q5_local_supplier_volume", "sim_rrf_fusion",
+    "q5_local_supplier_volume",
     "emb_pca_power",
     # new round-6 queries (driver-checked the round they land;
     # displaced: a6_average_precision, u5_merge_upsert,
@@ -271,6 +271,11 @@ _DRIVER_WINDOW = [
     # sim_maxsim_groups (r6 driver-green, code unchanged this round,
     # mirror-swept in-repo)
     "u6_intersect",
+    # text_token_fertility is NEW this round (multilingual tokenizer
+    # fertility report) — driver-checked the round it lands; displaced:
+    # sim_rrf_fusion (r6 driver-green, code unchanged this round,
+    # mirror-swept in-repo)
+    "text_token_fertility",
 ]
 
 

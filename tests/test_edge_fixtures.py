@@ -113,6 +113,7 @@ EDGE_QUERIES = [
     "w24_active_users",  # single-day corpus, duplicate-timestamp users
     "quality_ensemble_vote",  # three parents on empty/null/unicode docs
     "u6_intersect",  # empty intersection side, null event types
+    "text_token_fertility",  # null text/lang, empty and unicode docs
     # sim_rrf_fusion and sim_ivfpq_topk/_recall are NOT edge-swept:
     # their sim_pq_topk parent trains an 8-codeword codebook, undefined
     # on this 10-vector fixture (7 distinct codewords -> element_at out

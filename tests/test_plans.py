@@ -138,6 +138,7 @@ TWO_PHASE_QUERIES = [
     "w24_active_users",
     "quality_ensemble_vote",
     "u6_intersect",
+    "text_token_fertility",
 ]
 
 
