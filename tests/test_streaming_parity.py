@@ -1497,3 +1497,60 @@ def test_streaming_dsir_matches_batch(spark, tmp_path):
     assert got["keep"].tolist() == want["keep"].tolist()
     # the fit corpus must exercise both verdicts or keep-parity is vacuous
     assert 0 < int(want["keep"].sum()) < len(want)
+
+
+def test_streaming_active_users_matches_batch_w24(spark, tmp_path):
+    """streaming/engagement.py across two event-time-split micro-batches:
+    the groupBy(kind, day).count() rollup of all emissions must equal
+    batch w24_active_users' dau and wau columns exactly — including
+    windows straddling the batch boundary, where a user's second
+    activity day must NOT re-emit covered days remembered in state."""
+    from talknet_segmentation_batchprocessing_spark.streaming.engagement import (
+        streaming_active_users,
+    )
+
+    want = (
+        registry.REGISTRY["w24_active_users"]
+        .fn(spark, SF_CORRECT)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select("user_id", "event_id", "ts")
+    mid = ev.agg(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).collect()[0][0]
+    drop = tmp_path / "events"
+    drop.mkdir()
+    early = ev.filter(F.expr(f"unix_micros(cast(ts as timestamp)) <= {int(mid)}"))
+    late = ev.filter(F.expr(f"unix_micros(cast(ts as timestamp)) > {int(mid)}"))
+    early.coalesce(1).write.parquet(str(drop / "b0"))
+    late.coalesce(1).write.parquet(str(drop / "b1"))
+    stream = (
+        spark.readStream.schema(early.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    got = _drain(streaming_active_users(stream), tmp_path, "wau_stream")
+
+    # each (user, kind, day) emits at most once — assert before rollup
+    assert not got.duplicated(["user_id", "kind", "day"]).any()
+    roll = (
+        got.groupby(["kind", "day"]).size().unstack(0, fill_value=0)
+        .reset_index()
+        .rename_axis(None, axis=1)
+    )
+    # the operator maintains counts for EVERY covered day; the batch
+    # report lists only days with activity — the extra streaming days
+    # must all be zero-DAU coverage tails (activity-day + 1..6 gaps)
+    extra = roll[~roll["day"].isin(set(want["day"]))]
+    assert (extra.get("dau", pd.Series(dtype=int)).fillna(0) == 0).all()
+    merged = want.merge(roll, on="day", how="left", suffixes=("_b", "_s"))
+    assert not merged["dau_s"].isna().any() and not merged["wau_s"].isna().any()
+    assert merged["dau_b"].astype(int).tolist() == merged["dau_s"].astype(int).tolist()
+    assert merged["wau_b"].astype(int).tolist() == merged["wau_s"].astype(int).tolist()
+    # cross-boundary regression guard: some user must be active on both
+    # sides of the split or the state-carry assertion is vacuous
+    eu = set(early.select("user_id").distinct().toPandas()["user_id"])
+    lu = set(late.select("user_id").distinct().toPandas()["user_id"])
+    assert eu & lu
