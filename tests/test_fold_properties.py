@@ -205,3 +205,54 @@ def test_attribution_fold_batching_invariant(data):
         by_conv[(r[0], r[1])][1] += r[3]
     for (u, c), (ppm, k) in by_conv.items():
         assert abs(ppm - 1_000_000) <= k, (u, c, ppm, k)
+
+
+def _run_engagement(chunks):
+    from talknet_segmentation_batchprocessing_spark.streaming.engagement import (
+        _fold_batch as _eng_fold,
+    )
+
+    state = _FakeState()
+    rows = []
+    eid = 0
+    for ch in chunks:
+        if not ch:
+            continue
+        pdf = pd.DataFrame(
+            {
+                "day": [d for d in ch],
+                "event_id": list(range(eid, eid + len(ch))),
+            }
+        )
+        eid += len(ch)
+        rows += [
+            tuple(r)
+            for out in _eng_fold((1,), iter([pdf]), state)
+            for r in out.itertuples(index=False)
+        ]
+    return state._v, rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_engagement_fold_batching_invariant(data):
+    """The DAU/WAU activity-day fold must emit the same SET of
+    (kind, day) increments under any chunking — each (kind, day) at
+    most once — and end in the same state. Within-chunk the events are
+    day-sorted by the fold itself; chunk boundaries must be invisible.
+    (Days are drawn non-decreasing across chunks: the operator's
+    documented per-key event-time-order contract.)"""
+    days = data.draw(
+        st.lists(st.integers(0, 25), min_size=1, max_size=30).map(sorted)
+    )
+    cuts = data.draw(_splits(len(days)))
+    one_state, one_rows = _run_engagement([days])
+    chunked_state, chunked_rows = _run_engagement(_chunk(days, cuts))
+    assert chunked_state == one_state
+    assert set(one_rows) == set(chunked_rows)
+    assert len(chunked_rows) == len(set(chunked_rows))  # at-most-once
+    # dau emissions = distinct activity days; wau = their coverage union
+    dau = {r[2] for r in one_rows if r[1] == "dau"}
+    wau = {r[2] for r in one_rows if r[1] == "wau"}
+    assert dau == set(days)
+    assert wau == {d + o for d in days for o in range(7)}

@@ -1554,3 +1554,64 @@ def test_streaming_active_users_matches_batch_w24(spark, tmp_path):
     eu = set(early.select("user_id").distinct().toPandas()["user_id"])
     lu = set(late.select("user_id").distinct().toPandas()["user_id"])
     assert eu & lu
+
+
+def test_streaming_active_users_restart_recovers_state(spark, tmp_path):
+    """engagement across 3 micro-batches with a FULL QUERY RESTART
+    between batch 2 and 3: post-restart emissions must respect the
+    recovered activity-day sets (no re-emission of a day already
+    covered before the restart, no reprocessing), and the union rollup
+    must still equal the batch w24 counts."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.engagement import (
+        streaming_active_users,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select("user_id", "event_id", "ts")
+    cuts = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), array(0.34, 0.67)) p"
+    ).collect()[0]["p"]
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt_wau_restart"
+    ev.filter(tsd <= cuts[0]).coalesce(1).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    ev.filter((tsd > cuts[0]) & (tsd <= cuts[1])).coalesce(1).write.parquet(
+        str(drop / "b1")
+    )
+
+    def stream():
+        s = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(drop / "*"))
+        )
+        return streaming_active_users(s)
+
+    got1 = _run_batches(stream(), tmp_path, "wau_r1", ckpt)
+    assert len(got1) > 0
+
+    time.sleep(1.1)
+    ev.filter(tsd > cuts[1]).coalesce(1).write.parquet(str(drop / "b2"))
+    got2 = _run_batches(stream(), tmp_path, "wau_r2", ckpt)
+    assert len(got2) > 0
+
+    # recovered state, not reprocessing: at-most-once per (user, kind,
+    # day) must hold ACROSS the restart boundary
+    both = pd.concat([got1, got2], ignore_index=True)
+    assert not both.duplicated(["user_id", "kind", "day"]).any()
+
+    want = (
+        registry.REGISTRY["w24_active_users"].fn(spark, SF_CORRECT).toPandas()
+    )
+    roll = (
+        both.groupby(["kind", "day"]).size().unstack(0, fill_value=0)
+        .reset_index()
+        .rename_axis(None, axis=1)
+    )
+    merged = want.merge(roll, on="day", how="left", suffixes=("_b", "_s"))
+    assert merged["dau_b"].astype(int).tolist() == merged["dau_s"].astype(int).tolist()
+    assert merged["wau_b"].astype(int).tolist() == merged["wau_s"].astype(int).tolist()
