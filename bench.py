@@ -163,6 +163,10 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
     "w24_active_users",
+    # round-8 debuts: index-backed variants of the exact-pass
+    # similarity queries
+    "sim_hard_negatives_ann",
+    "contamination_semantic_ann",
 ]
 
 
@@ -270,7 +274,12 @@ def main() -> None:
             break
 
     total = round(sum(timings.values()), 3)
-    out = {
+
+    # Full per-query record goes to a file: the driver captures only the
+    # last ~2000 chars of stdout, and a 132-query JSON line overflows
+    # that (BENCH_r06/r07 both recorded "parsed": null from a truncated
+    # tail). stdout gets ONE compact summary line (< 1.5 KB) instead.
+    detail = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
@@ -279,7 +288,31 @@ def main() -> None:
         "calib_sec": round(calib, 3),
     }
     if vs_prev:
-        out["vs_prev_normalized"] = vs_prev
+        detail["vs_prev_normalized"] = vs_prev
+        detail["vs_prev_baseline"] = prev_meta
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    vals = sorted(timings.values())
+    median = vals[len(vals) // 2] if vals else 0.0
+    worst5 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    ratios = sorted(vs_prev.values())
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "calib_sec": round(calib, 3),
+        "n_queries": len(timings),
+        "median_sec": median,
+        "queries": worst5,  # worst-5 only; full dict in BENCH_DETAIL.json
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if ratios:
+        out["vs_prev_median_normalized"] = ratios[len(ratios) // 2]
         out["vs_prev_baseline"] = prev_meta
     print(json.dumps(out))
     spark.stop()

@@ -103,11 +103,23 @@ HEAVY = [
     "doc_ngram_novelty",
     # composed ANN: candidate volume ~ n*nprobe/K, ADC is 4 lookups
     "sim_ivfpq_topk",
+    # round 7 debuts not probed in their debut round (VERDICT r7 ask 4)
+    "dedup_keep_quota",
+    "contamination_semantic",
+    "quality_ensemble_vote",
+    "curation_dsir_vs_rules",
+    "sample_weighted_reservoir",
+    "text_token_fertility",
+    "w23_rfm_segments",
+    "w24_active_users",
+    # round 8: index-backed variants of the two exact-pass similarity
+    # queries — the whole point is the curve vs their exact parents
+    "sim_hard_negatives_ann",
+    "contamination_semantic_ann",
 ]
 
-# dims + streams copied as-is (nation/region are constant-size at any
-# SF; events queries are not in HEAVY)
-TABLES = ["region", "nation", "events"]
+# dims copied as-is (nation/region are constant-size at any SF)
+TABLES = ["region", "nation"]
 
 # SF-linear relational tables: replicated REPLICAS x with all
 # surrogate keys shifted per replica, so every equi-join stays
@@ -120,6 +132,10 @@ _FACT_KEYS = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    # user/event keys shift per replica: 10x users with the same
+    # per-user activity shape, so the w23/w24 engagement windows see
+    # 10x groups, not 10x-deep groups
+    "events": ["event_id", "user_id"],
 }
 
 

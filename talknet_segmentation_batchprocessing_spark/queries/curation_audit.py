@@ -1118,8 +1118,9 @@ def curation_dsir_vs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rules_only",
         "n_both_drop",
         F.expr(
-            "(2 * (n_both_keep + n_both_drop) * 1000000 + n_docs) "
-            "div (2 * n_docs)"
+            "CASE WHEN n_docs = 0 THEN 0 "
+            "ELSE (2 * (n_both_keep + n_both_drop) * 1000000 + n_docs) "
+            "div (2 * n_docs) END"
         )
         .cast("bigint")
         .alias("agreement_ppm"),
@@ -1159,8 +1160,9 @@ agg AS (
   FROM j
 )
 SELECT n_docs, n_both_keep, n_dsir_only, n_rules_only, n_both_drop,
-       CAST((2 * (n_both_keep + n_both_drop) * 1000000 + n_docs)
-            // (2 * n_docs) AS BIGINT) AS agreement_ppm,
+       CAST(CASE WHEN n_docs = 0 THEN 0
+            ELSE (2 * (n_both_keep + n_both_drop) * 1000000 + n_docs)
+                 // (2 * n_docs) END AS BIGINT) AS agreement_ppm,
        CAST(CASE WHEN n_both_keep + n_dsir_only + n_rules_only = 0 THEN 0
             ELSE (2 * n_both_keep * 1000000
                   + (n_both_keep + n_dsir_only + n_rules_only))

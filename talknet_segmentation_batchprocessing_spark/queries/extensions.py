@@ -3525,6 +3525,174 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# index-backed hard negatives (round 8): IVF candidates + exact verify
+# ---------------------------------------------------------------------------
+
+
+def _ivf_ranked(emb: DataFrame, max_rn: int = None) -> DataFrame:
+    """Shared IVF routing stage: (vec_id, cent_id, rn) for rn <=
+    max(1, nprobe) by cosine against the broadcast sampled-k-means
+    centroids — exactly sim_ivf_topk's assign/probe window, factored
+    out so the ANN verify queries search the SAME registered index.
+    ``emb`` must carry (vec_id, v, nrm). Persisted: both the assign
+    (rn=1) and probe (rn<=nprobe) branches read it."""
+    if max_rn is None:
+        max_rn = max(1, _IVF_NPROBE)
+    cent = _ivf_centroids(emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
+    pairs = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    return track_persist(
+        pairs.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= max_rn)
+        .select("vec_id", "cent_id", "rn")
+    )
+
+
+_HARD_NEG_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_ivf_kmeans_cte()}
+params AS (
+  SELECT greatest({_HN_MIN_MD},
+                  ((SELECT count(*) FROM e) + {_HN_TARGET_Q - 1})
+                  // {_HN_TARGET_Q}) AS md
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+    WHERE e.vec_id % (SELECT md FROM params) = 0
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qprobe q JOIN assign a ON a.cent_id = q.cent_id
+  WHERE a.vec_id <> q.query_id
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS nrm
+  FROM e
+),
+s AS (
+  SELECT cd.query_id, cd.neighbor_id, ne.label AS neg_label,
+         list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i]))
+           / (qe.nrm * ne.nrm) AS cs
+  FROM cand cd
+  JOIN n qe ON qe.vec_id = cd.query_id AND qe.nrm > 0
+  JOIN n ne ON ne.vec_id = cd.neighbor_id AND ne.nrm > 0
+  WHERE ne.label <> qe.label
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, neg_label,
+       floor(cs * 1e4 + 0.5) / 1e4 AS cos_sim, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {_HN_K}
+"""
+
+
+@query(
+    "sim_hard_negatives_ann",
+    oracle=_HARD_NEG_ANN_ORACLE,
+    doc="Index-backed hard-negative mining — sim_hard_negatives' "
+    "output contract (per stratum query, the top-k most cosine-similar "
+    "DIFFERENT-label vectors) with candidates from the registered IVF "
+    "index instead of an exact corpus pass: queries route through "
+    "sim_ivf_topk's coarse quantizer to their nprobe nearest centroid "
+    "lists, and only list members are exact-cosine-verified — the "
+    "candidates-from-index / verify-exact split that took the dedup "
+    "family from all-pairs to bucketed (dedup_semantic_keep_lsh), "
+    "applied to the one similarity query that still paid a full Gram "
+    "pass per corpus. Work per query drops from n to ~n*nprobe/K "
+    "(K grows with corpus at production; both are the registered "
+    "sim_ivf_topk constants here so the oracle composes that proven "
+    "CTE chain verbatim). Shape: bounded-sample centroid fit "
+    "(broadcast), one cent_id-keyed candidate join of ID PAIRS (no "
+    "vectors ride it), neighbor vectors join candidates on "
+    "neighbor_id in ONE pass, the bounded query batch broadcasts in "
+    "last, and cosines project to 4 scalar columns BEFORE the rank "
+    "window — no vector ever rides the window shuffle",
+    tags=("similarity", "embedding", "dataset", "ext"),
+)
+def sim_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("nrm", F.expr(_NORM_SPARK))
+    )
+    n = emb.count()
+    md = max(_HN_MIN_MD, -(-n // _HN_TARGET_Q))
+    ranked = _ivf_ranked(emb)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    qprobe = ranked.filter(
+        (F.col("vec_id") % md == 0) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    cand = (
+        F.broadcast(qprobe)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qe = emb.filter((F.col("vec_id") % md == 0) & (F.col("nrm") > 0)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    ne = emb.filter(F.col("nrm") > 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    # candidate ids join the neighbor vectors FIRST (one ne pass rides
+    # the neighbor_id shuffle), then the bounded query batch broadcasts
+    # in — so query vectors never ride a shuffle either
+    scored = (
+        cand.join(ne, "neighbor_id")
+        .join(F.broadcast(qe), "query_id")
+        .filter(F.col("neg_label") != F.col("qlab"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.try_divide(
+                F.expr(_DOT_AB_SPARK), F.col("an") * F.col("bn")
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            stable_round("cs", 4).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # quota keep (round 7): soft dedup — keep up to m per near-dup cluster
 # ---------------------------------------------------------------------------
 
@@ -3757,6 +3925,170 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("test_id").orderBy(F.desc("cs"), "train_id")
     return (
         local_best.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "test_id",
+            F.col("train_id").alias("nearest_train_id"),
+            stable_round("cs", 4).alias("cos_sim"),
+            (F.col("cs") > _SCON_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# index-backed semantic decontamination (round 8)
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_CONTAM_ANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_SCON_HASH} % {_SCON_SPLIT_MOD} = 0 AS is_test
+  FROM embeddings
+),
+{_ivf_kmeans_cte()}
+params AS (
+  SELECT greatest({_SCON_MIN_MD},
+                  ((SELECT count(*) FROM e WHERE is_test) + {_SCON_TARGET_Q - 1})
+                  // {_SCON_TARGET_Q}) AS md
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+    WHERE e.is_test AND e.vec_id % (SELECT md FROM params) = 0
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qprobe q JOIN assign a ON a.cent_id = q.cent_id
+),
+n AS (
+  SELECT vec_id, v, is_test,
+         sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS nrm
+  FROM e
+),
+s AS (
+  SELECT cd.query_id AS test_id, cd.neighbor_id AS train_id,
+         list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i]))
+           / (qe.nrm * ne.nrm) AS cs
+  FROM cand cd
+  JOIN n qe ON qe.vec_id = cd.query_id AND qe.nrm > 0
+  JOIN n ne ON ne.vec_id = cd.neighbor_id AND NOT ne.is_test AND ne.nrm > 0
+),
+best AS (
+  SELECT test_id, train_id, cs,
+         row_number() OVER (PARTITION BY test_id
+                            ORDER BY cs DESC, train_id) AS rn
+  FROM s
+)
+SELECT test_id, train_id AS nearest_train_id,
+       floor(cs * 1e4 + 0.5) / 1e4 AS cos_sim,
+       cs > {_SCON_THRESHOLD} AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
+@query(
+    "contamination_semantic_ann",
+    oracle=_SEMANTIC_CONTAM_ANN_ORACLE,
+    doc="Index-backed semantic decontamination — contamination_semantic's "
+    "output contract (per stratum test vector, the nearest TRAIN vector "
+    "and a contaminated verdict) with candidates from the registered "
+    "IVF index instead of an exact pass over the whole train corpus: "
+    "test queries route through sim_ivf_topk's coarse quantizer to "
+    "their nprobe nearest lists and only list members are exact-"
+    "cosine-verified (the sim_hard_negatives_ann pattern; same oracle "
+    "composition of the proven k-means CTE chain). A test vector whose "
+    "probed lists hold no train vectors drops out — the ANN trade, "
+    "priced by reading this next to the exact query the way "
+    "sim_ivfpq_recall prices IVF+PQ. Shape identical to "
+    "sim_hard_negatives_ann: ID pairs ride the candidate join, train "
+    "vectors ride ONE neighbor_id join pass, the bounded test batch "
+    "broadcasts, and the argmax window sees 3 scalar columns",
+    tags=("dedup", "similarity", "eval", "dataset", "ext"),
+)
+def contamination_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_test = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sc"), F.col("vec_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _SCON_SPLIT_MOD
+        == 0
+    )
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("nrm", F.expr(_NORM_SPARK))
+        .withColumn("is_test", is_test)
+    )
+    n_test = emb.filter("is_test").count()
+    md = max(_SCON_MIN_MD, -(-n_test // _SCON_TARGET_Q))
+    ranked = _ivf_ranked(emb)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    # is_test is a pure function of vec_id, so the probe filter applies
+    # directly on the ranked frame without joining back to the vectors
+    ranked_is_test = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sc"), F.col("vec_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _SCON_SPLIT_MOD
+        == 0
+    )
+    qprobe = ranked.filter(
+        ranked_is_test
+        & (F.col("vec_id") % md == 0)
+        & (F.col("rn") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    cand = (
+        F.broadcast(qprobe)
+        .join(assign, "cent_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qe = emb.filter(
+        F.col("is_test") & (F.col("vec_id") % md == 0) & (F.col("nrm") > 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    ne = emb.filter(~F.col("is_test") & (F.col("nrm") > 0)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    scored = (
+        cand.join(ne, "neighbor_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            F.col("query_id").alias("test_id"),
+            F.col("neighbor_id").alias("train_id"),
+            F.try_divide(
+                F.expr(_DOT_AB_SPARK), F.col("an") * F.col("bn")
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("test_id").orderBy(F.desc("cs"), "train_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "test_id",

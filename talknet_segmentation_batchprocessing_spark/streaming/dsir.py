@@ -39,12 +39,27 @@ def _scored_frame(
 
     Works identically on a static or a streaming frame — tokenize,
     bigram fids (the batch query's md5 hash), position-ordered fold of
-    per-feature log-ratios looked up in the count-array literals, then
-    the length-normalized 1e6-grid statistic the keep threshold uses.
+    per-feature log-ratios looked up in the broadcast count arrays,
+    then the length-normalized 1e6-grid statistic the keep threshold
+    uses.
+
+    The count tables travel as DATA, not as plan literals: a single
+    1-row lookup frame carrying the two exact-integer count arrays is
+    broadcast-equi-joined (constant key) onto every document. Embedding
+    them as ``F.array(F.lit(...))`` literals put 2 x _DSIR_BUCKETS
+    expressions into every micro-batch's analyzed plan and codegen;
+    the broadcast row keeps the plan O(1) while ``element_at`` reads
+    the same exact BIGINT counts, so the fold's ln() inputs — and
+    therefore the bit-parity-with-batch contract — are unchanged.
     """
     b = _DSIR_BUCKETS
-    tc_arr = F.array(*[F.lit(int(x)) for x in tc])
-    rc_arr = F.array(*[F.lit(int(x)) for x in rc])
+    spark = docs.sparkSession
+    lookup = spark.createDataFrame(
+        [(1, [int(x) for x in tc], [int(x) for x in rc])],
+        "jk int, tc_arr array<bigint>, rc_arr array<bigint>",
+    )
+    tc_arr = F.col("tc_arr")
+    rc_arr = F.col("rc_arr")
     # exact integer -> double conversions; the batch query adds the
     # bucket count to the BIGINT total in double space the same way
     ln_tb = F.log(F.lit(float(t_tot + b)))
@@ -68,6 +83,8 @@ def _scored_frame(
     )
     return (
         t.select("doc_id", fids.alias("fids"))
+        .withColumn("jk", F.lit(1))
+        .join(F.broadcast(lookup), "jk")
         .select(
             "doc_id",
             F.size("fids").cast("bigint").alias("n_feats"),

@@ -233,6 +233,80 @@ def _run_engagement(chunks):
     return state._v, rows
 
 
+class _FakeWatermarkState(_FakeState):
+    """_FakeState plus the event-time watermark accessor, advanced by
+    the harness between chunks like a real query's micro-batches."""
+
+    def __init__(self):
+        super().__init__()
+        self.wm_ms = 0
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def remove(self):
+        self._v = None
+
+
+def _run_engagement_wm(chunks):
+    from talknet_segmentation_batchprocessing_spark.streaming.engagement import (
+        _fold_batch as _eng_fold,
+    )
+
+    state = _FakeWatermarkState()
+    rows = []
+    eid = 0
+    fold_wm_ms = 0  # the watermark the LAST fold call actually saw
+    for ch in chunks:
+        if not ch:
+            continue
+        pdf = pd.DataFrame(
+            {
+                "day": [d for d in ch],
+                "event_id": list(range(eid, eid + len(ch))),
+            }
+        )
+        eid += len(ch)
+        fold_wm_ms = state.wm_ms
+        rows += [
+            tuple(r)
+            for out in _eng_fold((1,), iter([pdf]), state)
+            for r in out.itertuples(index=False)
+        ]
+        # watermark advances to the max event time seen so far (zero
+        # delay — the most aggressive eviction the operator allows);
+        # like a real query it takes effect from the NEXT batch
+        state.wm_ms = max(state.wm_ms, max(ch) * 86_400_000)
+    return state._v, rows, fold_wm_ms
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_engagement_eviction_is_invisible(data):
+    """Watermark eviction must not change ANY emission for in-order
+    (watermark-respecting) arrivals — evicted days can never mint a
+    new covered day — while bounding retained state to the watermark
+    horizon. This is ADVICE r7's unbounded-state fix, property-tested
+    against the eviction-free fold."""
+    from talknet_segmentation_batchprocessing_spark.streaming.engagement import (
+        WINDOW_DAYS,
+    )
+
+    days = data.draw(
+        st.lists(st.integers(0, 60), min_size=1, max_size=40).map(sorted)
+    )
+    cuts = data.draw(_splits(len(days)))
+    chunks = _chunk(days, cuts)
+    _, plain_rows = _run_engagement(chunks)
+    wm_state, wm_rows, fold_wm_ms = _run_engagement_wm(chunks)
+    assert wm_rows == plain_rows
+    # retained days all sit above the horizon of the watermark the
+    # last fold saw (the watermark lags one batch, like a real query)
+    if wm_state is not None and fold_wm_ms > 0:
+        horizon = fold_wm_ms // 86_400_000 - WINDOW_DAYS
+        assert all(d > horizon for d in wm_state[0])
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.data())
 def test_engagement_fold_batching_invariant(data):
