@@ -167,6 +167,7 @@ HEADLINE = [
     # similarity queries
     "sim_hard_negatives_ann",
     "contamination_semantic_ann",
+    "bpe_vocab_train",
 ]
 
 

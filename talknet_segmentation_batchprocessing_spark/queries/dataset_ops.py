@@ -2589,6 +2589,145 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary trainer (round 8): k merge rounds, vocabulary-first
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 20   # merge rounds learned
+_BPE_VOCAB = 2000  # rare-word prune: top-V words by (count DESC, word)
+
+
+def _bpe_vocab_cte() -> str:
+    """Generated DuckDB chain for _BPE_MERGES exact BPE rounds (the
+    _ivf_kmeans_cte technique): each round counts adjacent symbol
+    pairs over the capped vocabulary, picks the argmax under
+    (count DESC, left, right), and applies the merge with a
+    left-to-right string fold (list_reduce over chr(31)-separated
+    symbols) whose semantics on runs — merge, skip the consumed
+    symbol, continue — is canonical BPE. States are MATERIALIZED:
+    each v{k} is referenced twice (pair count + next state) and
+    naive inlining would expand the 20-round chain exponentially."""
+    sep = "chr(31)"
+    parts = [
+        f"""words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc
+  FROM words WHERE len(word) >= 2 GROUP BY word
+  ORDER BY wc DESC, word LIMIT {_BPE_VOCAB}
+),
+v0 AS MATERIALIZED (
+  SELECT word, wc,
+         {sep} || array_to_string(list_transform(range(1, len(word) + 1),
+             i -> substr(word, CAST(i AS INTEGER), 1)), {sep}) || {sep} AS enc
+  FROM vocab
+),"""
+    ]
+    for k in range(_BPE_MERGES):
+        parts.append(
+            f"""pc{k} AS (
+  SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+    SELECT syms[CAST(i AS INTEGER)] AS l, syms[CAST(i + 1 AS INTEGER)] AS r, wc
+    FROM (SELECT wc, string_split(trim(enc, {sep}), {sep}) AS syms FROM v{k}),
+         unnest(range(1, len(syms))) AS u(i)
+  ) GROUP BY l, r
+),
+m{k} AS MATERIALIZED (SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1),
+v{k + 1} AS MATERIALIZED (
+  SELECT word, wc,
+         list_reduce(list_prepend({sep}, string_split(trim(enc, {sep}), {sep})),
+           (acc, s) -> CASE WHEN ends_with(acc, {sep} || m.l || {sep}) AND s = m.r
+                       THEN substr(acc, 1, len(acc) - 1) || m.r || {sep}
+                       ELSE acc || s || {sep} END) AS enc
+  FROM v{k} CROSS JOIN m{k} m
+),"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS INTEGER) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, cnt AS pair_count FROM m{k}"
+        for k in range(_BPE_MERGES)
+    )
+    body = "\n".join(parts)
+    return f"WITH {body.rstrip(',')}\n{sel}"
+
+
+@query(
+    "bpe_vocab_train",
+    oracle=_bpe_vocab_cte(),
+    doc=f"BPE vocabulary TRAINING (Sennrich et al.): bpe_merge_step's "
+    f"single candidate table iterated to {_BPE_MERGES} learned merges "
+    "with deterministic tie-breaks (count DESC, then lexicographic "
+    "pair) — the real tokenizer-training loop whose output merge "
+    "table a dataLoader-style corpus-prep arm consumes. Vocabulary-"
+    "first like the single step, plus the second real-trainer "
+    f"optimization: a top-{_BPE_VOCAB} rare-word prune (count DESC, "
+    "word), so merge rounds run over a BOUNDED vocab however large "
+    "the corpus. Merge application is a left-to-right fold — merge, "
+    "consume, continue — exactly canonical BPE on runs ([a,a,a,a] + "
+    "(a,a) -> [aa,aa], not the string-replace trap). Scale: the only "
+    "distributed work is the map-side-combinable word count; the "
+    f"{_BPE_MERGES} rounds run driver-side over the capped vocab "
+    "(bounded-collect class, the _ivf_centroids precedent — a chain "
+    "of 60 tiny Spark stages would add scheduling latency, not "
+    "scalability). The oracle runs the identical fold as a generated "
+    "20-round MATERIALIZED-CTE chain, all-integer counts and exact "
+    "string ops, so parity is bit-level by construction",
+    tags=("text", "tokenize", "dataset", "ext"),
+)
+def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+    )
+    vocab_rows = (
+        words.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("wc"))
+        .orderBy(F.desc("wc"), "word")
+        .limit(_BPE_VOCAB)
+        .collect()
+    )
+    vocab = [(list(r["word"]), int(r["wc"])) for r in vocab_rows]
+    merges: list[tuple] = []
+    for rank in range(1, _BPE_MERGES + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wc in vocab:
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + wc
+        if not counts:
+            break  # no pairs left; the oracle's m{k} goes empty too
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        # the same left-to-right fold as the oracle: a just-merged
+        # symbol (left+right) can never equal `left` (right is never
+        # empty), so no re-merge within the pass
+        vocab = [
+            (_bpe_apply(syms, left, right, merged), wc) for syms, wc in vocab
+        ]
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def _bpe_apply(
+    syms: list[str], left: str, right: str, merged: str
+) -> list[str]:
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = merged
+        else:
+            out.append(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Market-basket pair lift (round 6): a-priori pair mining over orders
 # ---------------------------------------------------------------------------
 
