@@ -21,12 +21,11 @@ from talknet_segmentation_batchprocessing_spark.streaming.stateful_v2 import (
 
 
 def _protobuf_works() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    from talknet_segmentation_batchprocessing_spark.deploy import (
+        ensure_protobuf_runtime,
+    )
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf_runtime()
 
 
 needs_protobuf = pytest.mark.skipif(
@@ -34,8 +33,9 @@ needs_protobuf = pytest.mark.skipif(
     reason="transformWithStateInPandas state IPC needs the protobuf "
     "runtime: `pip install protobuf==6.33.0` (the version pyspark's "
     "vendored StateMessage_pb2.py gencode targets — see README "
-    "'Optional dependencies'); absent in this image. Processor logic "
-    "is covered by the fake-handle test below",
+    "'Optional dependencies'), or a vendored pure-python runtime "
+    "deploy.ensure_protobuf_runtime can shim; neither found on this "
+    "image. Processor logic is covered by the fake-handle test below",
 )
 
 
