@@ -12,12 +12,15 @@ no ffmpeg/PyAV/cv2: tests synthesize an actual .avi/.wav file, the
 ``mapInPandas`` shell the production PyAV decoder uses.
 
 Scope (deliberately the minimal honest subset):
-  - AVI: single 8-bit grayscale uncompressed video stream
-    (BI_RGB DIB, bottom-up rows padded to 4 bytes) + optional mono
-    16-bit PCM audio stream; ``00db``/``01wb`` movi chunks + idx1.
+  - AVI: single 8-bit grayscale video stream, either uncompressed
+    (BI_RGB DIB, bottom-up rows padded to 4 bytes) or MJPEG
+    (one baseline JFIF image per frame via sources/jpeg.py — the
+    COMPRESSED path a user's actual MJPEG corpus hits), + optional
+    mono 16-bit PCM audio stream; ``00db``/``00dc``/``01wb`` movi
+    chunks + idx1.
   - WAV: mono 16-bit PCM (``fmt `` + ``data``).
 Anything else raises with a message naming the unsupported field —
-compressed corpora route through the PyAV decoder in production.
+other compressed codecs route through the PyAV decoder in production.
 """
 
 from __future__ import annotations
@@ -25,6 +28,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+_MJPG = int.from_bytes(b"MJPG", "little")  # biCompression fourcc
 
 # ---------------------------------------------------------------------------
 # chunk primitives
@@ -107,22 +112,37 @@ def write_avi(
     fps: float,
     samples: np.ndarray | None = None,
     sr: int = 16000,
+    codec: str = "raw",
+    quality: int = 90,
 ) -> bytes:
-    """Uncompressed single-stream (plus optional PCM audio) AVI bytes.
+    """Single-video-stream (plus optional PCM audio) AVI bytes.
 
-    ``frames`` are (h, w) uint8 grayscale arrays, all the same shape;
-    stored as palettized 8-bit BI_RGB DIBs with an identity grayscale
-    palette. ``fps`` becomes the video stream's dwRate/dwScale (1000x
-    fixed point, so 12.5 fps round-trips exactly).
+    ``frames`` are (h, w) uint8 grayscale arrays, all the same shape.
+    ``codec="raw"`` stores palettized 8-bit BI_RGB DIBs with an
+    identity grayscale palette; ``codec="mjpeg"`` stores one baseline
+    JFIF image per frame (sources/jpeg.py) in ``00dc`` chunks with the
+    MJPG fourcc — the standard motion-JPEG-in-AVI layout. ``fps``
+    becomes the video stream's dwRate/dwScale (1000x fixed point, so
+    12.5 fps round-trips exactly).
     """
     if not frames:
         raise ValueError("write_avi needs at least one frame")
+    if codec not in ("raw", "mjpeg"):
+        raise ValueError(f"unsupported codec {codec!r} (raw | mjpeg)")
     h, w = frames[0].shape
     if any(f.shape != (h, w) for f in frames):
         raise ValueError("all frames must share one shape")
     rate, scale = int(round(fps * 1000)), 1000
-    dibs = [_dib_gray(np.asarray(f, dtype=np.uint8)) for f in frames]
-    frame_bytes = len(dibs[0])
+    if codec == "mjpeg":
+        from .jpeg import encode_gray_jpeg
+
+        dibs = [
+            encode_gray_jpeg(np.asarray(f, dtype=np.uint8), quality)
+            for f in frames
+        ]
+    else:
+        dibs = [_dib_gray(np.asarray(f, dtype=np.uint8)) for f in frames]
+    frame_bytes = max(len(d) for d in dibs)
 
     has_audio = samples is not None and len(samples) > 0
     n_streams = 2 if has_audio else 1
@@ -142,17 +162,25 @@ def write_avi(
         h,
         0, 0, 0, 0,
     )
+    handler = b"MJPG" if codec == "mjpeg" else b"DIB "
     strh_v = struct.pack(
         "<4s4sIHHIIIIIIII4H",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", handler, 0, 0, 0, 0,
         scale, rate, 0, len(frames), frame_bytes, 0xFFFFFFFF, 0,
         0, 0, w, h,
     )
-    palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
-    strf_v = (
-        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_bytes, 0, 0, 256, 0)
-        + palette
-    )
+    if codec == "mjpeg":
+        strf_v = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, _MJPG, frame_bytes, 0, 0, 0, 0
+        )
+    else:
+        palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+        strf_v = (
+            struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_bytes, 0, 0, 256, 0
+            )
+            + palette
+        )
     strl_v = _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
     strls = strl_v
     if has_audio:
@@ -171,9 +199,10 @@ def write_avi(
     # an optimization for streaming players, not a format requirement)
     movi_payload = b"movi"
     index_entries = []
+    vid_ck = b"00dc" if codec == "mjpeg" else b"00db"
     for dib in dibs:
-        index_entries.append((b"00db", 0x10, len(movi_payload) - 4, len(dib)))
-        movi_payload += _chunk(b"00db", dib)
+        index_entries.append((vid_ck, 0x10, len(movi_payload) - 4, len(dib)))
+        movi_payload += _chunk(vid_ck, dib)
     if has_audio:
         pcm_bytes = np.asarray(samples, dtype="<i2").tobytes()
         index_entries.append((b"01wb", 0x10, len(movi_payload) - 4, len(pcm_bytes)))
@@ -229,10 +258,13 @@ def read_avi(buf: bytes) -> tuple[list[np.ndarray], float, np.ndarray, int]:
                 (_bi, width, height, _pl, bitcount, compression) = (
                     struct.unpack_from("<IiiHHI", buf, o)
                 )
-                if bitcount != 8 or compression != 0:
+                if compression == _MJPG:
+                    pass  # frame dims/precision come from each JPEG
+                elif bitcount != 8 or compression != 0:
                     raise ValueError(
                         f"unsupported video format: biBitCount={bitcount} "
-                        f"biCompression={compression} (only 8-bit BI_RGB)"
+                        f"biCompression={compression} (only 8-bit BI_RGB "
+                        "or MJPG)"
                     )
             elif c == b"strf" and fcc_type == b"auds":
                 tag, ch, rate_, _, _, bits = struct.unpack_from("<HHIIHH", buf, o)
@@ -256,6 +288,7 @@ def read_avi(buf: bytes) -> tuple[list[np.ndarray], float, np.ndarray, int]:
     if not fps or not height or not width:
         raise ValueError("AVI stream has no parseable vids header")
 
+    mjpeg = compression == _MJPG
     stride = (width + 3) & ~3
     frames: list[np.ndarray] = []
     audio_parts: list[np.ndarray] = []
@@ -280,6 +313,11 @@ def read_avi(buf: bytes) -> tuple[list[np.ndarray], float, np.ndarray, int]:
             kind = c[2:]
             if kind in (b"db", b"dc") and stream_no >= 0:
                 if not _declared(stream_no, b"vids"):
+                    continue
+                if mjpeg:
+                    from .jpeg import decode_gray_jpeg
+
+                    frames.append(decode_gray_jpeg(buf[o : o + s]))
                     continue
                 rows = np.frombuffer(buf, dtype=np.uint8, count=s, offset=o)
                 rows = rows.reshape(height, stride)[:, :width]
