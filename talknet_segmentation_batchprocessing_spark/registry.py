@@ -145,137 +145,45 @@ _LOADED = False
 # registered query has at least one driver-green row; rotation debt
 # stays zero.
 _DRIVER_WINDOW = [
-    # anchors: flagship + e2e + eval arm + kernels
+    # anchors: flagship + e2e + eval arm + kernels (checked every round)
     "w1_speaking_segments", "pipeline_scores_to_segments",
     "q1_pricing_summary", "ava_map_eval", "columbia_f1_eval",
     "j6_greedy_tracking", "w6_nms_greedy",
-    # The 13 TPC-H-shaped queries (queries/tpch.py) are NEW this
-    # round — driver-checked the round they land. Displaced to make
-    # room (all driver-green in r6 with code unchanged this round,
-    # still mirror-swept in-repo): sketch_kmv_setops,
-    # sketch_hll_merge, text_gopher_rules, text_perplexity_bucket,
-    # dedup_cluster_stats, w21_attribution_linear,
-    # w22_markov_transitions, classifier_auc_eval,
-    # classifier_decile_lift, emb_covariance_pairs,
-    # pack_token_sequences, dedup_line_corpus, talkset_generate.
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q10_returned_items",
-    "q13_customer_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q17_small_qty_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_revenue",
-    "q21_waiting_suppliers", "q22_sales_opportunity",
-    # ...plus the 5 derived-partsupp TPC-H queries (q2/q9/q11/q16/
-    # q20) and q12 (fact-fact conditional counts), all also NEW this
-    # round. Displaced: mix_temperature_sampling,
-    # curation_rule_attribution, dataset_card_stats, w19_forward_fill,
-    # w20_conversion_latency (all r6 driver-green, code unchanged,
-    # still mirror-swept in-repo).
-    "q2_min_cost_supplier", "q9_product_type_profit",
-    "q11_important_stock", "q12_shipping_modes",
-    "q16_supplier_part_count", "q20_dominant_suppliers",
-    # Round-7 rotation: plans changed this round for the whole LSH
-    # family (shared exact-fold signature/Gram kernels + per-bucket
-    # verify; dedup_semantic_keep additionally gained the adaptive
-    # exact-stratum bound) — every member must be driver-checked the
-    # round its plan changes. Displaced for the three additions:
-    # graph_triangle_count, graph_pagerank, dedup_char_ngram (each
-    # r5+r6 driver-green, code unchanged this round, still
-    # mirror-swept in-repo).
-    "dedup_semantic_keep", "dedup_semantic_keep_lsh",
-    "sim_lsh_bucketed", "dedup_keep_lsh_recall",
-    # re-confirms: heavy flagships that consume the shared near-dup
-    # edge table or sit adjacent to this round's plan changes (new
-    # round-6 queries replace entries from this block as they land)
-    # (displaced for the seven round-6 additions below:
-    # dedup_keep_canonical, dedup_keep_canonical_lsh,
-    # dedup_ngram_jaccard, contamination_bloom, dedup_minhash_lsh,
-    # dedup_semantic_keep_lsh, curation_pipeline — all r5-driver-green
-    # with code unchanged this round; still mirror-swept in-repo.
-    # Kept: sim_recall_eval whose strata changed. The dedup_cc_* pair
-    # (changed edge-table plan) is displaced too: the round-6 session's
-    # own FULL sf0.1 sweep (167/167 green) verified the new bucketed
-    # plan end-to-end, and both keep their r5 driver rows.
-    # sim_hard_negatives + contamination_semantic are NEW this round
-    # (hard-negative mining; embedding-level decon) — driver-checked
-    # the round they land; displaced: sim_recall_eval and
-    # w16_ohlc_candles (r5/r6 driver-green, code unchanged, still
-    # mirror-swept in-repo)
-    "sim_hard_negatives", "contamination_semantic",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "emb_pca_power",
-    # new round-6 queries (driver-checked the round they land;
-    # displaced: a6_average_precision, u5_merge_upsert,
-    # w12_funnel_steps, j10_interval_join, agg_time_rollup,
-    # w14_cohort_retention, text_bigram_topk, sketch_countmin_topk,
-    # w15_event_pattern — all r2-r5 driver-green and unchanged since)
-    # classifier_calibration_bins + dedup_keep_quota are NEW this
-    # round (reliability/ECE audit; soft-dedup quota keep) —
-    # driver-checked the round they land; displaced: w18_ema_decay and
-    # w17_rate_limit (both r6 driver-green, code unchanged,
-    # mirror-swept in-repo)
-    "dedup_keep_quota",
-    "classifier_calibration_bins",
-    # displaced for sim_knn_graph_lsh: dedup_incremental
-    # (r4/r5-green, unchanged); emb_norm_outliers displaced for
-    # q12_shipping_modes (r6-green, unchanged, mirror-swept in-repo)
-    "sim_knn_graph_lsh",
-    # dsir_importance_weights + w23_rfm_segments are NEW this round
-    # (DSIR hashed-ngram importance resampling; RFM segmentation) —
-    # driver-checked the round they land; displaced: events_anomaly_mad
-    # and basket_pair_lift (both r6 driver-green, code unchanged this
-    # round, still mirror-swept in-repo)
-    "dsir_importance_weights",
-    "w23_rfm_segments",
-    # ext_unpivot is NEW this round (the melt inverse of ext_pivot) —
-    # driver-checked the round it lands; displaced: dedup_edit_distance
-    # (r6 driver-green, code unchanged this round, mirror-swept in-repo)
-    "ext_unpivot",
-    # doc_ngram_novelty is NEW this round (corpus-first shingle
-    # contribution metric) — driver-checked the round it lands;
-    # displaced: emb_kmeans_assign (r6 driver-green, code unchanged
-    # this round, mirror-swept in-repo)
-    "doc_ngram_novelty",
-    # curation_dsir_vs_rules is NEW this round (DSIR-vs-Gopher
-    # agreement audit over the two registered oracles) — driver-checked
-    # the round it lands; displaced: bpe_merge_step (r6 driver-green,
-    # code unchanged this round, mirror-swept in-repo)
+    # Round-8 debuts — driver-checked the round they land: the
+    # index-backed ANN variants of the last two exact-pass similarity
+    # queries (VERDICT r7 ask #1) and the multi-merge BPE vocabulary
+    # trainer (ask #5).
+    "sim_hard_negatives_ann", "contamination_semantic_ann",
+    "bpe_vocab_train",
+    # Plan changed this round: agreement_ppm gained the n_docs=0 guard
+    # on BOTH engines (ADVICE r7) — must be re-checked the round its
+    # expression changes.
     "curation_dsir_vs_rules",
-    # sim_ivfpq_topk is NEW this round (IVF routing + PQ ADC composed —
-    # the FAISS IVFPQ architecture) — driver-checked the round it
-    # lands; displaced: emb_matryoshka_recall (r6 driver-green, code
-    # unchanged this round, mirror-swept in-repo)
-    "sim_ivfpq_topk",
-    # sim_ivfpq_recall is NEW this round (the composed index's recall
-    # audit vs brute force) — driver-checked the round it lands;
-    # displaced: dedup_threshold_sweep (r6 driver-green, code unchanged
-    # this round, mirror-swept in-repo)
-    "sim_ivfpq_recall",
-    # sample_weighted_reservoir is NEW this round (Efraimidis-Spirakis
-    # A-Res fixed-size weighted draw) — driver-checked the round it
-    # lands; displaced: text_classifier_score (r6 driver-green, code
-    # unchanged this round, mirror-swept in-repo)
-    "sample_weighted_reservoir",
-    # w24_active_users is NEW this round (DAU/WAU rolling distinct via
-    # constant-fan-out coverage explode) — driver-checked the round it
-    # lands; displaced: shard_balance_audit (r6 driver-green, code
-    # unchanged this round, mirror-swept in-repo)
-    "w24_active_users",
-    # quality_ensemble_vote is NEW this round (majority vote over three
-    # registered quality signals) — driver-checked the round it lands;
-    # displaced: text_bigram_logprob (r6 driver-green, code unchanged
-    # this round, mirror-swept in-repo)
-    "quality_ensemble_vote",
-    # u6_intersect is NEW this round (INTERSECT completes the set-op
-    # family) — driver-checked the round it lands; displaced:
-    # sim_maxsim_groups (r6 driver-green, code unchanged this round,
-    # mirror-swept in-repo)
-    "u6_intersect",
-    # text_token_fertility is NEW this round (multilingual tokenizer
-    # fertility report) — driver-checked the round it lands; displaced:
-    # sim_rrf_fusion (r6 driver-green, code unchanged this round,
-    # mirror-swept in-repo)
-    "text_token_fertility",
+    # Round-8 rotation: the 19 TPC-H classes and the 15 other r7
+    # debuts/plan-changes are all r7-driver-green with code unchanged
+    # this round (still mirror-swept in-repo) — they rotate out, and
+    # the freed 39 slots RE-CONFIRM the registry's oldest driver rows:
+    # every query whose last green row is round 1 (10 queries) plus 29
+    # of the 33 whose last row is round 2. Deferred to round 9 (oldest
+    # remaining): u1_union_all, x10_frame_seconds, x12_uid_concat,
+    # f10_least_cap (r2) and the five r3 F-family projections.
+    "ext_rollup", "ext_cube", "ext_pivot",
+    "dedup_simhash", "sim_topk_bruteforce",
+    "text_langid", "text_quality_score", "text_token_count",
+    "text_fingerprint", "multimodal_binary_meta",
+    "w2_centered_smoothing", "w3_windowed_median",
+    "w4_linear_interpolation", "w5_top1_per_group",
+    "w6_topk_candidates", "w8_global_sort_limit", "w9_tumbling_clips",
+    "u3_except", "u4_explode_duration_set",
+    "x1_iou_arithmetic", "x2_box_center_size", "x11_json_parse",
+    "x13_string_parsing", "x6_av_length_align", "x7_wrap_pad_array",
+    "m2_scene_change_islands",
+    "f1_confidence_filter", "f4_having_greatest_avg", "f9_ordered_limit",
+    "j2_tolerance_check", "j4_group_collect", "j5_spatial_best_match",
+    "j7_anti_equality_pair",
+    "a1_ensemble_round_avg", "a4_conditional_count",
+    "a5_per_speaker_f1", "a9_energy_db",
+    "dedup_exact", "text_repetition_filter",
 ]
 
 
