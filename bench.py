@@ -168,6 +168,7 @@ HEADLINE = [
     "sim_hard_negatives_ann",
     "contamination_semantic_ann",
     "bpe_vocab_train",
+    "bpe_encode_corpus",
 ]
 
 

@@ -2596,7 +2596,7 @@ _BPE_MERGES = 20   # merge rounds learned
 _BPE_VOCAB = 2000  # rare-word prune: top-V words by (count DESC, word)
 
 
-def _bpe_vocab_cte() -> str:
+def _bpe_chain_cte() -> str:
     """Generated DuckDB chain for _BPE_MERGES exact BPE rounds (the
     _ivf_kmeans_cte technique): each round counts adjacent symbol
     pairs over the capped vocabulary, picks the argmax under
@@ -2605,7 +2605,8 @@ def _bpe_vocab_cte() -> str:
     symbols) whose semantics on runs — merge, skip the consumed
     symbol, continue — is canonical BPE. States are MATERIALIZED:
     each v{k} is referenced twice (pair count + next state) and
-    naive inlining would expand the 20-round chain exponentially."""
+    naive inlining would expand the 20-round chain exponentially.
+    Ends with a trailing comma so callers can append further CTEs."""
     sep = "chr(31)"
     parts = [
         f"""words AS (
@@ -2642,13 +2643,16 @@ v{k + 1} AS MATERIALIZED (
   FROM v{k} CROSS JOIN m{k} m
 ),"""
         )
+    return "\n".join(parts)
+
+
+def _bpe_vocab_cte() -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({k + 1} AS INTEGER) AS merge_rank, l AS left_sym, "
         f"r AS right_sym, l || r AS merged, cnt AS pair_count FROM m{k}"
         for k in range(_BPE_MERGES)
     )
-    body = "\n".join(parts)
-    return f"WITH {body.rstrip(',')}\n{sel}"
+    return f"WITH {_bpe_chain_cte().rstrip(',')}\n{sel}"
 
 
 @query(
@@ -2675,6 +2679,17 @@ v{k + 1} AS MATERIALIZED (
     tags=("text", "tokenize", "dataset", "ext"),
 )
 def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _bpe_train(spark, sf_dir),
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The distributed word count + driver-side merge loop shared by
+    bpe_vocab_train (which returns the merge table) and
+    bpe_encode_corpus (which applies it distributed)."""
     words = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -2708,11 +2723,7 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = [
             (_bpe_apply(syms, left, right, merged), wc) for syms, wc in vocab
         ]
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, "
-        "merged string, pair_count bigint",
-    )
+    return merges
 
 
 def _bpe_apply(
@@ -2725,6 +2736,144 @@ def _bpe_apply(
         else:
             out.append(s)
     return out
+
+
+_BPE_SEP = chr(31)
+
+
+def _bpe_encode_cte() -> str:
+    """The training chain plus the APPLY side: every distinct corpus
+    word (any length — the trainer's len>=2 floor only gates what
+    merges are learned FROM) runs the learned merges in order, then
+    per-doc token counts join the word-level table. A LEFT JOIN ON
+    TRUE per round makes an empty m{k} (merges exhausted) a no-op on
+    both engines, matching the Spark loop's break."""
+    sep = "chr(31)"
+    parts = [_bpe_chain_cte()]
+    parts.append(
+        f"""allw AS (
+  SELECT DISTINCT word FROM words WHERE word <> ''
+),
+w0 AS MATERIALIZED (
+  SELECT word,
+         {sep} || array_to_string(list_transform(range(1, len(word) + 1),
+             i -> substr(word, CAST(i AS INTEGER), 1)), {sep}) || {sep} AS enc
+  FROM allw
+),"""
+    )
+    for k in range(_BPE_MERGES):
+        parts.append(
+            f"""w{k + 1} AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN m.l IS NULL THEN w.enc ELSE
+         list_reduce(list_prepend({sep}, string_split(trim(w.enc, {sep}), {sep})),
+           (acc, s) -> CASE WHEN ends_with(acc, {sep} || m.l || {sep}) AND s = m.r
+                       THEN substr(acc, 1, len(acc) - 1) || m.r || {sep}
+                       ELSE acc || s || {sep} END) END AS enc
+  FROM w{k} w LEFT JOIN m{k} m ON TRUE
+),"""
+        )
+    parts.append(
+        f"""tok AS (
+  SELECT word,
+         CAST(len(string_split(trim(enc, {sep}), {sep})) AS BIGINT) AS n_tok
+  FROM w{_BPE_MERGES}
+),
+dw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE word <> ''
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST((2 * sum(n_tok) * 1000000 + count(*)) // (2 * count(*))
+            AS BIGINT) AS fertility_ppm
+FROM dw JOIN tok USING (word)
+GROUP BY doc_id"""
+    )
+    chain = "\n".join(parts[:-1])  # ends with a comma: tok/dw continue it
+    return f"WITH {chain}\n{parts[-1]}"
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_cte(),
+    doc="BPE tokenizer APPLY — the consumer side of bpe_vocab_train: "
+    f"the {_BPE_MERGES} learned merges run IN ORDER over every "
+    "distinct corpus word (vocabulary-first: merge application costs "
+    "the vocab, not the corpus), then per-document word occurrences "
+    "join the word->token-count table for n_words / n_tokens / "
+    "half-up-integer fertility ppm — the train-before-you-tokenize "
+    "report that prices a learned vocabulary against the corpus it "
+    "will encode. Shape: the trainer's map-side-combinable word count "
+    "+ bounded driver loop, then a DISTINCT over words, 20 chained "
+    "in-row string folds (no shuffle between merges — a merge table "
+    "is 20 broadcast literals), one word-keyed join (the TF-IDF "
+    "shape) and one doc-keyed aggregation. The oracle extends the "
+    "trainer's MATERIALIZED-CTE chain with the identical fold per "
+    "round; LEFT JOIN ON TRUE makes merges-exhausted a no-op on both "
+    "engines",
+    tags=("text", "tokenize", "dataset", "ext"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_train(spark, sf_dir)
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    allw = dw.select("word").distinct()
+
+    sep = F.lit(_BPE_SEP)
+    enc = F.concat(
+        sep,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, F.lit(1)),
+            ),
+            _BPE_SEP,
+        ),
+        sep,
+    )
+    def _merge_fold(left: str, right: str):
+        ends = F.lit(_BPE_SEP + left + _BPE_SEP)
+
+        def f(acc, s):
+            return F.when(
+                acc.endswith(ends) & (s == F.lit(right)),
+                F.concat(
+                    acc.substr(F.lit(1), F.length(acc) - 1),
+                    F.lit(right + _BPE_SEP),
+                ),
+            ).otherwise(F.concat(acc, s, sep))
+
+        return f
+
+    for _rank, left, right, _merged, _cnt in merges:
+        syms = F.filter(F.split(enc, _BPE_SEP), lambda x: x != F.lit(""))
+        enc = F.aggregate(syms, sep, _merge_fold(left, right))
+    tok = allw.select(
+        "word",
+        F.size(F.filter(F.split(enc, _BPE_SEP), lambda x: x != F.lit("")))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    agg = dw.join(tok, "word").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.expr("(2 * n_tokens * 1000000 + n_words) div (2 * n_words)")
+        .cast("bigint")
+        .alias("fertility_ppm"),
+    )
 
 
 # ---------------------------------------------------------------------------

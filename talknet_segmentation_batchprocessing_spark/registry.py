@@ -155,6 +155,12 @@ _DRIVER_WINDOW = [
     # trainer (ask #5).
     "sim_hard_negatives_ann", "contamination_semantic_ann",
     "bpe_vocab_train",
+    # bpe_encode_corpus is NEW this round (the apply side of the
+    # trained vocabulary) — driver-checked the round it lands;
+    # displaced from the re-confirm block: x11_json_parse (r2
+    # driver-green, code unchanged, mirror-swept in-repo; deferred to
+    # the round-9 re-confirm queue)
+    "bpe_encode_corpus",
     # Plan changed this round: agreement_ppm gained the n_docs=0 guard
     # on BOTH engines (ADVICE r7) — must be re-checked the round its
     # expression changes.
@@ -175,7 +181,7 @@ _DRIVER_WINDOW = [
     "w4_linear_interpolation", "w5_top1_per_group",
     "w6_topk_candidates", "w8_global_sort_limit", "w9_tumbling_clips",
     "u3_except", "u4_explode_duration_set",
-    "x1_iou_arithmetic", "x2_box_center_size", "x11_json_parse",
+    "x1_iou_arithmetic", "x2_box_center_size",
     "x13_string_parsing", "x6_av_length_align", "x7_wrap_pad_array",
     "m2_scene_change_islands",
     "f1_confidence_filter", "f4_having_greatest_avg", "f9_ordered_limit",
