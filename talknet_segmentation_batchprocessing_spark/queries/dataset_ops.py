@@ -2796,6 +2796,49 @@ GROUP BY doc_id"""
     return f"WITH {chain}\n{parts[-1]}"
 
 
+def bpe_token_count_col(word_col, merges: list[tuple]):
+    """Token count of one word under the learned merges, as a pure
+    column expression: char-split encode, then each merge applied as
+    an in-row left-to-right string fold — chained, so a whole merge
+    table costs zero shuffles. Shared by the batch apply query and
+    the streaming scorer (identical expression = parity by
+    construction)."""
+    sep = F.lit(_BPE_SEP)
+    enc = F.concat(
+        sep,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(word_col)),
+                lambda i: F.substring(word_col, i, F.lit(1)),
+            ),
+            _BPE_SEP,
+        ),
+        sep,
+    )
+
+    def _merge_fold(left: str, right: str):
+        ends = F.lit(_BPE_SEP + left + _BPE_SEP)
+
+        def f(acc, s):
+            return F.when(
+                acc.endswith(ends) & (s == F.lit(right)),
+                F.concat(
+                    acc.substr(F.lit(1), F.length(acc) - 1),
+                    F.lit(right + _BPE_SEP),
+                ),
+            ).otherwise(F.concat(acc, s, sep))
+
+        return f
+
+    for _rank, left, right, _merged, _cnt in merges:
+        syms = F.filter(F.split(enc, _BPE_SEP), lambda x: x != F.lit(""))
+        enc = F.aggregate(syms, sep, _merge_fold(left, right))
+    return F.size(
+        F.filter(F.split(enc, _BPE_SEP), lambda x: x != F.lit(""))
+    ).cast("bigint")
+
+
+
 @query(
     "bpe_encode_corpus",
     oracle=_bpe_encode_cte(),
@@ -2827,40 +2870,8 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
     allw = dw.select("word").distinct()
 
-    sep = F.lit(_BPE_SEP)
-    enc = F.concat(
-        sep,
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.substring(F.col("word"), i, F.lit(1)),
-            ),
-            _BPE_SEP,
-        ),
-        sep,
-    )
-    def _merge_fold(left: str, right: str):
-        ends = F.lit(_BPE_SEP + left + _BPE_SEP)
-
-        def f(acc, s):
-            return F.when(
-                acc.endswith(ends) & (s == F.lit(right)),
-                F.concat(
-                    acc.substr(F.lit(1), F.length(acc) - 1),
-                    F.lit(right + _BPE_SEP),
-                ),
-            ).otherwise(F.concat(acc, s, sep))
-
-        return f
-
-    for _rank, left, right, _merged, _cnt in merges:
-        syms = F.filter(F.split(enc, _BPE_SEP), lambda x: x != F.lit(""))
-        enc = F.aggregate(syms, sep, _merge_fold(left, right))
     tok = allw.select(
-        "word",
-        F.size(F.filter(F.split(enc, _BPE_SEP), lambda x: x != F.lit("")))
-        .cast("bigint")
-        .alias("n_tok"),
+        "word", bpe_token_count_col(F.col("word"), merges).alias("n_tok")
     )
     agg = dw.join(tok, "word").groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_words"),

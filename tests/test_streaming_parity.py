@@ -1615,3 +1615,46 @@ def test_streaming_active_users_restart_recovers_state(spark, tmp_path):
     merged = want.merge(roll, on="day", how="left", suffixes=("_b", "_s"))
     assert merged["dau_b"].astype(int).tolist() == merged["dau_s"].astype(int).tolist()
     assert merged["wau_b"].astype(int).tolist() == merged["wau_s"].astype(int).tolist()
+
+
+def test_streaming_bpe_matches_batch(spark, tmp_path):
+    """streaming/bpe.py train-offline/tokenize-online vs the registered
+    bpe_encode_corpus batch query: every doc priced across two
+    micro-batches must carry the batch query's exact n_words /
+    n_tokens / fertility_ppm (pure string folds + BIGINT arithmetic —
+    parity is bit-level, not a tolerance)."""
+    from talknet_segmentation_batchprocessing_spark.streaming.bpe import (
+        fit_bpe,
+        streaming_bpe_pricer,
+    )
+
+    want = (
+        registry.REGISTRY["bpe_encode_corpus"]
+        .fn(spark, SF_CORRECT)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    merges = fit_bpe(spark, SF_CORRECT)
+    assert len(merges) == 20
+
+    docs = load(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    drop = tmp_path / "docs_bpe"
+    drop.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(drop / "b0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(drop / "b1")
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(str(drop / "*"))
+    got = (
+        _drain(streaming_bpe_pricer(stream, merges), tmp_path, "bpe_stream")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == len(want) > 0
+    for col in ("doc_id", "n_words", "n_tokens", "fertility_ppm"):
+        assert got[col].tolist() == want[col].tolist(), col
