@@ -47,6 +47,26 @@ def fake_image_decoder(height: int = 16, width: int = 16):
     return decode
 
 
+def jpeg_image_decoder():
+    """Real decoder with NO optional dependency: bytes -> grayscale
+    uint8 HxW for baseline JFIF JPEG via the pure-numpy codec
+    (sources/jpeg.py, round 8). Unlike the cv2/PIL decoders this runs
+    on real image bytes in THIS image — the committed MJPEG fixture's
+    frames and any single-component baseline JPEG decode through it;
+    non-JPEG bytes raise naming the magic."""
+    from ..sources.jpeg import decode_gray_jpeg
+
+    def decode(content: bytes) -> np.ndarray:
+        if content[:2] != b"\xff\xd8":
+            raise ValueError(
+                "jpeg_image_decoder takes baseline JPEG bytes (no SOI "
+                "marker found); use cv2/PIL decoders for other formats"
+            )
+        return decode_gray_jpeg(content)
+
+    return decode
+
+
 def cv2_image_decoder():
     """Real decoder: bytes -> grayscale uint8 HxW via ``cv2.imdecode``
     (the reference reads frames with cv2 throughout, demoTalkNet.py).

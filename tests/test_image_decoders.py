@@ -93,3 +93,56 @@ def test_pil_missing_raises_notimplemented(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", None)
     with pytest.raises(NotImplementedError, match="Pillow is not installed"):
         pil_image_decoder()
+
+
+def test_jpeg_decoder_real_bytes_no_stub():
+    """The round-8 pure-numpy JPEG decoder is the one image decoder
+    that runs on REAL bytes with no stub and no optional wheel."""
+    from talknet_segmentation_batchprocessing_spark.operators.multimodal import (
+        jpeg_image_decoder,
+    )
+    from talknet_segmentation_batchprocessing_spark.sources.jpeg import (
+        encode_gray_jpeg,
+    )
+
+    y, x = np.mgrid[0:24, 0:32]
+    img = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    out = jpeg_image_decoder()(encode_gray_jpeg(img, 92))
+    assert out.dtype == np.uint8 and out.shape == (24, 32)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 8
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_image_decoder()(b"\x89PNGjunk")
+
+
+def test_extract_image_features_real_jpeg_distributed(spark):
+    """X4 (decode -> grayscale resize -> feature) on REAL image bytes
+    through the Arrow-batched shell — no fake decoder anywhere."""
+    from talknet_segmentation_batchprocessing_spark.operators.multimodal import (
+        extract_image_features,
+        jpeg_image_decoder,
+    )
+    from talknet_segmentation_batchprocessing_spark.sources.jpeg import (
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = []
+    imgs = {}
+    for i in range(6):
+        base = ((np.mgrid[0:16, 0:16][0] * (i + 2)) % 256).astype(np.uint8)
+        imgs[i] = base
+        rows.append((i, bytearray(encode_gray_jpeg(base, 92))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = {
+        r["doc_id"]: np.asarray(r["feature"])
+        for r in extract_image_features(
+            df, "payload", "doc_id", decoder=jpeg_image_decoder()
+        ).collect()
+    }
+    assert set(feats) == set(imgs)
+    dec = jpeg_image_decoder()
+    for i, base in imgs.items():
+        img = dec(bytes(encode_gray_jpeg(base, 92)))
+        blocks = img.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+        want = (blocks.flatten() / 255.0).astype(np.float32)
+        np.testing.assert_allclose(feats[i], want, rtol=0, atol=1e-7)
