@@ -169,6 +169,8 @@ HEADLINE = [
     "contamination_semantic_ann",
     "bpe_vocab_train",
     "bpe_encode_corpus",
+    "sim_hard_negatives_recall",
+    "contamination_semantic_agreement",
 ]
 
 

@@ -3692,6 +3692,75 @@ def sim_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_hard_negatives_recall",
+    oracle=None,  # late-bound below: composes the two registered oracles
+    doc=f"ANN quality audit for index-backed hard negatives - "
+    f"recall@{_HN_K} of sim_hard_negatives_ann against the exact-pass "
+    "ground truth per query: the go/no-go report for mining negatives "
+    "from the IVF lists instead of a full Gram pass, the exact "
+    "analogue of sim_ivfpq_recall for this family (what does ROUTING "
+    "lose when candidates must also be different-label?). Both sides "
+    "are the registered queries; the oracle composes the two proven "
+    "oracles. Cost: the parents' plans + one (query, neighbor) "
+    "equi-join over two top-k lists",
+    tags=("similarity", "eval", "embedding", "ext"),
+)
+def sim_hard_negatives_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_hard_negatives(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = sim_hard_negatives_ann(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_nh"))
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    nh = F.coalesce(F.col("_nh"), F.lit(0))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        nh.cast("bigint").alias("n_hits"),
+        F.expr(
+            "(2 * coalesce(_nh, 0) * 1000000 + n_exact) div (2 * n_exact)"
+        )
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
+
+
+def _late_bind_hard_neg_recall() -> None:
+    from ..registry import REGISTRY
+
+    exact = REGISTRY["sim_hard_negatives"].oracle
+    ann = REGISTRY["sim_hard_negatives_ann"].oracle
+    REGISTRY["sim_hard_negatives_recall"].oracle = f"""
+WITH ex AS ({exact}),
+an AS ({ann}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM ex e JOIN an a ON a.query_id = e.query_id
+   AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+per_q AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM ex GROUP BY query_id
+)
+SELECT p.query_id, p.n_exact,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((2 * coalesce(h.n_hits, 0) * 1000000 + p.n_exact)
+            // (2 * p.n_exact) AS BIGINT) AS recall_ppm
+FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
+"""
+
+
+_late_bind_hard_neg_recall()
+
+
 # ---------------------------------------------------------------------------
 # quota keep (round 7): soft dedup — keep up to m per near-dup cluster
 # ---------------------------------------------------------------------------
@@ -4097,6 +4166,68 @@ def contamination_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cs") > _SCON_THRESHOLD).alias("contaminated"),
         )
     )
+
+
+@query(
+    "contamination_semantic_agreement",
+    oracle=None,  # late-bound below: composes the two registered oracles
+    doc="Decision-level audit for index-backed decontamination - per "
+    "stratum test vector, does contamination_semantic_ann reach the "
+    "exact query's verdict? Columns: whether the ANN variant found ANY "
+    "candidate (a probed-list miss drops the test id - the ANN trade), "
+    "whether it found the SAME nearest train vector, and whether the "
+    "contaminated VERDICT agrees - the column that matters: a different "
+    "nearest neighbor above/below the same threshold is harmless, a "
+    "flipped verdict is leakage passed through. The before-you-switch "
+    "report for replacing the exact decon pass with the indexed one; "
+    "oracle composed from the two registered oracles",
+    tags=("dedup", "similarity", "eval", "ext"),
+)
+def contamination_semantic_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ex = contamination_semantic(spark, sf_dir).select(
+        "test_id",
+        F.col("nearest_train_id").alias("ex_train"),
+        F.col("contaminated").alias("ex_verdict"),
+    )
+    an = contamination_semantic_ann(spark, sf_dir).select(
+        "test_id",
+        F.col("nearest_train_id").alias("ann_train"),
+        F.col("contaminated").alias("ann_verdict"),
+    )
+    j = ex.join(an, "test_id", "left")
+    return j.select(
+        "test_id",
+        F.col("ann_train").isNotNull().alias("ann_found"),
+        F.coalesce(F.col("ann_train") == F.col("ex_train"), F.lit(False)).alias(
+            "same_nearest"
+        ),
+        F.coalesce(
+            F.col("ann_verdict") == F.col("ex_verdict"), ~F.col("ex_verdict")
+        ).alias("same_verdict"),
+    )
+
+
+def _late_bind_contam_agreement() -> None:
+    from ..registry import REGISTRY
+
+    exact = REGISTRY["contamination_semantic"].oracle
+    ann = REGISTRY["contamination_semantic_ann"].oracle
+    REGISTRY["contamination_semantic_agreement"].oracle = f"""
+WITH ex AS ({exact}),
+an AS ({ann})
+SELECT e.test_id,
+       a.nearest_train_id IS NOT NULL AS ann_found,
+       coalesce(a.nearest_train_id = e.nearest_train_id, FALSE)
+         AS same_nearest,
+       coalesce(a.contaminated = e.contaminated, NOT e.contaminated)
+         AS same_verdict
+FROM ex e LEFT JOIN an a ON a.test_id = e.test_id
+"""
+
+
+_late_bind_contam_agreement()
 
 
 # ---------------------------------------------------------------------------

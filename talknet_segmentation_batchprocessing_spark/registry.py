@@ -161,6 +161,13 @@ _DRIVER_WINDOW = [
     # driver-green, code unchanged, mirror-swept in-repo; deferred to
     # the round-9 re-confirm queue)
     "bpe_encode_corpus",
+    # the two ANN pricing audits are NEW this round (recall@k /
+    # verdict-agreement of the index-backed variants vs their exact
+    # parents, the sim_ivfpq_recall pattern) — driver-checked the
+    # round they land; displaced from the re-confirm block:
+    # x13_string_parsing and x7_wrap_pad_array (both r2 driver-green,
+    # code unchanged, mirror-swept in-repo; deferred to round 9)
+    "sim_hard_negatives_recall", "contamination_semantic_agreement",
     # Plan changed this round: agreement_ppm gained the n_docs=0 guard
     # on BOTH engines (ADVICE r7) — must be re-checked the round its
     # expression changes.
@@ -182,7 +189,7 @@ _DRIVER_WINDOW = [
     "w6_topk_candidates", "w8_global_sort_limit", "w9_tumbling_clips",
     "u3_except", "u4_explode_duration_set",
     "x1_iou_arithmetic", "x2_box_center_size",
-    "x13_string_parsing", "x6_av_length_align", "x7_wrap_pad_array",
+    "x6_av_length_align",
     "m2_scene_change_islands",
     "f1_confidence_filter", "f4_having_greatest_avg", "f9_ordered_limit",
     "j2_tolerance_check", "j4_group_collect", "j5_spatial_best_match",
