@@ -1283,3 +1283,116 @@ FROM j
 
 
 _late_bind_quality_ensemble()
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_doremi_weights",
+    oracle=None,  # late-bound below: composes the two registered LM oracles
+    doc="DoReMi-style domain reweighting (Xie et al. 2023): one "
+    "multiplicative-weights step over per-source EXCESS LOSS — the gap "
+    "between a weak reference LM's loss (corpus unigram, "
+    "text_unigram_logprob) and a stronger proxy LM's loss (corpus "
+    "bigram, text_bigram_logprob) — upweighting the domains where the "
+    "stronger model gains most (the 'learnable' domains group-DRO "
+    "chases). Determinism spine: exp(eta*excess) is linearized to "
+    "(1 + excess) ON AN EXACT MICRO-BIT INTEGER GRID (the engine "
+    "convention: transcendentals other than sqrt are not "
+    "correctly-rounded across JVM/libm, so the update stays rational) "
+    "— per-doc NLLs land on their registered 1e-4 grid, domain means "
+    "use integer division, and the normalizing sum is an associative "
+    "BIGINT sum, so both engines agree bit-for-bit. Docs with <2 "
+    "tokens carry no bigram score and are excluded by both engines "
+    "(the DSIR precedent). Scale shape: the two parents' plans + one "
+    "doc_id equi-join + a 20-row domain aggregate + a 1-row broadcast "
+    "total — nothing past the parents grows with corpus size",
+    tags=("curation", "mixing", "ext"),
+)
+def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dataset_ops import text_bigram_logprob, text_unigram_logprob
+
+    u = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("mean_neg_logprob") * 1e4 + 0.5).cast("bigint").alias("u4"),
+    )
+    b = text_bigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("mean_neg_logprob") * 1e4 + 0.5).cast("bigint").alias("b4"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    per = docs.join(u, "doc_id").join(b, "doc_id")
+    dom = per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_scored"),
+        F.sum("u4").cast("bigint").alias("su"),
+        F.sum("b4").cast("bigint").alias("sb"),
+    )
+    ex = dom.select(
+        "source",
+        "n_docs_scored",
+        F.expr("(su * 100) div n_docs_scored").cast("bigint").alias("uni_nll_micro"),
+        F.expr("(sb * 100) div n_docs_scored").cast("bigint").alias("bi_nll_micro"),
+    ).withColumn(
+        "excess_micro",
+        F.greatest(
+            F.lit(0).cast("bigint"), F.col("uni_nll_micro") - F.col("bi_nll_micro")
+        ),
+    ).withColumn("w_num", (F.lit(1_000_000).cast("bigint") + F.col("excess_micro")))
+    tot = ex.agg(F.sum("w_num").cast("bigint").alias("w_tot"))
+    return ex.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs_scored",
+        "uni_nll_micro",
+        "bi_nll_micro",
+        "excess_micro",
+        F.expr("(2 * w_num * 1000000 + w_tot) div (2 * w_tot)")
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
+
+
+def _late_bind_mix_doremi() -> None:
+    from . import dataset_ops  # noqa: F401  (registers the two parents)
+
+    uni = REGISTRY["text_unigram_logprob"].oracle
+    big = REGISTRY["text_bigram_logprob"].oracle
+    REGISTRY["mix_doremi_weights"].oracle = f"""
+WITH uni AS ({uni}),
+big AS ({big}),
+per AS (
+  SELECT d.source,
+         CAST(floor(u.mean_neg_logprob * 1e4 + 0.5) AS BIGINT) AS u4,
+         CAST(floor(b.mean_neg_logprob * 1e4 + 0.5) AS BIGINT) AS b4
+  FROM documents d
+  JOIN uni u ON u.doc_id = d.doc_id
+  JOIN big b ON b.doc_id = d.doc_id
+),
+dom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+         (CAST(sum(u4) AS BIGINT) * 100) // CAST(count(*) AS BIGINT)
+           AS uni_nll_micro,
+         (CAST(sum(b4) AS BIGINT) * 100) // CAST(count(*) AS BIGINT)
+           AS bi_nll_micro
+  FROM per GROUP BY source
+),
+ex AS (
+  SELECT source, n_docs_scored, uni_nll_micro, bi_nll_micro,
+         greatest(CAST(0 AS BIGINT), uni_nll_micro - bi_nll_micro)
+           AS excess_micro,
+         1000000 + greatest(CAST(0 AS BIGINT), uni_nll_micro - bi_nll_micro)
+           AS w_num
+  FROM dom
+),
+tot AS (SELECT CAST(sum(w_num) AS BIGINT) AS w_tot FROM ex)
+SELECT e.source, e.n_docs_scored, e.uni_nll_micro, e.bi_nll_micro,
+       e.excess_micro,
+       CAST((2 * e.w_num * 1000000 + t.w_tot) // (2 * t.w_tot) AS BIGINT)
+         AS weight_ppm
+FROM ex e CROSS JOIN tot t
+"""
+
+
+_late_bind_mix_doremi()
