@@ -171,6 +171,10 @@ HEADLINE = [
     "bpe_encode_corpus",
     "sim_hard_negatives_recall",
     "contamination_semantic_agreement",
+    # round-8 second wave: DoReMi domain reweighting + the SCD2
+    # dimension-history build
+    "mix_doremi_weights",
+    "u7_scd2_history",
 ]
 
 

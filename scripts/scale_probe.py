@@ -116,6 +116,11 @@ HEAVY = [
     # queries — the whole point is the curve vs their exact parents
     "sim_hard_negatives_ann",
     "contamination_semantic_ann",
+    # round 8, second wave: DoReMi rides the two corpus-LM parents
+    # (both linear); SCD2 is one user-keyed exchange over the
+    # replicated events table
+    "mix_doremi_weights",
+    "u7_scd2_history",
 ]
 
 # dims copied as-is (nation/region are constant-size at any SF)

@@ -217,3 +217,76 @@ def u6_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.intersect(buyers)
+
+
+_SCD2_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS ver
+  FROM o
+), runs AS (
+  SELECT user_id, CAST(ver AS BIGINT) AS version, event_type,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM g GROUP BY user_id, ver, event_type
+)
+SELECT user_id, version, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         IS NULL AS is_current
+FROM runs
+"""
+
+
+@query(
+    "u7_scd2_history",
+    oracle=_SCD2_ORACLE,
+    doc="Slowly-changing-dimension type-2 history build (the lakehouse "
+    "companion of U5's MERGE): treat each user's event stream as CDC "
+    "updates to a tracked attribute (event_type) and emit one validity "
+    "interval per attribute RUN — [valid_from, valid_to) stitched with "
+    "lead(), open-ended is_current row last, a version counter, and "
+    "the run's event count. Ties on ts break on event_id on both "
+    "engines. Plan shape: ONE hash exchange on user_id serves every "
+    "stage — the change-flag/version windows, the per-run aggregate "
+    "(user_id is a prefix of the grouping key, so the existing "
+    "clustering satisfies it), and the lead() stitch — the W1 islands "
+    "spine with the interval-stitch epilogue dimension builds need. "
+    "At 100 TB: no broadcast, no skew risk beyond per-user history "
+    "length, output rows = number of attribute changes, not events",
+    tags=("U7", "ext", "pipeline"),
+)
+def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "_chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_ver", F.sum("_chg").over(wcum))
+    runs = flagged.groupBy("user_id", "_ver", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("_ver")
+    to = F.lead("valid_from").over(wv)
+    return runs.select(
+        "user_id",
+        F.col("_ver").cast("bigint").alias("version"),
+        "event_type",
+        "valid_from",
+        to.alias("valid_to"),
+        "n_events",
+        to.isNull().alias("is_current"),
+    )

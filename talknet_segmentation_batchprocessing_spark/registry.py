@@ -172,12 +172,14 @@ _DRIVER_WINDOW = [
     # on BOTH engines (ADVICE r7) — must be re-checked the round its
     # expression changes.
     "curation_dsir_vs_rules",
-    # mix_doremi_weights is NEW this round (DoReMi one-step domain
-    # reweighting composed from the two registered corpus-LM oracles)
-    # — driver-checked the round it lands; displaced from the
-    # re-confirm block: text_repetition_filter (r2 driver-green, code
-    # unchanged, mirror-swept in-repo; deferred to round 9).
-    "mix_doremi_weights",
+    # mix_doremi_weights and u7_scd2_history are NEW this round
+    # (DoReMi one-step domain reweighting composed from the two
+    # registered corpus-LM oracles; the SCD2 dimension-history build)
+    # — driver-checked the round they land; displaced from the
+    # re-confirm block: text_repetition_filter and dedup_exact (both
+    # r2 driver-green, code unchanged, mirror-swept in-repo; deferred
+    # to the round-9 re-confirm queue).
+    "mix_doremi_weights", "u7_scd2_history",
     # Round-8 rotation: the 19 TPC-H classes and the 15 other r7
     # debuts/plan-changes are all r7-driver-green with code unchanged
     # this round (still mirror-swept in-repo) — they rotate out, and
@@ -202,7 +204,6 @@ _DRIVER_WINDOW = [
     "j7_anti_equality_pair",
     "a1_ensemble_round_avg", "a4_conditional_count",
     "a5_per_speaker_f1", "a9_energy_db",
-    "dedup_exact",
 ]
 
 

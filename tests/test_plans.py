@@ -686,3 +686,20 @@ def test_q12_conditional_counts_one_pass(spark):
     plan = _executed(df)
     _no_python(plan, "q12")
     assert single_partition_sorts(df) == 0
+
+
+def test_scd2_single_exchange(spark):
+    """u7_scd2_history: one user_id exchange serves the change-flag
+    windows, the per-run aggregate (user_id is a grouping-key prefix),
+    and the lead() stitch — the dimension build never reshuffles."""
+    df = q("u7_scd2_history", spark)
+    assert count_exchanges(df) <= 1
+    assert single_partition_sorts(df) == 0
+
+
+def test_doremi_domain_rollup_broadcasts_total(spark):
+    """mix_doremi_weights: the 1-row weight-total frame broadcasts
+    against the 20-row domain aggregate; no single-partition sort."""
+    df = q("mix_doremi_weights", spark)
+    assert_broadcast_join(df)
+    assert single_partition_sorts(df) == 0
