@@ -1658,3 +1658,143 @@ def test_streaming_bpe_matches_batch(spark, tmp_path):
     assert len(got) == len(want) > 0
     for col in ("doc_id", "n_words", "n_tokens", "fertility_ppm"):
         assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_streaming_scd2_matches_batch_u7(spark, tmp_path):
+    """streaming/scd2 across two event-time-split micro-batches: the
+    emitted CLOSED validity intervals equal the batch u7_scd2_history
+    rows with is_current = false — including intervals that straddle
+    the batch boundary (opened in batch 1, closed by a batch-2
+    attribute change)."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.scd2 import (
+        streaming_scd2,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    cols = ["user_id", "version", "event_type", "valid_from_us",
+            "valid_to_us", "n_events"]
+    got = (
+        _drain(streaming_scd2(stream), tmp_path, "scd2_stream")[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    want = (
+        registry.REGISTRY["u7_scd2_history"]
+        .fn(spark, SF_CORRECT)
+        .filter("NOT is_current")
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+                "valid_from_us"
+            ),
+            F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+                "valid_to_us"
+            ),
+            "n_events",
+        )
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the boundary case occurred: some interval opened at or before the
+    # cut was closed by a batch-2 event
+    cut_us = int(cut * 1e6)
+    assert ((got["valid_from_us"] <= cut_us) & (got["valid_to_us"] > cut_us)).any()
+
+
+def test_streaming_scd2_restart_recovers_open_interval(spark, tmp_path):
+    """A full query restart between micro-batches must recover each
+    user's OPEN interval: an interval opened before the restart and
+    closed after it must emit with its pre-restart valid_from and the
+    event count spanning both runs; the union of emissions equals the
+    batch closed-interval rows."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.streaming.scd2 import (
+        streaming_scd2,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt_scd2_restart"
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b0"))
+
+    def _stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop / "*"))
+        )
+
+    got1 = _run_batches(streaming_scd2(_stream()), tmp_path, "scd2_r", ckpt)
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b1"))
+    got = _run_batches(streaming_scd2(_stream()), tmp_path, "scd2_r", ckpt)
+    cols = ["user_id", "version", "event_type", "valid_from_us",
+            "valid_to_us", "n_events"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = (
+        registry.REGISTRY["u7_scd2_history"]
+        .fn(spark, SF_CORRECT)
+        .filter("NOT is_current")
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+                "valid_from_us"
+            ),
+            F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+                "valid_to_us"
+            ),
+            "n_events",
+        )
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the recovery case occurred: an interval opened at or before the
+    # cut closed only in the second run (absent from got1's emissions)
+    cut_us = int(cut * 1e6)
+    straddle = got[
+        (got["valid_from_us"] <= cut_us) & (got["valid_to_us"] > cut_us)
+    ]
+    assert len(straddle) > 0
+    assert len(got1) < len(got)
