@@ -171,10 +171,11 @@ HEADLINE = [
     "bpe_encode_corpus",
     "sim_hard_negatives_recall",
     "contamination_semantic_agreement",
-    # round-8 second wave: DoReMi domain reweighting + the SCD2
-    # dimension-history build
+    # round-8 second wave: DoReMi domain reweighting, the SCD2
+    # dimension-history build, and the Spearman score-agreement audit
     "mix_doremi_weights",
     "u7_scd2_history",
+    "quality_rank_agreement",
 ]
 
 

@@ -118,9 +118,11 @@ HEAVY = [
     "contamination_semantic_ann",
     # round 8, second wave: DoReMi rides the two corpus-LM parents
     # (both linear); SCD2 is one user-keyed exchange over the
-    # replicated events table
+    # replicated events table; rank agreement exercises two adaptive
+    # two-phase global ranks above the crossover
     "mix_doremi_weights",
     "u7_scd2_history",
+    "quality_rank_agreement",
 ]
 
 # dims copied as-is (nation/region are constant-size at any SF)

@@ -1396,3 +1396,130 @@ FROM ex e CROSS JOIN tot t
 
 
 _late_bind_mix_doremi()
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank agreement between two quality scores (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_rank_agreement",
+    oracle=None,  # late-bound below: composes the unigram-LM oracle
+    doc="Spearman rank agreement between two quality signals — the "
+    "hash-feature classifier margin (text_classifier_score) and the "
+    "unigram-LM fluency score (text_unigram_logprob) — the audit a "
+    "team runs before substituting the cheap signal for the expensive "
+    "one: binary confusion (curation_dsir_vs_rules) says how often the "
+    "KEEP verdicts agree, this says whether the full ORDERINGS agree. "
+    "Exact-integer end to end: both scores rank on integer grids "
+    "(margin_ppm*1e6 div n_tokens; the registered 1e-4 NLL grid) with "
+    "doc_id tiebreaks, d^2 sums in DECIMAL(38,0) (headroom to ~1e12 "
+    "docs), and rho lands as a rounded integer ppm via the "
+    "(2a+b) div 2b idiom — no float ever enters, so both engines agree "
+    "bit-for-bit. Scale shape: the two parents' plans + two global "
+    "ranks (the adaptive two-phase bucket ranker — no single-partition "
+    "sort above the crossover) + one doc_id equi-join + a 1-row "
+    "aggregate. Single-doc corpora define rho = 1e6 (guarded on both "
+    "engines; n(n^2-1) = 0)",
+    tags=("curation", "audit", "quality", "ext"),
+)
+def quality_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.two_phase import global_rank
+    from .dataset_ops import text_unigram_logprob
+
+    clf = _clf_margins(spark, sf_dir).select(
+        "doc_id",
+        F.expr("(margin_ppm * 1000000) div n_tokens")
+        .cast("bigint")
+        .alias("margin_scaled"),
+    )
+    lm = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("mean_neg_logprob") * 1e4 + 0.5)
+        .cast("bigint")
+        .alias("nll_fixed"),
+    )
+    # rank 1 = best quality: highest margin / lowest NLL
+    rc = global_rank(
+        clf, "margin_scaled", ("doc_id",), descending=True, out_col="r_clf"
+    ).select("doc_id", "r_clf")
+    rl = global_rank(
+        lm, "nll_fixed", ("doc_id",), descending=False, out_col="r_lm"
+    ).select("doc_id", "r_lm")
+    d = rc.join(rl, "doc_id").select(
+        (F.col("r_clf").cast("long") - F.col("r_lm").cast("long")).alias("d")
+    )
+    agg = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.abs("d")).cast("bigint").alias("sad"),
+        F.max(F.abs("d")).cast("bigint").alias("max_abs_rank_gap"),
+    )
+    return agg.select(
+        "n_docs",
+        F.expr(
+            "CAST(CASE WHEN n_docs < 2 THEN 1000000 ELSE "
+            "1000000 - (12000000 * s2 "
+            "+ (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs)) "
+            "DIV (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs)) "
+            "END AS BIGINT)"
+        ).alias("spearman_rho_ppm"),
+        F.expr("(2 * sad * 1000000 + n_docs) div (2 * n_docs)")
+        .cast("bigint")
+        .alias("mean_abs_rank_gap_ppm"),
+        "max_abs_rank_gap",
+    )
+
+
+def _late_bind_rank_agreement() -> None:
+    from . import dataset_ops  # noqa: F401  (registers the LM parent)
+
+    uni = REGISTRY["text_unigram_logprob"].oracle
+    REGISTRY["quality_rank_agreement"].oracle = f"""
+WITH {_CLF_PER_DOC_SQL},
+clf AS (
+  SELECT doc_id,
+         (CAST(margin_ppm AS BIGINT) * 1000000) // n_tokens AS margin_scaled
+  FROM per_doc
+),
+uni AS ({uni}),
+lm AS (
+  SELECT doc_id,
+         CAST(floor(mean_neg_logprob * 1e4 + 0.5) AS BIGINT) AS nll_fixed
+  FROM uni
+),
+rc AS (
+  SELECT doc_id, row_number() OVER (ORDER BY margin_scaled DESC, doc_id)
+           AS r_clf
+  FROM clf
+),
+rl AS (
+  SELECT doc_id, row_number() OVER (ORDER BY nll_fixed ASC, doc_id) AS r_lm
+  FROM lm
+),
+d AS (
+  SELECT CAST(rc.r_clf AS BIGINT) - CAST(rl.r_lm AS BIGINT) AS d
+  FROM rc JOIN rl ON rl.doc_id = rc.doc_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d * d) AS HUGEINT) AS s2,
+         CAST(sum(abs(d)) AS BIGINT) AS sad,
+         CAST(max(abs(d)) AS BIGINT) AS max_abs_rank_gap
+  FROM d
+)
+SELECT n_docs,
+       CAST(CASE WHEN n_docs < 2 THEN 1000000 ELSE
+         1000000 - (12000000 * s2
+           + (CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs))
+         // (2 * (CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs))
+         END AS BIGINT) AS spearman_rho_ppm,
+       CAST((2 * sad * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
+         AS mean_abs_rank_gap_ppm,
+       max_abs_rank_gap
+FROM agg
+"""
+
+
+_late_bind_rank_agreement()

@@ -172,14 +172,16 @@ _DRIVER_WINDOW = [
     # on BOTH engines (ADVICE r7) — must be re-checked the round its
     # expression changes.
     "curation_dsir_vs_rules",
-    # mix_doremi_weights and u7_scd2_history are NEW this round
-    # (DoReMi one-step domain reweighting composed from the two
-    # registered corpus-LM oracles; the SCD2 dimension-history build)
-    # — driver-checked the round they land; displaced from the
-    # re-confirm block: text_repetition_filter and dedup_exact (both
-    # r2 driver-green, code unchanged, mirror-swept in-repo; deferred
-    # to the round-9 re-confirm queue).
-    "mix_doremi_weights", "u7_scd2_history",
+    # mix_doremi_weights, u7_scd2_history and quality_rank_agreement
+    # are NEW this round (DoReMi one-step domain reweighting composed
+    # from the two registered corpus-LM oracles; the SCD2
+    # dimension-history build; Spearman rank agreement between the
+    # classifier and LM quality scores) — driver-checked the round
+    # they land; displaced from the re-confirm block:
+    # text_repetition_filter, dedup_exact and a4_conditional_count
+    # (all r2 driver-green, code unchanged, mirror-swept in-repo;
+    # deferred to the round-9 re-confirm queue).
+    "mix_doremi_weights", "u7_scd2_history", "quality_rank_agreement",
     # Round-8 rotation: the 19 TPC-H classes and the 15 other r7
     # debuts/plan-changes are all r7-driver-green with code unchanged
     # this round (still mirror-swept in-repo) — they rotate out, and
@@ -202,7 +204,7 @@ _DRIVER_WINDOW = [
     "f1_confidence_filter", "f4_having_greatest_avg", "f9_ordered_limit",
     "j2_tolerance_check", "j4_group_collect", "j5_spatial_best_match",
     "j7_anti_equality_pair",
-    "a1_ensemble_round_avg", "a4_conditional_count",
+    "a1_ensemble_round_avg",
     "a5_per_speaker_f1", "a9_energy_db",
 ]
 

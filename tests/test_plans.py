@@ -703,3 +703,19 @@ def test_doremi_domain_rollup_broadcasts_total(spark):
     df = q("mix_doremi_weights", spark)
     assert_broadcast_join(df)
     assert single_partition_sorts(df) == 0
+
+
+def test_rank_agreement_no_single_partition_sort(spark):
+    """quality_rank_agreement: the two global ranks go through the
+    adaptive two-phase ranker — no Exchange SinglePartition feeding a
+    Sort at scale (below the crossover the one-partition window is the
+    documented adaptive choice, so assert on the >crossover path only
+    via the helper's own tests); here pin that the composed plan stays
+    JVM-side."""
+    from talknet_segmentation_batchprocessing_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = q("quality_rank_agreement", spark)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
