@@ -330,3 +330,71 @@ def test_engagement_fold_batching_invariant(data):
     wau = {r[2] for r in one_rows if r[1] == "wau"}
     assert dau == set(days)
     assert wau == {d + o for d in days for o in range(7)}
+
+
+def _run_scd2(chunks):
+    from talknet_segmentation_batchprocessing_spark.streaming.scd2 import (
+        _fold_batch,
+    )
+
+    state = _FakeState()
+    rows = []
+    for ch in chunks:
+        pdf = pd.DataFrame(
+            {
+                "us": [u for u, _ in ch],
+                "event_id": [u for u, _ in ch],
+                "event_type": [t for _, t in ch],
+            }
+        )
+        rows += [
+            tuple(r)
+            for out in _fold_batch((1,), iter([pdf]), state)
+            for r in out.itertuples(index=False)
+        ]
+    return state._v, rows
+
+
+def _scd2_reference(events):
+    """One-pass reference: closed [from, to) intervals of equal-type
+    runs, plus the final open interval as state."""
+    closed, cur = [], None
+    for us, typ in events:
+        if cur is None:
+            cur = (typ, us, 1, 1)
+        elif typ == cur[0]:
+            cur = (cur[0], cur[1], cur[2] + 1, cur[3])
+        else:
+            closed.append((1, cur[3], cur[0], cur[1], us, cur[2]))
+            cur = (typ, us, 1, cur[3] + 1)
+    return cur, closed
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_scd2_fold_batching_invariant(data):
+    """The SCD2 interval fold must emit the same closed intervals in
+    the same order under ANY chunking, end in the same open-interval
+    state, and match the one-pass reference: chunk boundaries (and
+    therefore micro-batch boundaries and restarts) are semantically
+    invisible."""
+    events = data.draw(
+        _events(min_size=0, max_size=40).map(
+            lambda es: [(u, t) for u, t in es if t is not None]
+        )
+    )
+    cuts = data.draw(_splits(len(events)))
+    one_state, one_rows = _run_scd2([events] if events else [])
+    chunked_state, chunked_rows = _run_scd2(_chunk(events, cuts))
+    assert chunked_state == one_state
+    assert chunked_rows == one_rows
+    ref_state, ref_rows = _scd2_reference(events)
+    assert one_state == (tuple(ref_state) if ref_state else None) or (
+        one_state is None and ref_state is None
+    )
+    assert one_rows == ref_rows
+    # interval algebra: closed intervals tile [first_ts, last_change)
+    # with no gaps — each valid_to equals the next valid_from
+    for a, b in zip(one_rows, one_rows[1:]):
+        assert a[4] == b[3]
+        assert a[1] + 1 == b[1]  # versions are consecutive
