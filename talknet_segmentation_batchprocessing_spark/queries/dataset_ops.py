@@ -2944,13 +2944,29 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("item_cnt"))
         .filter(F.col("item_cnt") >= _MB_MIN_ITEM)
     )
-    fb = track_persist(b.join(F.broadcast(freq), "p"))
-    x = fb.select(F.col("o"), F.col("p").alias("part_a"), F.col("item_cnt").alias("cnt_a"))
-    y = fb.select(F.col("o"), F.col("p").alias("part_b"), F.col("item_cnt").alias("cnt_b"))
+    fb = b.join(F.broadcast(freq), "p")
+    # pair generation per basket, not a self-join on the order key: one
+    # groupBy(o) collects the (bounded) frequent items of each basket
+    # into a SORTED array, and a JVM-side comprehension emits each
+    # unordered pair exactly once (sortedness gives part_a < part_b for
+    # free — the self-join emitted both orders and filtered half away,
+    # paying an extra exchange to do it). Round-8 rewrite: same oracle,
+    # one fewer shuffle, half the pair rows materialized.
+    baskets = fb.groupBy("o").agg(
+        F.sort_array(F.collect_list(F.struct("p", "item_cnt"))).alias("items")
+    )
+    pairs_exploded = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (a, i) -> "
+                "transform(slice(items, i + 2, size(items)), b -> "
+                "struct(a.p AS part_a, b.p AS part_b, "
+                "a.item_cnt AS cnt_a, b.item_cnt AS cnt_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.*")
     pairs = (
-        x.join(y, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs_exploded.groupBy("part_a", "part_b")
         .agg(
             F.count("*").cast("bigint").alias("pair_cnt"),
             F.first("cnt_a").alias("cnt_a"),

@@ -182,6 +182,13 @@ _DRIVER_WINDOW = [
     # (all r2 driver-green, code unchanged, mirror-swept in-repo;
     # deferred to the round-9 re-confirm queue).
     "mix_doremi_weights", "u7_scd2_history", "quality_rank_agreement",
+    # Plan changed this round: basket_pair_lift's pair generation moved
+    # from the order-keyed self-join to a per-basket sorted-array
+    # comprehension (one fewer shuffle, half the pair rows) — must be
+    # re-checked the round its plan changes; displaced from the
+    # re-confirm block: a1_ensemble_round_avg (r2 driver-green, code
+    # unchanged, mirror-swept in-repo; deferred to round 9).
+    "basket_pair_lift",
     # Round-8 rotation: the 19 TPC-H classes and the 15 other r7
     # debuts/plan-changes are all r7-driver-green with code unchanged
     # this round (still mirror-swept in-repo) — they rotate out, and
@@ -204,7 +211,6 @@ _DRIVER_WINDOW = [
     "f1_confidence_filter", "f4_having_greatest_avg", "f9_ordered_limit",
     "j2_tolerance_check", "j4_group_collect", "j5_spatial_best_match",
     "j7_anti_equality_pair",
-    "a1_ensemble_round_avg",
     "a5_per_speaker_f1", "a9_energy_db",
 ]
 
