@@ -1313,13 +1313,20 @@ _late_bind_quality_ensemble()
     tags=("curation", "mixing", "ext"),
 )
 def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dataset_ops import text_bigram_logprob, text_unigram_logprob
+    from ..registry import track_persist
+    from .dataset_ops import (
+        _doc_token_arrays,
+        text_bigram_logprob,
+        text_unigram_logprob,
+    )
 
-    u = text_unigram_logprob(spark, sf_dir).select(
+    # one scan + one tokenization feeds BOTH corpus LMs
+    t = track_persist(_doc_token_arrays(spark, sf_dir))
+    u = text_unigram_logprob(spark, sf_dir, t=t).select(
         "doc_id",
         F.floor(F.col("mean_neg_logprob") * 1e4 + 0.5).cast("bigint").alias("u4"),
     )
-    b = text_bigram_logprob(spark, sf_dir).select(
+    b = text_bigram_logprob(spark, sf_dir, t=t).select(
         "doc_id",
         F.floor(F.col("mean_neg_logprob") * 1e4 + 0.5).cast("bigint").alias("b4"),
     )

@@ -271,6 +271,16 @@ FROM per_doc d CROSS JOIN tot
 """
 
 
+def _doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks array) — the shared tokenization frame: one scan,
+    one split, doc_id-partitioned. Compositions scoring a corpus with
+    BOTH corpus LMs (mix_doremi_weights) persist this once and hand it
+    to each parent, so the corpus is read and tokenized a single time."""
+    return load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+
+
 @query(
     "text_unigram_logprob",
     oracle=_LM_ORACLE,
@@ -284,16 +294,15 @@ FROM per_doc d CROSS JOIN tot
     "capped by zipf — a few GB for any natural corpus",
     tags=("dataset", "text", "ext"),
 )
-def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_unigram_logprob(
+    spark: SparkSession, sf_dir: str, t: DataFrame | None = None
+) -> DataFrame:
     from ..registry import track_persist
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    if t is None:
+        t = _doc_token_arrays(spark, sf_dir)
     toks = track_persist(
-        docs.select(
-            "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
-        )
+        t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
@@ -3111,16 +3120,16 @@ FROM per_doc
     "the per-doc fold shuffles counts keyed by doc_id, never text",
     tags=("text", "quality", "ext"),
 )
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bigram_logprob(
+    spark: SparkSession, sf_dir: str, t: DataFrame | None = None
+) -> DataFrame:
     from ..registry import track_persist
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
     # materialize the token array FIRST: a lambda capturing the raw
     # split() expression re-evaluates it per element (O(len^2)/row —
     # the round-4 text_bigram_topk finding)
-    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    if t is None:
+        t = _doc_token_arrays(spark, sf_dir)
     toks = track_persist(t.select("doc_id", F.explode("toks").alias("tok")))
     uni = track_persist(toks.groupBy("tok").agg(F.count("*").alias("c1")))
     vsz = uni.agg(F.count("*").alias("v"))

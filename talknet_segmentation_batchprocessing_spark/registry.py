@@ -189,6 +189,14 @@ _DRIVER_WINDOW = [
     # re-confirm block: a1_ensemble_round_avg (r2 driver-green, code
     # unchanged, mirror-swept in-repo; deferred to round 9).
     "basket_pair_lift",
+    # Plan changed this round: both corpus LMs now tokenize through the
+    # shared _doc_token_arrays frame (so mix_doremi_weights scans and
+    # splits the corpus ONCE for both parents) — re-checked the round
+    # their expression changes; displaced from the re-confirm block:
+    # a5_per_speaker_f1 and a9_energy_db (r2 driver-green, code
+    # unchanged, mirror-swept in-repo; deferred to round 9 — the eval
+    # arm stays anchored via columbia_f1_eval every round).
+    "text_unigram_logprob", "text_bigram_logprob",
     # Round-8 rotation: the 19 TPC-H classes and the 15 other r7
     # debuts/plan-changes are all r7-driver-green with code unchanged
     # this round (still mirror-swept in-repo) — they rotate out, and
@@ -211,7 +219,6 @@ _DRIVER_WINDOW = [
     "f1_confidence_filter", "f4_having_greatest_avg", "f9_ordered_limit",
     "j2_tolerance_check", "j4_group_collect", "j5_spatial_best_match",
     "j7_anti_equality_pair",
-    "a5_per_speaker_f1", "a9_energy_db",
 ]
 
 
