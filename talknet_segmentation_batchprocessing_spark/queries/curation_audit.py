@@ -581,13 +581,23 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clf_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _clf_margins(
+    spark: SparkSession, sf_dir: str, t: DataFrame | None = None
+) -> DataFrame:
     """per_doc(doc_id, n_tokens, margin_ppm) — the classifier's exact
-    integer margins, shared by the scoring query and its eval audits."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
+    integer margins, shared by the scoring query and its eval audits.
+    Pass ``t`` (the dataset_ops._doc_token_arrays frame) to reuse an
+    already-materialized tokenization; standalone the expression is
+    unchanged."""
+    if t is not None:
+        toks = t.select("doc_id", F.explode("toks").alias("tok")).filter(
+            F.col("tok") != ""
+        )
+    else:
+        docs = load(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        ).filter(F.col("tok") != "")
     bucket = (
         F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint")
         % _CLF_BUCKETS
@@ -1433,15 +1443,18 @@ _late_bind_mix_doremi()
 )
 def quality_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.two_phase import global_rank
-    from .dataset_ops import text_unigram_logprob
+    from ..registry import track_persist
+    from .dataset_ops import _doc_token_arrays, text_unigram_logprob
 
-    clf = _clf_margins(spark, sf_dir).select(
+    # one scan + one tokenization feeds both scorers
+    t = track_persist(_doc_token_arrays(spark, sf_dir))
+    clf = _clf_margins(spark, sf_dir, t=t).select(
         "doc_id",
         F.expr("(margin_ppm * 1000000) div n_tokens")
         .cast("bigint")
         .alias("margin_scaled"),
     )
-    lm = text_unigram_logprob(spark, sf_dir).select(
+    lm = text_unigram_logprob(spark, sf_dir, t=t).select(
         "doc_id",
         F.floor(F.col("mean_neg_logprob") * 1e4 + 0.5)
         .cast("bigint")
