@@ -176,6 +176,7 @@ HEADLINE = [
     "mix_doremi_weights",
     "u7_scd2_history",
     "quality_rank_agreement",
+    "u8_scd2_merge",
 ]
 
 

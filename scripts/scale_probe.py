@@ -123,6 +123,9 @@ HEAVY = [
     "mix_doremi_weights",
     "u7_scd2_history",
     "quality_rank_agreement",
+    # the incremental merge: bootstrap half is u7's plan, merge half
+    # exchanges only seeds + delta
+    "u8_scd2_merge",
 ]
 
 # dims copied as-is (nation/region are constant-size at any SF)

@@ -290,3 +290,127 @@ def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         to.isNull().alias("is_current"),
     )
+
+
+# The incremental cutoff: an exact integer-microsecond point 70% into
+# the [min, max] event-time range — identical on both engines, so the
+# history/delta split is reproducible anywhere.
+_SCD2_CUT_NUM = 7
+_SCD2_CUT_DEN = 10
+
+
+@query(
+    "u8_scd2_merge",
+    oracle=_SCD2_ORACLE,  # the equivalence theorem: incremental == rebuild
+    doc="Incremental SCD2 delta-merge — the production nightly job U7 "
+    "only bootstraps: split events at an exact integer-microsecond "
+    "cutoff (70% into the time range), build yesterday's history from "
+    "the old half, then MERGE the new half in WITHOUT reprocessing "
+    "old events: closed intervals pass through untouched; each user's "
+    "OPEN interval becomes a weighted seed pseudo-event (carrying its "
+    "accumulated event count and version offset) and the islands fold "
+    "re-runs over seed + delta only. The oracle is u7's rebuild SQL "
+    "over ALL events verbatim — the driver checks the merge theorem "
+    "(incremental == full rebuild) row for row. Scale shape: the "
+    "bootstrap half is one user-keyed exchange (u7's plan); the merge "
+    "half exchanges ONLY seeds + delta events — the whole point of "
+    "incremental maintenance at 100 TB. Ties break on event_id; seeds "
+    "sort first via event_id = -1 (real ids are non-negative)",
+    tags=("U8", "ext", "pipeline"),
+)
+def u8_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    rng = ev.agg(
+        F.min(us).alias("mn"), F.max(us).alias("mx")
+    )
+    cut = F.expr(f"mn + (mx - mn) * {_SCD2_CUT_NUM} div {_SCD2_CUT_DEN}")
+    tagged = ev.crossJoin(F.broadcast(rng.select(cut.alias("cut_us")))).select(
+        "user_id", "event_id", "event_type", "ts", us.alias("us"), "cut_us"
+    )
+    hist_ev = tagged.filter(F.col("us") <= F.col("cut_us"))
+    delta = tagged.filter(F.col("us") > F.col("cut_us"))
+
+    # yesterday's history: u7's islands over the old half
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = hist_ev.withColumn(
+        "_chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_ver", F.sum("_chg").over(wcum))
+    runs = flagged.groupBy("user_id", "_ver", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("_ver")
+    hist = runs.select(
+        "user_id",
+        F.col("_ver").cast("bigint").alias("version"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    )
+    closed = hist.filter(F.col("valid_to").isNotNull()).select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "n_events",
+        F.lit(False).alias("is_current"),
+    )
+    # each user's open interval -> a weighted seed pseudo-event that
+    # also carries the user's version offset (its own version - 1)
+    seeds = hist.filter(F.col("valid_to").isNull()).select(
+        "user_id",
+        F.lit(-1).cast("bigint").alias("event_id"),
+        "event_type",
+        F.col("valid_from").alias("ts"),
+        F.col("n_events").alias("weight"),
+        (F.col("version") - 1).alias("ver_off"),
+    )
+    delta_w = delta.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lit(1).cast("bigint").alias("weight"),
+        F.lit(None).cast("bigint").alias("ver_off"),
+    )
+    merged_ev = seeds.unionByName(delta_w)
+    # the re-fold sees ONLY seeds + delta — never the old events
+    mflag = merged_ev.withColumn(
+        "_chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_ver", F.sum("_chg").over(wcum))
+    # per-user version offset: the seed's, else 0 (user new in delta)
+    moff = mflag.withColumn(
+        "_off",
+        F.coalesce(
+            F.max("ver_off").over(Window.partitionBy("user_id")), F.lit(0)
+        ),
+    )
+    mruns = moff.groupBy("user_id", "_ver", "_off", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.sum("weight").cast("bigint").alias("n_events"),
+    )
+    mto = F.lead("valid_from").over(wv)
+    refolded = mruns.select(
+        "user_id",
+        (F.col("_ver") + F.col("_off")).cast("bigint").alias("version"),
+        "event_type",
+        "valid_from",
+        mto.alias("valid_to"),
+        "n_events",
+        mto.isNull().alias("is_current"),
+    )
+    return closed.unionByName(refolded)

@@ -197,6 +197,12 @@ _DRIVER_WINDOW = [
     # unchanged, mirror-swept in-repo; deferred to round 9 — the eval
     # arm stays anchored via columbia_f1_eval every round).
     "text_unigram_logprob", "text_bigram_logprob",
+    # u8_scd2_merge is NEW this round (incremental SCD2 delta-merge,
+    # oracle = u7's full-rebuild SQL: the merge theorem) —
+    # driver-checked the round it lands; displaced from the re-confirm
+    # block: j4_group_collect (r2 driver-green, code unchanged,
+    # mirror-swept in-repo; deferred to the round-9 re-confirm queue).
+    "u8_scd2_merge",
     # Round-8 rotation: the 19 TPC-H classes and the 15 other r7
     # debuts/plan-changes are all r7-driver-green with code unchanged
     # this round (still mirror-swept in-repo) — they rotate out, and
@@ -217,7 +223,7 @@ _DRIVER_WINDOW = [
     "x6_av_length_align",
     "m2_scene_change_islands",
     "f1_confidence_filter", "f4_having_greatest_avg", "f9_ordered_limit",
-    "j2_tolerance_check", "j4_group_collect", "j5_spatial_best_match",
+    "j2_tolerance_check", "j5_spatial_best_match",
     "j7_anti_equality_pair",
 ]
 

@@ -719,3 +719,13 @@ def test_rank_agreement_no_single_partition_sort(spark):
     df = q("quality_rank_agreement", spark)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_merge_refold_side_is_seed_plus_delta(spark):
+    """u8_scd2_merge: no single-partition sort anywhere, and the plan
+    carries the us <= cut / us > cut split (the merge half must filter
+    to delta, never rescan history events)."""
+    df = q("u8_scd2_merge", spark)
+    assert single_partition_sorts(df) == 0
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "cut_us" in plan
