@@ -1342,10 +1342,15 @@ def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     per = docs.join(u, "doc_id").join(b, "doc_id")
+    # per-doc grid sums in DECIMAL(38,0): sum(u4) * 100 would pass
+    # int64 around ~1e12 docs per domain, where Spark's non-ANSI sum
+    # wraps silently while DuckDB widens — the one way the two engines
+    # could diverge here. The domain MEANS are small; only the sums
+    # need headroom.
     dom = per.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs_scored"),
-        F.sum("u4").cast("bigint").alias("su"),
-        F.sum("b4").cast("bigint").alias("sb"),
+        F.sum(F.col("u4").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("b4").cast("decimal(38,0)")).alias("sb"),
     )
     ex = dom.select(
         "source",
@@ -1389,10 +1394,10 @@ per AS (
 ),
 dom AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs_scored,
-         (CAST(sum(u4) AS BIGINT) * 100) // CAST(count(*) AS BIGINT)
-           AS uni_nll_micro,
-         (CAST(sum(b4) AS BIGINT) * 100) // CAST(count(*) AS BIGINT)
-           AS bi_nll_micro
+         CAST((CAST(sum(u4) AS HUGEINT) * 100) // CAST(count(*) AS HUGEINT)
+           AS BIGINT) AS uni_nll_micro,
+         CAST((CAST(sum(b4) AS HUGEINT) * 100) // CAST(count(*) AS HUGEINT)
+           AS BIGINT) AS bi_nll_micro
   FROM per GROUP BY source
 ),
 ex AS (
@@ -1473,7 +1478,7 @@ def quality_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = d.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("s2"),
-        F.sum(F.abs("d")).cast("bigint").alias("sad"),
+        F.sum(F.abs("d").cast("decimal(38,0)")).alias("sad"),
         F.max(F.abs("d")).cast("bigint").alias("max_abs_rank_gap"),
     )
     return agg.select(
@@ -1525,7 +1530,7 @@ d AS (
 agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(d * d) AS HUGEINT) AS s2,
-         CAST(sum(abs(d)) AS BIGINT) AS sad,
+         CAST(sum(abs(d)) AS HUGEINT) AS sad,
          CAST(max(abs(d)) AS BIGINT) AS max_abs_rank_gap
   FROM d
 )
