@@ -398,3 +398,61 @@ def test_scd2_fold_batching_invariant(data):
     for a, b in zip(one_rows, one_rows[1:]):
         assert a[4] == b[3]
         assert a[1] + 1 == b[1]  # versions are consecutive
+
+
+def _run_scd2_changelog(chunks):
+    from talknet_segmentation_batchprocessing_spark.streaming.scd2 import (
+        _fold_batch_full,
+    )
+
+    state = _FakeState()
+    rows = []
+    for ch in chunks:
+        pdf = pd.DataFrame(
+            {
+                "us": [u for u, _ in ch],
+                "event_id": [u for u, _ in ch],
+                "event_type": [t for _, t in ch],
+            }
+        )
+        rows += [
+            tuple(r)
+            for out in _fold_batch_full((1,), iter([pdf]), state)
+            for r in out.itertuples(index=False)
+        ]
+    return state._v, rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_scd2_changelog_table_is_chunking_invariant(data):
+    """The changelog's EMISSIONS differ with chunking (an open row per
+    touched batch) — but keep-last-merged by (user_id, version) the
+    resulting TABLE must be identical under any chunking and equal the
+    one-pass reference history: closed rows plus the final open row.
+    This is the sink's idempotent-upsert algebra."""
+    events = data.draw(
+        _events(min_size=1, max_size=40).map(
+            lambda es: [(u, t) for u, t in es if t is not None]
+        )
+    )
+    if not events:
+        return
+    cuts = data.draw(_splits(len(events)))
+
+    def table(chunks):
+        _, rows = _run_scd2_changelog(chunks)
+        t = {}
+        for r in rows:  # r = (uid, ver, type, from, to, n)
+            t[(r[0], r[1])] = r
+        return t
+
+    one = table([events])
+    chunked = table(_chunk(events, cuts))
+    assert chunked == one
+    ref_open, ref_closed = _scd2_reference(events)
+    want = {(r[0], r[1]): r for r in ref_closed}
+    want[(1, ref_open[3])] = (
+        1, ref_open[3], ref_open[0], ref_open[1], -1, ref_open[2]
+    )
+    assert one == want

@@ -1798,3 +1798,109 @@ def test_streaming_scd2_restart_recovers_open_interval(spark, tmp_path):
     ]
     assert len(straddle) > 0
     assert len(got1) < len(got)
+
+
+def test_streaming_scd2_table_converges_to_batch_u7(spark, tmp_path):
+    """The complete streaming dimension-maintenance path: the SCD2
+    changelog (closed intervals + per-batch open-row upserts) merged
+    into a versioned parquet table keyed (user_id, version) must leave
+    the table EXACTLY equal to the batch u7_scd2_history output —
+    closed rows immutable, each user's final open row the is_current
+    row, intermediate open rows overwritten by their closing rows."""
+    import time
+
+    from talknet_segmentation_batchprocessing_spark.sources.upsert import (
+        init_table,
+        read_table,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.scd2 import (
+        OPEN_SENTINEL,
+        scd2_merge_sink,
+        streaming_scd2_changelog,
+    )
+
+    ev = load(spark, SF_CORRECT, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b0"))
+    time.sleep(1.1)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(
+        1
+    ).write.parquet(str(drop / "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop / "*"))
+    )
+    table = str(tmp_path / "dim_table")
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, version long, event_type string, "
+        "valid_from_us long, valid_to_us long, n_events long, "
+        "uid_ver string",
+    )
+    init_table(empty, table)
+    q = scd2_merge_sink(
+        streaming_scd2_changelog(stream), table, str(tmp_path / "ckpt_dim")
+    )
+    q.awaitTermination(300)
+
+    cols = ["user_id", "version", "event_type", "valid_from_us",
+            "valid_to_us", "n_events", "is_current"]
+    got = (
+        read_table(spark, table)
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            "valid_from_us",
+            F.when(
+                F.col("valid_to_us") == OPEN_SENTINEL, F.lit(None)
+            ).otherwise(F.col("valid_to_us")).alias("valid_to_us"),
+            "n_events",
+            (F.col("valid_to_us") == OPEN_SENTINEL).alias("is_current"),
+        )
+        .toPandas()[cols]
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    want = (
+        registry.REGISTRY["u7_scd2_history"]
+        .fn(spark, SF_CORRECT)
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+                "valid_from_us"
+            ),
+            F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+                "valid_to_us"
+            ),
+            "n_events",
+            "is_current",
+        )
+        .toPandas()[cols]
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    got["valid_to_us"] = got["valid_to_us"].astype("float64")
+    want["valid_to_us"] = want["valid_to_us"].astype("float64")
+    pd.testing.assert_frame_equal(got, want)
+    # the overwrite case occurred: at least one version closed in batch
+    # 2 had been written as an open row by batch 1 (its valid_from is at
+    # or before the cut, its valid_to after)
+    cut_us = int(cut * 1e6)
+    closed = got[~got["is_current"]]
+    assert (
+        (closed["valid_from_us"] <= cut_us)
+        & (closed["valid_to_us"] > cut_us)
+    ).any()
