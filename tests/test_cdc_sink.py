@@ -81,3 +81,41 @@ def test_streaming_merge_applies_batches_in_order(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert current_version(table) == 2, "replay must not re-apply batches"
+
+
+def test_scd2_sink_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (crash after merge, before checkpoint
+    commit) re-merges the same (user_id, version) keys to the same
+    values: the table content is unchanged — only the version counter
+    advances."""
+    from talknet_segmentation_batchprocessing_spark.sources.upsert import (
+        merge_into,
+    )
+
+    table = str(tmp_path / "scd2_tbl")
+    schema = (
+        "user_id long, version long, event_type string, "
+        "valid_from_us long, valid_to_us long, n_events long, "
+        "uid_ver string"
+    )
+    init_table(spark.createDataFrame([], schema), table)
+    batch = spark.createDataFrame(
+        [
+            (1, 1, "view", 100, 200, 3, "1:1"),
+            (1, 2, "click", 200, -1, 1, "1:2"),
+            (2, 1, "view", 150, -1, 5, "2:1"),
+        ],
+        schema,
+    )
+    merge_into(spark, table, batch, on="uid_ver")
+    v1 = current_version(table)
+    first = sorted(
+        tuple(r) for r in read_table(spark, table).drop("merge_action").collect()
+    )
+    merge_into(spark, table, batch, on="uid_ver")  # the replay
+    v2 = current_version(table)
+    second = sorted(
+        tuple(r) for r in read_table(spark, table).drop("merge_action").collect()
+    )
+    assert second == first
+    assert v2 == v1 + 1  # a new version was published, same content
