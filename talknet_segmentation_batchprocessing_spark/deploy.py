@@ -134,13 +134,35 @@ def _prepare_pb_shim(src_google_dir: str) -> str | None:
     return root
 
 
+def _pb_shim_roots():
+    """Candidate sys.path roots holding a usable ``google/protobuf``
+    pure-python runtime, best first: the runtime vendored INTO this
+    repo (vendor/pbshim — already namespace-fixed and carrying the
+    runtime_version stub, so it needs no preparation and no /tmp
+    state), then a shim freshly prepared from an on-image Cloud SDK
+    copy."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vendored = os.path.join(repo_root, "vendor", "pbshim")
+    if os.path.isfile(
+        os.path.join(vendored, "google", "protobuf", "descriptor.py")
+    ):
+        yield vendored
+    for src in _PB_VENDOR_SOURCES:
+        if not os.path.isdir(src):
+            continue
+        root = _prepare_pb_shim(src)
+        if root:
+            yield root
+
+
 def ensure_protobuf_runtime() -> bool:
     """Make ``google.protobuf`` importable in this process AND in
     Spark's python workers (via PYTHONPATH, so call this BEFORE the
     JVM/SparkSession starts). Prefers an installed protobuf (pip
     install protobuf==6.33.0 — the version pyspark's gencode targets);
-    falls back to shimming a vendored pure-python runtime found on the
-    image. Returns False when neither exists — callers skip-with-reason.
+    falls back to the runtime vendored in this repo (vendor/pbshim),
+    then to shimming a Cloud SDK copy found on the image. Returns
+    False when none exists — callers skip-with-reason.
     """
     global _PB_SHIM_READY
     if _PB_SHIM_READY is not None:
@@ -154,12 +176,7 @@ def ensure_protobuf_runtime() -> bool:
         pass
     import sys
 
-    for src in _PB_VENDOR_SOURCES:
-        if not os.path.isdir(src):
-            continue
-        root = _prepare_pb_shim(src)
-        if not root:
-            continue
+    for root in _pb_shim_roots():
         if root not in sys.path:
             sys.path.insert(0, root)
         env_pp = os.environ.get("PYTHONPATH", "")
@@ -173,6 +190,6 @@ def ensure_protobuf_runtime() -> bool:
             _PB_SHIM_READY = True
             return True
         except ImportError:
-            break
+            continue
     _PB_SHIM_READY = False
     return False
