@@ -18,6 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
+from ..plans.two_phase import (
+    global_cumsum,
+    global_rank,
+    one_partition_col,
+    parquet_rows,
+)
 from ..registry import REGISTRY, load, query
 
 # ---------------------------------------------------------------------------
@@ -680,11 +686,14 @@ FROM cum
     "tie correction (ties contribute 1/2), computed entirely in BIGINT "
     "pair counts so both engines agree bit-for-bit before the single "
     "final division. Shape: one groupBy(margin_ppm) collapses the "
-    "corpus to distinct margins, then a running negative-count window "
-    "over that collapsed table; at 100 TB margins are already on an "
-    "integer ppm grid, so the windowed table is bounded by the score "
-    "grid, not the corpus — the standard distributed-AUC histogram "
-    "shape. Eval-set labels drop into the is_pos slot via a join",
+    "corpus to distinct margins, then the exclusive running negative "
+    "count via plans.two_phase.global_cumsum — margin_ppm is a per-doc "
+    "sum of hash-feature weights, so distinct margins grow ~O(docs), "
+    "NOT with a fixed score grid; a bare ORDER BY window here would "
+    "serialize ~corpus-cardinality rows onto one task at 100 TB. The "
+    "two-phase form range-buckets on margin and offsets bucket-local "
+    "running sums with a broadcast prefix, identical totals. Eval-set "
+    "labels drop into the is_pos slot via a join",
     tags=("text", "eval", "audit", "ext"),
 )
 def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,11 +704,21 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
         F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).cast("bigint").alias("neg"),
     )
-    w = Window.orderBy("margin_ppm").rowsBetween(Window.unboundedPreceding, -1)
-    cum = bym.select(
+    # Exclusive prefix = inclusive running sum minus the row's own neg;
+    # distinct margins bound the frame above by #docs (parquet footers),
+    # so below the crossover the helper's sized one-partition window
+    # runs with zero extra actions and above it the bucketed two-phase
+    # form takes over.
+    cum = global_cumsum(
+        bym,
+        "margin_ppm",
+        "neg",
+        out_col="_cn_inc",
+        n_upper=parquet_rows(sf_dir, "documents"),
+    ).select(
         "pos",
         "neg",
-        F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("bigint").alias("cum_neg"),
+        (F.col("_cn_inc") - F.col("neg")).cast("bigint").alias("cum_neg"),
     )
     numer2 = F.sum(
         F.lit(2) * F.col("cum_neg") * F.col("pos") + F.col("pos") * F.col("neg")
@@ -752,20 +771,50 @@ FROM per_bin p CROSS JOIN tot t
     "margin_ppm, doc_id), per bin the positive rate, lift vs the base "
     "rate, and top-down cumulative gain — the curve a curation team "
     "reads before picking a keep threshold. All numerators are exact "
-    "BIGINT sums; divisions happen once at the end. Shape: one global "
-    "ntile window (at 100 TB: precomputed margin-quantile boundaries "
-    "from approx_percentile turn this into a broadcast range join) + "
-    "one 10-key aggregate + a 10-row gains window",
+    "BIGINT sums; divisions happen once at the end. Shape: NO global "
+    "ntile window — the global row number comes from "
+    "plans.two_phase.global_rank (range-bucketed on margin with "
+    "broadcast count offsets above the crossover) and ntile(10) is "
+    "recovered arithmetically from (rn, n): the first n%10 buckets "
+    "take ceil(n/10) rows, the rest floor(n/10), exactly ntile's "
+    "contract, with n a lazy broadcast 1-row count. Then one 10-key "
+    "aggregate + a 10-row gains window (deliberately single-partition "
+    "via one_partition_col)",
     tags=("text", "eval", "audit", "ext"),
 )
 def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lab = _clf_margins(spark, sf_dir).select(
-        "doc_id", "margin_ppm", _lbl_col().alias("is_pos")
+    from ..registry import track_persist
+
+    lab = track_persist(
+        _clf_margins(spark, sf_dir).select(
+            "doc_id", "margin_ppm", _lbl_col().alias("is_pos")
+        )
     )
-    binned = lab.select(
+    # ntile needs the exact row count n; keep it lazy as a broadcast
+    # 1-row frame (shares lab's cache with the rank pass) instead of a
+    # driver action.
+    ntot = lab.agg(F.count("*").cast("bigint").alias("_n"))
+    ranked = global_rank(
+        lab,
+        "margin_ppm",
+        ("doc_id",),
+        out_col="_rn",
+        n_upper=parquet_rows(sf_dir, "documents"),
+    )
+    # Exact ntile(10) from (rn, n): q = n div 10 and r = n % 10 — the
+    # first r buckets take q+1 rows, the rest q, which is precisely
+    # ntile's row-balanced contract (verified against the unchanged
+    # ntile(10) oracle).
+    binned = ranked.crossJoin(F.broadcast(ntot)).select(
         "margin_ppm",
         "is_pos",
-        F.ntile(10).over(Window.orderBy("margin_ppm", "doc_id")).alias("decile"),
+        F.expr(
+            "CAST(CASE WHEN _rn <= (_n % 10) * ((_n div 10) + 1)"
+            " THEN (_rn + (_n div 10)) div ((_n div 10) + 1)"
+            " ELSE (_n % 10) + ((_rn - (_n % 10) * ((_n div 10) + 1))"
+            "      + (_n div 10) - 1) div (_n div 10)"
+            " END AS INT)"
+        ).alias("decile"),
     )
     per_bin = binned.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -776,8 +825,13 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("n_total"),
         F.sum("pos").cast("bigint").alias("pos_total"),
     )
-    gains = Window.orderBy(F.col("decile").desc())
-    return per_bin.crossJoin(F.broadcast(tot)).select(
+    # 10 rows by construction: a deliberate single-partition window,
+    # partitioned on the sized one_partition_col so the plan carries a
+    # real partition spec (no WindowExec hazard warning).
+    gains = Window.partitionBy("_gp").orderBy(F.col("decile").desc())
+    return per_bin.crossJoin(F.broadcast(tot)).withColumn(
+        "_gp", one_partition_col()
+    ).select(
         "decile",
         "n_docs",
         stable_round(
@@ -1436,10 +1490,12 @@ _late_bind_mix_doremi()
     "KEEP verdicts agree, this says whether the full ORDERINGS agree. "
     "Exact-integer end to end: both scores rank on integer grids "
     "(margin_ppm*1e6 div n_tokens; the registered 1e-4 NLL grid) with "
-    "doc_id tiebreaks, d^2 sums in DECIMAL(38,0) (headroom to ~1e12 "
-    "docs), and rho lands as a rounded integer ppm via the "
-    "(2a+b) div 2b idiom — no float ever enters, so both engines agree "
-    "bit-for-bit. Scale shape: the two parents' plans + two global "
+    "doc_id tiebreaks, d^2 sums in DECIMAL(38,0), and rho lands as a "
+    "rounded integer ppm via a quotient-split of the (2a+b) div 2b "
+    "idiom (s2 = a*n + b first, so every intermediate stays under "
+    "2n^3 — exact to ~3e12 docs, where the naive 12e6*s2 product "
+    "would overflow 38 digits near ~3e10) — no float ever enters, so "
+    "both engines agree bit-for-bit. Scale shape: the two parents' plans + two global "
     "ranks (the adaptive two-phase bucket ranker — no single-partition "
     "sort above the crossover) + one doc_id equi-join + a 1-row "
     "aggregate. Single-doc corpora define rho = 1e6 (guarded on both "
@@ -1481,14 +1537,40 @@ def quality_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs("d").cast("decimal(38,0)")).alias("sad"),
         F.max(F.abs("d")).cast("bigint").alias("max_abs_rank_gap"),
     )
-    return agg.select(
+    # Quotient-split evaluation of 1e6 - round(6e6*s2 / (n(n^2-1))):
+    # s2 = a*n + b keeps every intermediate under 2n^3 (the naive
+    # 12e6*s2 form hits DECIMAL(38,0)'s ceiling near ~3e10 docs; the
+    # split is exact to ~3e12 — identity property-tested). GREATEST
+    # guards make the n<2 branch's dead intermediates NULL-free.
+    agg2 = agg.select(
+        "n_docs",
+        "sad",
+        "max_abs_rank_gap",
+        F.expr("s2 div greatest(n_docs, 1)").alias("_a"),
+        F.expr("s2 - (s2 div greatest(n_docs, 1)) * n_docs").alias("_b"),
+        F.expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1").alias("_n2m1"),
+    ).select(
+        "n_docs",
+        "sad",
+        "max_abs_rank_gap",
+        "_b",
+        F.expr("12000000 * _a + _n2m1").alias("_A"),
+        F.expr("2 * _n2m1").alias("_M"),
+    ).select(
+        "n_docs",
+        "sad",
+        "max_abs_rank_gap",
+        "_b",
+        "_M",
+        F.expr("_A div greatest(_M, 1)").alias("_qA"),
+        F.expr("_A - (_A div greatest(_M, 1)) * _M").alias("_rA"),
+    )
+    return agg2.select(
         "n_docs",
         F.expr(
             "CAST(CASE WHEN n_docs < 2 THEN 1000000 ELSE "
-            "1000000 - (12000000 * s2 "
-            "+ (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs)) "
-            "DIV (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs)) "
-            "END AS BIGINT)"
+            "1000000 - (_qA + (_rA * n_docs + 12000000 * _b) "
+            "DIV greatest(_M * n_docs, 1)) END AS BIGINT)"
         ).alias("spearman_rho_ppm"),
         F.expr("(2 * sad * 1000000 + n_docs) div (2 * n_docs)")
         .cast("bigint")
@@ -1533,17 +1615,34 @@ agg AS (
          CAST(sum(abs(d)) AS HUGEINT) AS sad,
          CAST(max(abs(d)) AS BIGINT) AS max_abs_rank_gap
   FROM d
+),
+agg2 AS (
+  SELECT n_docs, sad, max_abs_rank_gap,
+         s2 // GREATEST(n_docs, 1) AS a,
+         s2 - (s2 // GREATEST(n_docs, 1)) * n_docs AS b,
+         CAST(n_docs AS HUGEINT) * n_docs - 1 AS n2m1
+  FROM agg
+),
+agg3 AS (
+  SELECT n_docs, sad, max_abs_rank_gap, b,
+         12000000 * a + n2m1 AS A, 2 * n2m1 AS M
+  FROM agg2
+),
+agg4 AS (
+  SELECT n_docs, sad, max_abs_rank_gap, b, M,
+         A // GREATEST(M, 1) AS qA,
+         A - (A // GREATEST(M, 1)) * M AS rA
+  FROM agg3
 )
 SELECT n_docs,
        CAST(CASE WHEN n_docs < 2 THEN 1000000 ELSE
-         1000000 - (12000000 * s2
-           + (CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs))
-         // (2 * (CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs))
+         1000000 - (qA + (rA * n_docs + 12000000 * b)
+                    // GREATEST(M * n_docs, 1))
          END AS BIGINT) AS spearman_rho_ppm,
        CAST((2 * sad * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
          AS mean_abs_rank_gap_ppm,
        max_abs_rank_gap
-FROM agg
+FROM agg4
 """
 
 

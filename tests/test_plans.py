@@ -139,6 +139,10 @@ TWO_PHASE_QUERIES = [
     "quality_ensemble_vote",
     "u6_intersect",
     "text_token_fertility",
+    # round-9 additions: the last two corpus-sized global windows,
+    # rebuilt on global_cumsum / global_rank + arithmetic ntile
+    "classifier_auc_eval",
+    "classifier_decile_lift",
 ]
 
 
@@ -396,27 +400,50 @@ def test_norm_outliers_moments_broadcast(spark):
 
 
 def test_auc_eval_collapses_before_window(spark):
-    """classifier_auc_eval: the global running-negatives window must
-    sit ABOVE the margin-collapsing aggregate (cardinality = distinct
-    margins, not docs) and the whole plan stays JVM-side."""
+    """classifier_auc_eval: the running-negatives pass must sit ABOVE
+    the margin-collapsing aggregate (cardinality = distinct margins,
+    not docs), the whole plan stays JVM-side, and — since distinct
+    margins grow ~O(docs) — NO single-partition sort survives: the
+    prefix comes from global_cumsum (sized one-partition window below
+    the crossover, bucketed two-phase above)."""
     df = q("classifier_auc_eval", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
     _no_python(plan, "auc_eval")
     import re as _re
 
     assert len(_re.findall(r"documents\.parquet", plan)) <= 1
-    # the one ordered window is fed by the margin_ppm aggregate, so a
-    # single-partition sort over the collapsed table is the intended
-    # bounded-cardinality shape (scores live on an integer ppm grid)
-    assert single_partition_sorts(df) <= 1
+    assert single_partition_sorts(df) == 0
 
 
 def test_decile_lift_totals_broadcast(spark):
     """classifier_decile_lift: the 1-row totals frame broadcasts; one
-    documents scan feeds both the ntile and the gains windows."""
+    documents scan feeds both the rank and the gains passes."""
     df = q("classifier_decile_lift", spark)
     assert_broadcast_join(df)
     _no_python(df._jdf.queryExecution().executedPlan().toString(), "decile_lift")
+
+
+@pytest.mark.parametrize(
+    "name", ["classifier_auc_eval", "classifier_decile_lift"]
+)
+def test_classifier_eval_two_phase_forced_parity(name, spark):
+    """The adaptive one-phase result (what the oracle gate checks at
+    test SF) and the forced two-phase result (what actually runs above
+    the crossover) must be row-identical — this pins the arithmetic
+    ntile reconstruction and the exclusive-prefix rewrite on the shape
+    a 100 TB corpus would execute."""
+    from talknet_segmentation_batchprocessing_spark.plans import two_phase
+    from talknet_segmentation_batchprocessing_spark.registry import release_persisted
+
+    base = sorted(map(tuple, q(name, spark).collect()))
+    old = two_phase.CROSSOVER_ROWS
+    two_phase.CROSSOVER_ROWS = 0
+    try:
+        forced = sorted(map(tuple, q(name, spark).collect()))
+    finally:
+        two_phase.CROSSOVER_ROWS = old
+        release_persisted()
+    assert forced == base
 
 
 def test_covariance_gram_batches_then_tiny_agg(spark):
@@ -728,4 +755,10 @@ def test_scd2_merge_refold_side_is_seed_plus_delta(spark):
     df = q("u8_scd2_merge", spark)
     assert single_partition_sorts(df) == 0
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "cut_us" in plan
+    # both sides of the cut must survive optimization as event-scan
+    # predicates: the seed half reads only us <= cut, the merge half
+    # only us > cut — a plan that lost either would rescan all history
+    # events on the merge side and still contain the substring
+    # "cut_us", which is why the weaker assert was insufficient
+    assert "<= cut_us" in plan, "seed side lost its us <= cut predicate"
+    assert "> cut_us" in plan, "merge side lost its us > cut predicate"
