@@ -94,8 +94,13 @@ def streaming_scd2(event_stream: DataFrame) -> DataFrame:
 # dimension-maintenance story
 # ---------------------------------------------------------------------------
 
-OPEN_SENTINEL = -1  # valid_to_us of a still-open interval (Arrow-safe:
-# a nullable long with per-row None degrades to float64 through pandas)
+# valid_to_us of a still-open interval. Arrow-safe: a nullable long
+# with per-row None degrades to float64 through pandas, so the open
+# row carries a sentinel instead of NULL. Long.MIN_VALUE sits outside
+# any representable unix_micros timestamp (including pre-1970, where
+# unix_micros is legitimately negative — -1 would collide with an
+# interval closed at 1969-12-31T23:59:59.999999).
+OPEN_SENTINEL = -(2**63)
 
 
 def _fold_batch_full(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

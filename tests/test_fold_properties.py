@@ -452,7 +452,41 @@ def test_scd2_changelog_table_is_chunking_invariant(data):
     assert chunked == one
     ref_open, ref_closed = _scd2_reference(events)
     want = {(r[0], r[1]): r for r in ref_closed}
+    from talknet_segmentation_batchprocessing_spark.streaming.scd2 import (
+        OPEN_SENTINEL,
+    )
+
     want[(1, ref_open[3])] = (
-        1, ref_open[3], ref_open[0], ref_open[1], -1, ref_open[2]
+        1, ref_open[3], ref_open[0], ref_open[1], OPEN_SENTINEL, ref_open[2]
     )
     assert one == want
+
+
+# ---------------------------------------------------------------------------
+# quality_rank_agreement: the quotient-split Spearman-rho evaluation
+# ---------------------------------------------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=400, deadline=None)
+def test_spearman_quotient_split_identity(data):
+    """The overflow-safe quotient-split form of
+    1e6 - round_half_up(6e6 * s2 / (n(n^2-1))) used by
+    quality_rank_agreement (both engines) equals the naive product
+    form for every (n, s2) in the valid Spearman domain, including the
+    ~3e12-doc range where the naive 12e6*s2 product would no longer
+    fit DECIMAL(38,0) — and every split intermediate stays under 38
+    digits there."""
+    n = data.draw(st.integers(min_value=2, max_value=3 * 10**12))
+    s2 = data.draw(st.integers(min_value=0, max_value=(n**3 - n) // 3))
+    D = n * (n * n - 1)
+    naive = 1000000 - (12000000 * s2 + D) // (2 * D)
+    a, b = divmod(s2, n)
+    n2m1 = n * n - 1
+    A = 12000000 * a + n2m1
+    M = 2 * n2m1
+    qA, rA = divmod(A, M)
+    split = 1000000 - (qA + (rA * n + 12000000 * b) // (M * n))
+    assert split == naive
+    for x in (A, M, rA * n + 12000000 * b, M * n):
+        assert x < 10**38
