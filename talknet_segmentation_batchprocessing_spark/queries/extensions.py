@@ -13,6 +13,8 @@ production shape: a per-row hash feeding the affine minhash family.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1229,6 +1231,80 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", stable_round("cs", 4).alias("cos_sim"), "rank")
     )
+
+
+def _ivf_disk_index_path(sf_dir: str) -> str:
+    """Per-(sf_dir, data-fingerprint) index location under the temp
+    root: the fingerprint folds in the embeddings parquet's mtime+size
+    so a regenerated testdata tree gets a fresh index instead of a
+    stale one."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(src):
+            parts = sorted(
+                (f, os.path.getmtime(os.path.join(r, f)), os.path.getsize(os.path.join(r, f)))
+                for r, _d, fs in os.walk(src)
+                for f in fs
+            )
+            sig = str(parts)
+        else:
+            sig = f"{os.path.getmtime(src):.0f}_{os.path.getsize(src)}"
+    except OSError:
+        sig = "na"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{sig}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+
+
+@query(
+    "sim_ivf_disk_topk",
+    oracle=None,  # late-bound below: identical contract to sim_ivf_topk
+    doc="ANN scale path #2b: the IVF index ON DISK "
+    "(sources/ivf_index.py) — vectors parquet-partitioned by their "
+    "coarse-quantizer list id, built once per dataset fingerprint and "
+    "amortized over every query batch (the pay-once index posture; "
+    "the build-if-absent check is a filesystem stat). A search "
+    "probing nprobe lists resolves its cent_id IN (...) filter at "
+    "planning time, so the other K - nprobe list directories are "
+    "never opened (PartitionFilters in the scan — plan-asserted in "
+    "tests/test_ivf_index.py). Same centroids, probe tie-breaks, "
+    "exact-fold cosine and rounding as sim_ivf_topk, so the two "
+    "queries return identical rows and share one oracle",
+    tags=("similarity", "ext"),
+)
+def sim_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ivf_index import build_ivf_index, search_ivf_index
+
+    path = _ivf_disk_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "vectors", "_SUCCESS")):
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        build_ivf_index(emb, path)
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    return search_ivf_index(
+        spark, path, queries, k=3, nprobe=_IVF_NPROBE
+    )
+
+
+def _late_bind_ivf_disk_oracle() -> None:
+    from ..registry import REGISTRY
+
+    REGISTRY["sim_ivf_disk_topk"].oracle = REGISTRY["sim_ivf_topk"].oracle
+
+
+_late_bind_ivf_disk_oracle()
 
 
 _BAL_PPM = 1_000_000  # keep-rate resolution: parts per million
@@ -2963,13 +3039,25 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    # k seeds: global top-k by hash = TakeOrderedAndProject (k tiny)
+    # k seeds: global top-k by hash = TakeOrderedAndProject (k tiny);
+    # the row_number over the k survivors is a deliberate
+    # single-partition window, sized by the limit — partition on the
+    # non-foldable all-zero column so the plan keeps a real partition
+    # spec (no WindowExec hazard warning)
+    from ..plans.two_phase import one_partition_col
+
     seeds = (
         q.withColumn("_h", h)
         .orderBy("_h", "vec_id")
         .limit(_KM_K)
+        .withColumn("_sp", one_partition_col())
         .select(
-            (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1)
+            (
+                F.row_number().over(
+                    Window.partitionBy("_sp").orderBy("_h", "vec_id")
+                )
+                - 1
+            )
             .cast("bigint")
             .alias("k"),
             F.col("qv").alias("cm"),

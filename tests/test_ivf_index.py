@@ -103,3 +103,39 @@ def test_search_prunes_unprobed_lists(spark, index_path):
     probed = set(re.findall(r"cent_id#\d+ IN? ?\(?([0-9,]+)", plan))
     assert n_lists >= 2  # layout sanity; the IN-list is the filter
     assert out.count() > 0
+
+
+def test_registered_disk_query_matches_and_prunes(spark):
+    """sim_ivf_disk_topk (round 9): the REGISTERED query drives the
+    on-disk layout end to end — build-if-absent into the fingerprinted
+    temp path, search, identical rows to sim_ivf_topk (they share one
+    oracle), and the executed plan's vector scan carries a cent_id
+    partition filter (only the probed lists are read)."""
+    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+        _ivf_disk_index_path,
+        sim_ivf_disk_topk,
+        sim_ivf_topk,
+    )
+
+    out = sim_ivf_disk_topk(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "empty partition filter: no pruning"
+
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r)
+        for r in sim_ivf_topk(spark, SF_SMOKE)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # second invocation hits the already-built index (build-if-absent)
+    idx = _ivf_disk_index_path(SF_SMOKE)
+    assert os.path.exists(os.path.join(idx, "vectors", "_SUCCESS"))
+    again = sorted(tuple(r) for r in sim_ivf_disk_topk(spark, SF_SMOKE).collect())
+    assert again == got
