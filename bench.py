@@ -22,162 +22,99 @@ import time
 from talknet_segmentation_batchprocessing_spark import registry
 from talknet_segmentation_batchprocessing_spark.session import get_spark
 
-# Headline set: the flagship segmentation pipeline, the heaviest
-# relational cores (windows, theta join, AP), and the scale-path
-# extension operators (dedup / similarity / text).
-HEADLINE = [
-    "w1_speaking_segments",
-    "pipeline_scores_to_segments",
-    "q1_pricing_summary",
-    "a6_average_precision",
-    "ava_map_eval",
-    "columbia_f1_eval",
-    "j1_equijoin_ranked",
-    "j5_spatial_best_match",
-    "w4_linear_interpolation",
-    "w3_windowed_median",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "text_quality_score",
-    "contamination_ngram",
-    "sample_bernoulli_hash",
-    "w10_sessionize",
-    "j9_asof_join",
-    "emb_pq_codes",
-    "u2_union_modulo_split",
-    "x3_crop_geometry",
-    "j6_greedy_tracking",
-    "dedup_cc_star",
-    "sim_pq_topk",
-    "text_tfidf_topk",
-    "split_train_val_test",
-    "multimodal_frame_sample",
-    "w11_sliding_window",
-    "dedup_keep_canonical",
-    "text_sentence_stats",
-    "emb_dim_stats",
-    "text_bigram_topk",
-    "ts_sax_similarity",
-    "doc_chunk_overlap",
-    "dedup_incremental",
-    "emb_cluster_balance",
-    "shuffle_shard_assign",
-    "sketch_hll_distinct",
-    "curation_pipeline",
-    "sketch_kmv_distinct",
-    "sketch_quantile_sampled",
-    "x21_zorder_value",
-    "u5_merge_upsert",
-    "w12_funnel_steps",
-    "dedup_char_ngram",
-    "j10_interval_join",
-    "agg_time_rollup",
-    "graph_triangle_count",
-    "w14_cohort_retention",
-    "sample_weighted_hash",
-    "sim_recall_eval",
-    "text_langid_confusion",
-    "dedup_semantic_keep",
-    "dedup_exact_substring",
-    "dedup_semantic_keep_lsh",
-    "sketch_countmin_topk",
-    "w15_event_pattern",
-    "dedup_containment",
-    "dedup_keep_lsh_recall",
-    "graph_pagerank",
-    "dedup_keep_canonical_lsh",
-    "contamination_bloom",
-    "sketch_kmv_setops",
-    "sketch_hll_merge",
-    "text_gopher_rules",
-    "text_perplexity_bucket",
-    "dedup_cluster_stats",
-    "pack_token_sequences",
-    "dedup_line_corpus",
-    "talkset_generate",
-    "dedup_edit_distance",
-    "bpe_merge_step",
-    "emb_kmeans_assign",
-    "basket_pair_lift",
-    "events_anomaly_mad",
-    "text_bigram_logprob",
-    "sim_maxsim_groups",
-    "sim_hard_negatives",
-    "w16_ohlc_candles",
-    "mix_temperature_sampling",
-    "curation_rule_attribution",
-    "emb_matryoshka_recall",
-    "dataset_card_stats",
-    "dedup_threshold_sweep",
-    "w17_rate_limit",
-    "w18_ema_decay",
-    "text_classifier_score",
-    "shard_balance_audit",
-    "sim_knn_graph_lsh",
-    "w19_forward_fill",
-    "w20_conversion_latency",
-    "emb_norm_outliers",
-    "classifier_auc_eval",
-    "classifier_decile_lift",
-    "emb_covariance_pairs",
-    "emb_pca_power",
-    "w21_attribution_linear",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "w22_markov_transitions",
-    "sim_rrf_fusion",
-    # round-7 TPC-H postures (queries/tpch.py): the scan-agg,
-    # semi-join, snowflake, topk-join, and double-agg classes
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    # round-7 second wave: the derived-partsupp TPC-H family — q9 is
-    # the compound-key fact-fact join, the heaviest TPC-H posture
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_shipping_modes",
-    "q16_supplier_part_count",
-    "q20_dominant_suppliers",
-    # round-7 debuts
-    "contamination_semantic",
-    "dedup_keep_quota",
-    "classifier_calibration_bins",
-    "dsir_importance_weights",
-    "w23_rfm_segments",
-    "doc_ngram_novelty",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_recall",
-    "w24_active_users",
-    # round-8 debuts: index-backed variants of the exact-pass
-    # similarity queries
-    "sim_hard_negatives_ann",
-    "contamination_semantic_ann",
-    "bpe_vocab_train",
-    "bpe_encode_corpus",
-    "sim_hard_negatives_recall",
-    "contamination_semantic_agreement",
-    # round-8 second wave: DoReMi domain reweighting, the SCD2
-    # dimension-history build, and the Spearman score-agreement audit
-    "mix_doremi_weights",
-    "u7_scd2_history",
-    "quality_rank_agreement",
-    "u8_scd2_merge",
-]
+# Headline set: auto-derived from the registry so every new round's
+# debuts are benched by DEFAULT — a query only escapes the bench by
+# being named in BENCH_EXCLUDED below with the documented rule.
+#
+# Exclusion rule: micro scalar / filter / projection / tiny-aggregate
+# queries whose sf0.1 wall time is dominated by session fixed cost
+# (< ~100 ms of actual plan work) — benching them measures the
+# harness, not the engine. Everything else (anything with a shuffle,
+# a window, a UDF stage, or a join of two non-broadcast sides) stays.
+BENCH_EXCLUDED = frozenset([
+    "w6_nms_greedy",
+    "curation_dsir_vs_rules",
+    "text_unigram_logprob",
+    "ext_rollup",
+    "ext_cube",
+    "ext_pivot",
+    "text_langid",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "w2_centered_smoothing",
+    "w5_top1_per_group",
+    "w6_topk_candidates",
+    "w8_global_sort_limit",
+    "w9_tumbling_clips",
+    "u3_except",
+    "u4_explode_duration_set",
+    "x1_iou_arithmetic",
+    "x2_box_center_size",
+    "x6_av_length_align",
+    "m2_scene_change_islands",
+    "f1_confidence_filter",
+    "f4_having_greatest_avg",
+    "f9_ordered_limit",
+    "j2_tolerance_check",
+    "j7_anti_equality_pair",
+    "w7_batch_packing",
+    "u1_union_all",
+    "ext_semi_anti_join",
+    "ext_grouping_sets",
+    "u6_intersect",
+    "x10_frame_seconds",
+    "x11_json_parse",
+    "x12_uid_concat",
+    "x13_string_parsing",
+    "x7_wrap_pad_array",
+    "x19_json_field_stats",
+    "x17_timecode",
+    "x20_variant_json",
+    "w1_udtf_runs",
+    "f2_arithmetic_filter",
+    "f3_having_count",
+    "f7_isin_filter",
+    "f8_range_filter",
+    "f10_least_cap",
+    "f11_project_rename",
+    "j3_surrogate_equijoin",
+    "j4_group_collect",
+    "j8_length_constrained_pick",
+    "a1_ensemble_round_avg",
+    "a3_counts",
+    "a4_conditional_count",
+    "a5_per_speaker_f1",
+    "a7_extent_minmax_first",
+    "a8_distinct",
+    "a9_energy_db",
+    "ext_unpivot",
+    "agg_salted_hot_keys",
+    "x15_softmax_argmax",
+    "dedup_exact",
+    "dedup_cc_clusters",
+    "dedup_cc_labelprop",
+    "sim_lsh_bucketed",
+    "text_vocab_topk",
+    "emb_quantize_int8",
+    "text_repetition_filter",
+    "text_token_fertility",
+    "sample_stratified",
+    "mix_domain_weights",
+    "doc_length_histogram",
+    "text_normalize",
+    "text_pii_scrub",
+    "doc_char_entropy",
+    "sample_weighted_reservoir",
+    "quality_ensemble_vote",
+])
+
+
+def _headline() -> list[str]:
+    registry._ensure_loaded()
+    missing = BENCH_EXCLUDED - set(registry.REGISTRY)
+    assert not missing, f"BENCH_EXCLUDED names unknown queries: {missing}"
+    return [n for n in registry.REGISTRY if n not in BENCH_EXCLUDED]
 
 
 def main() -> None:
@@ -187,6 +124,7 @@ def main() -> None:
 
     spark = get_spark(app_name="talknet-segmentation-bench")
     registry._ensure_loaded()
+    headline = _headline()
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT/IO noise.
@@ -213,7 +151,7 @@ def main() -> None:
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
     for _ in range(3):
-        for name in HEADLINE:
+        for name in headline:
             spec = registry.REGISTRY.get(name)
             if spec is None:
                 continue
