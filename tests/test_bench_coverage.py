@@ -1,0 +1,51 @@
+"""bench.py coverage rule (round-9 verdict ask #7): the headline set
+is derived registry-minus-exclusions, so every new round's debuts are
+benched by default — these guards keep that property true."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from talknet_segmentation_batchprocessing_spark import registry
+
+
+def _bench():
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_headline_is_registry_minus_exclusions():
+    bench = _bench()
+    registry._ensure_loaded()
+    names = set(registry.REGISTRY)
+    headline = bench._headline()
+    assert set(headline) | bench.BENCH_EXCLUDED == names
+    assert not (set(headline) & bench.BENCH_EXCLUDED)
+    # order is deterministic (registry insertion order)
+    assert headline == [n for n in registry.REGISTRY if n not in bench.BENCH_EXCLUDED]
+
+
+def test_excluded_names_all_exist():
+    """A renamed or deleted query must not leave a stale exclusion
+    that would silently re-admit nothing / mask a typo for a new one."""
+    bench = _bench()
+    registry._ensure_loaded()
+    missing = bench.BENCH_EXCLUDED - set(registry.REGISTRY)
+    assert not missing
+
+
+def test_flagships_never_excluded():
+    bench = _bench()
+    for name in (
+        "w1_speaking_segments",
+        "q1_pricing_summary",
+        "mix_doremi_weights",
+        "sim_ivf_disk_topk",
+        "classifier_decile_lift",
+        "classifier_auc_eval",
+    ):
+        assert name not in bench.BENCH_EXCLUDED
