@@ -1298,10 +1298,71 @@ def sim_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivf_disk_merge",
+    oracle=None,  # late-bound below: the full-rebuild contract
+    doc="Incremental ANN index maintenance — the daily-crawl posture "
+    "for the on-disk IVF index (FAISS IndexIVF.add): the index is "
+    "seeded from the first half of the corpus (which contains the "
+    "whole bounded k-means training sample, so the centroids are "
+    "frozen exactly as a production index's are when new data "
+    "arrives), then the remaining vectors are APPENDED to their list "
+    "partitions against the stored centroids — no reclustering, no "
+    "rewrite of existing lists, the dedup_incremental / u8_scd2_merge "
+    "maintenance pattern applied to the vector index. Because the "
+    "training sample is contained in the seed, seed-build + "
+    "delta-append must equal a full rebuild bit for bit, so the query "
+    "searches the MERGED index and is checked against the same "
+    "full-corpus oracle as sim_ivf_topk — incremental == rebuild, "
+    "verified row for row",
+    tags=("similarity", "ext"),
+)
+def sim_ivf_disk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..plans.two_phase import parquet_rows
+    from ..sources.ivf_index import (
+        append_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    path = _ivf_disk_index_path(sf_dir) + "_merged"
+    marker = os.path.join(path, "_MERGED")
+    if not os.path.exists(marker):
+        # a dir without the end-to-end marker is a partial build/append
+        shutil.rmtree(path, ignore_errors=True)
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        n = parquet_rows(sf_dir, "embeddings")
+        if n is None:
+            n = emb.count()
+        # the cut must keep the whole k-means sample in the seed so the
+        # frozen centroids equal a full rebuild's
+        cut = max(_IVF_SAMPLE, n // 2)
+        build_ivf_index(emb.filter(F.col("vec_id") < cut), path)
+        append_ivf_index(emb.filter(F.col("vec_id") >= cut), path)
+        with open(marker, "w") as f:
+            f.write(str(cut))
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    return search_ivf_index(spark, path, queries, k=3, nprobe=_IVF_NPROBE)
+
+
 def _late_bind_ivf_disk_oracle() -> None:
     from ..registry import REGISTRY
 
     REGISTRY["sim_ivf_disk_topk"].oracle = REGISTRY["sim_ivf_topk"].oracle
+    # incremental == rebuild: the merged index must answer exactly like
+    # a full-corpus build, which is what sim_ivf_topk's oracle computes
+    REGISTRY["sim_ivf_disk_merge"].oracle = REGISTRY["sim_ivf_topk"].oracle
 
 
 _late_bind_ivf_disk_oracle()

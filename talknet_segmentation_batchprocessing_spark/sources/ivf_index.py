@@ -65,6 +65,46 @@ def build_ivf_index(emb: DataFrame, out_path: str) -> int:
     return cent.count()
 
 
+def append_ivf_index(emb_delta: DataFrame, index_path: str) -> None:
+    """Incremental index maintenance (the FAISS ``IndexIVF.add``
+    posture): assign a delta batch of (vec_id, v) vectors to the
+    EXISTING stored centroids — no reclustering, no rewrite of
+    existing lists — and append them into their list partitions.
+    Existing files are immutable; a crashed append leaves orphan
+    part-files in otherwise-valid lists, which a re-run overwrites at
+    the caller's build-marker granularity.
+
+    The assignment expression, tie-break, and partition layout are
+    byte-identical to :func:`build_ivf_index`, so seed-build + append
+    equals a full rebuild whenever the centroid training sample is
+    contained in the seed — the convergence contract
+    ``sim_ivf_disk_merge`` checks against the full-rebuild oracle.
+    """
+    from ..queries.extensions import _DOT_VC_SPARK, _NORM_CV_SPARK, _NORM_SPARK
+
+    spark = emb_delta.sparkSession
+    cent = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .withColumn("cn", F.expr(_NORM_CV_SPARK))
+    )
+    e = emb_delta.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
+    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    (
+        assign.repartition("cent_id")
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(os.path.join(index_path, "vectors"))
+    )
+
+
 def search_ivf_index(
     spark: SparkSession,
     index_path: str,

@@ -139,3 +139,65 @@ def test_registered_disk_query_matches_and_prunes(spark):
     assert os.path.exists(os.path.join(idx, "vectors", "_SUCCESS"))
     again = sorted(tuple(r) for r in sim_ivf_disk_topk(spark, SF_SMOKE).collect())
     assert again == got
+
+
+def test_incremental_merge_equals_rebuild_without_rewriting_seed(spark, tmp_path):
+    """append_ivf_index (round 9): seed-build + delta-append returns
+    sim_ivf_topk's exact rows (the training sample lives in the seed,
+    so centroids are frozen identically to a full rebuild), and the
+    append only ADDS files — every seed-era data file survives
+    byte-identical (no list rewrite, the FAISS IndexIVF.add contract)."""
+    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+        sim_ivf_topk,
+    )
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        append_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "merged_index")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path)
+
+    def _files():
+        out = {}
+        vec_root = os.path.join(path, "vectors")
+        for root, _dirs, files in os.walk(vec_root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, vec_root)] = os.path.getsize(p)
+        return out
+
+    before = _files()
+    append_ivf_index(emb.filter(F.col("vec_id") >= cut), path)
+    after = _files()
+    assert set(before) <= set(after), "append must never delete seed files"
+    for rel, size in before.items():
+        assert after[rel] == size, f"append rewrote seed file {rel}"
+    assert len(after) > len(before), "the delta landed as new files"
+
+    queries = (
+        load(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in search_ivf_index(spark, path, queries, k=3, nprobe=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim_ivf_topk(spark, SF_SMOKE)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .collect()
+    )
+    assert got == want and len(got) > 0
