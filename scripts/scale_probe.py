@@ -136,6 +136,9 @@ HEAVY = [
     # amortized build-once/search-many posture the query documents)
     "classifier_decile_lift",
     "sim_ivf_disk_topk",
+    # incremental index maintenance: seed-build + delta-append, then
+    # search — min-of-2 measures the amortized search like its sibling
+    "sim_ivf_disk_merge",
 ]
 
 # dims copied as-is (nation/region are constant-size at any SF)
@@ -243,8 +246,10 @@ def main() -> int:
     # the existing curve (the batch sweep is ~25 min; don't repeat it
     # to refresh one entry)
     heavy = HEAVY
-    if "--scd2-only" in sys.argv:
+    if "--scd2-only" in sys.argv or "--only" in sys.argv:
         heavy = []
+        if "--only" in sys.argv:
+            heavy = sys.argv[sys.argv.index("--only") + 1].split(",")
         try:
             with open(out_path) as f:
                 curve = json.load(f).get("queries", {})
@@ -288,6 +293,8 @@ def main() -> int:
         streaming_scd2_changelog,
     )
 
+    # targeted --only reruns keep the existing streaming entry
+    run_scd2 = "--only" not in sys.argv
     try:
         from talknet_segmentation_batchprocessing_spark.sources.upsert import (  # noqa: E402
             init_table,
@@ -295,6 +302,8 @@ def main() -> int:
 
         times = {}
         for label, sf_dir in (("sf0.1", SF_SMALL), ("sf1", SF_BIG)):
+            if not run_scd2:
+                break
             work = _tf.mkdtemp(prefix=f"scd2_sink_probe_{label}_")
             src = os.path.join(sf_dir, "events.parquet")
             # the file stream source needs a DIRECTORY; the testdata
@@ -328,12 +337,13 @@ def main() -> int:
             q.awaitTermination()
             times[label] = round(time.perf_counter() - t0, 3)
             _sh.rmtree(work, ignore_errors=True)
-        ratio = round(times["sf1"] / times["sf0.1"], 2)
-        curve["streaming_scd2_sink"] = {**times, "ratio_10x_rows": ratio}
-        print(
-            f"  streaming_scd2_sink: {times['sf0.1']}s -> {times['sf1']}s"
-            f"  ({ratio}x)"
-        )
+        if run_scd2:
+            ratio = round(times["sf1"] / times["sf0.1"], 2)
+            curve["streaming_scd2_sink"] = {**times, "ratio_10x_rows": ratio}
+            print(
+                f"  streaming_scd2_sink: {times['sf0.1']}s -> {times['sf1']}s"
+                f"  ({ratio}x)"
+            )
     except Exception as exc:  # never lose the batch curve to this probe
         curve["streaming_scd2_sink"] = {"error": str(exc)[:300]}
         print(f"  streaming_scd2_sink FAILED: {exc}")
