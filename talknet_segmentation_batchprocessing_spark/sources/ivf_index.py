@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def build_ivf_index(emb: DataFrame, out_path: str) -> int:
+def build_ivf_index(emb: DataFrame, out_path: str, batch_id: int | None = None) -> int:
     """(vec_id, v) frame -> on-disk IVF index at ``out_path``:
     ``centroids/`` (K rows) + ``vectors/`` partitioned by cent_id.
     Returns the number of lists written.
@@ -34,6 +34,13 @@ def build_ivf_index(emb: DataFrame, out_path: str) -> int:
     sampled-k-means centroids, ties to the lowest cent_id. The write
     repartitions by cent_id first so each list lands as one file per
     shuffle partition, not one file per (input partition x list).
+
+    ``batch_id`` (streaming-ingest layout): when set, vectors land
+    under (cent_id, batch_id) two-level partitions so later streaming
+    appends can overwrite exactly their own batch partition on replay;
+    the seed conventionally takes batch_id=-1 (micro-batch epochs
+    start at 0). cent_id stays the OUTER level, so probe-time
+    partition pruning is unchanged.
     """
     from ..queries.extensions import (
         _DOT_VC_SPARK,
@@ -56,16 +63,22 @@ def build_ivf_index(emb: DataFrame, out_path: str) -> int:
     cent.select("cent_id", "cv").write.mode("overwrite").parquet(
         os.path.join(out_path, "centroids")
     )
+    parts = ["cent_id"]
+    if batch_id is not None:
+        assign = assign.withColumn("batch_id", F.lit(int(batch_id)))
+        parts.append("batch_id")
     (
         assign.repartition("cent_id")
         .write.mode("overwrite")
-        .partitionBy("cent_id")
+        .partitionBy(*parts)
         .parquet(os.path.join(out_path, "vectors"))
     )
     return cent.count()
 
 
-def append_ivf_index(emb_delta: DataFrame, index_path: str) -> None:
+def append_ivf_index(
+    emb_delta: DataFrame, index_path: str, batch_id: int | None = None
+) -> None:
     """Incremental index maintenance (the FAISS ``IndexIVF.add``
     posture): assign a delta batch of (vec_id, v) vectors to the
     EXISTING stored centroids — no reclustering, no rewrite of
@@ -79,6 +92,13 @@ def append_ivf_index(emb_delta: DataFrame, index_path: str) -> None:
     equals a full rebuild whenever the centroid training sample is
     contained in the seed — the convergence contract
     ``sim_ivf_disk_merge`` checks against the full-rebuild oracle.
+
+    ``batch_id`` (streaming ingest): when set, the delta lands under
+    its own (cent_id, batch_id=N) partitions via DYNAMIC partition
+    overwrite — a replayed micro-batch (crash after write, before the
+    checkpoint commit) rewrites exactly its own partitions to the same
+    content, so the streaming sink is idempotent; batches never touch
+    each other's or the seed's (batch_id=-1) partitions.
     """
     from ..queries.extensions import _DOT_VC_SPARK, _NORM_CV_SPARK, _NORM_SPARK
 
@@ -97,12 +117,22 @@ def append_ivf_index(emb_delta: DataFrame, index_path: str) -> None:
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "cent_id")
     )
-    (
-        assign.repartition("cent_id")
-        .write.mode("append")
-        .partitionBy("cent_id")
-        .parquet(os.path.join(index_path, "vectors"))
-    )
+    if batch_id is None:
+        (
+            assign.repartition("cent_id")
+            .write.mode("append")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(index_path, "vectors"))
+        )
+    else:
+        (
+            assign.withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition("cent_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cent_id", "batch_id")
+            .parquet(os.path.join(index_path, "vectors"))
+        )
 
 
 def search_ivf_index(

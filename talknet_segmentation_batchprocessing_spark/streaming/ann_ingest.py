@@ -1,0 +1,46 @@
+"""Streaming ANN index ingest: continuous embedding arrival into the
+on-disk IVF index (sources/ivf_index.py).
+
+The production shape this re-expresses: a crawl keeps producing new
+documents whose embeddings must become searchable without rebuilding
+the index — FAISS's IndexIVF.add driven by Structured Streaming. The
+coarse quantizer is FROZEN at seed time (its training sample predates
+the stream by construction), so each micro-batch is pure assignment +
+list append: embarrassingly parallel against broadcast centroids, no
+state store needed.
+
+Crash discipline (the cdc_sink pattern): each micro-batch lands under
+its own ``batch_id`` partition level via dynamic partition overwrite,
+so a batch replayed after a crash-between-write-and-commit rewrites
+exactly its own partitions to the same content — the index converges
+to the batch-built one under any chunking or replay
+(tests/test_ann_ingest.py pins stream-ingested == full rebuild).
+cent_id stays the outer partition level, so probe-time pruning is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ann_index_sink(vectors: DataFrame, index_path: str, checkpoint_dir: str):
+    """Start an availableNow foreachBatch query appending each
+    micro-batch of (vec_id, v) vectors into the IVF index at
+    ``index_path`` (seeded beforehand with
+    ``build_ivf_index(..., batch_id=-1)`` — micro-batch epochs start
+    at 0, so the seed partition can never collide). Returns the
+    StreamingQuery."""
+    from ..sources.ivf_index import append_ivf_index
+
+    def _apply(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        append_ivf_index(batch, index_path, batch_id=int(bid))
+
+    return (
+        vectors.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
