@@ -145,86 +145,50 @@ _LOADED = False
 # registered query has at least one driver-green row; rotation debt
 # stays zero.
 _DRIVER_WINDOW = [
-    # anchors: flagship + e2e + eval arm + kernels (checked every round)
+    # Round-9 allocation. anchors: flagship + e2e + eval arm + kernels
+    # (checked every round)
     "w1_speaking_segments", "pipeline_scores_to_segments",
     "q1_pricing_summary", "ava_map_eval", "columbia_f1_eval",
     "j6_greedy_tracking", "w6_nms_greedy",
-    # Round-8 debuts — driver-checked the round they land: the
-    # index-backed ANN variants of the last two exact-pass similarity
-    # queries (VERDICT r7 ask #1) and the multi-merge BPE vocabulary
-    # trainer (ask #5).
-    "sim_hard_negatives_ann", "contamination_semantic_ann",
-    "bpe_vocab_train",
-    # bpe_encode_corpus is NEW this round (the apply side of the
-    # trained vocabulary) — driver-checked the round it lands;
-    # displaced from the re-confirm block: x11_json_parse (r2
-    # driver-green, code unchanged, mirror-swept in-repo; deferred to
-    # the round-9 re-confirm queue)
-    "bpe_encode_corpus",
-    # the two ANN pricing audits are NEW this round (recall@k /
-    # verdict-agreement of the index-backed variants vs their exact
-    # parents, the sim_ivfpq_recall pattern) — driver-checked the
-    # round they land; displaced from the re-confirm block:
-    # x13_string_parsing and x7_wrap_pad_array (both r2 driver-green,
-    # code unchanged, mirror-swept in-repo; deferred to round 9)
-    "sim_hard_negatives_recall", "contamination_semantic_agreement",
-    # Plan changed this round: agreement_ppm gained the n_docs=0 guard
-    # on BOTH engines (ADVICE r7) — must be re-checked the round its
-    # expression changes.
-    "curation_dsir_vs_rules",
-    # mix_doremi_weights, u7_scd2_history and quality_rank_agreement
-    # are NEW this round (DoReMi one-step domain reweighting composed
-    # from the two registered corpus-LM oracles; the SCD2
-    # dimension-history build; Spearman rank agreement between the
-    # classifier and LM quality scores) — driver-checked the round
-    # they land; displaced from the re-confirm block:
-    # text_repetition_filter, dedup_exact and a4_conditional_count
-    # (all r2 driver-green, code unchanged, mirror-swept in-repo;
-    # deferred to the round-9 re-confirm queue).
-    "mix_doremi_weights", "u7_scd2_history", "quality_rank_agreement",
-    # Plan changed this round: basket_pair_lift's pair generation moved
-    # from the order-keyed self-join to a per-basket sorted-array
-    # comprehension (one fewer shuffle, half the pair rows) — must be
-    # re-checked the round its plan changes; displaced from the
-    # re-confirm block: a1_ensemble_round_avg (r2 driver-green, code
-    # unchanged, mirror-swept in-repo; deferred to round 9).
-    "basket_pair_lift",
-    # Plan changed this round: both corpus LMs now tokenize through the
-    # shared _doc_token_arrays frame (so mix_doremi_weights scans and
-    # splits the corpus ONCE for both parents) — re-checked the round
-    # their expression changes; displaced from the re-confirm block:
-    # a5_per_speaker_f1 and a9_energy_db (r2 driver-green, code
-    # unchanged, mirror-swept in-repo; deferred to round 9 — the eval
-    # arm stays anchored via columbia_f1_eval every round).
-    "text_unigram_logprob", "text_bigram_logprob",
-    # u8_scd2_merge is NEW this round (incremental SCD2 delta-merge,
-    # oracle = u7's full-rebuild SQL: the merge theorem) —
-    # driver-checked the round it lands; displaced from the re-confirm
-    # block: j4_group_collect (r2 driver-green, code unchanged,
-    # mirror-swept in-repo; deferred to the round-9 re-confirm queue).
-    "u8_scd2_merge",
-    # Round-8 rotation: the 19 TPC-H classes and the 15 other r7
-    # debuts/plan-changes are all r7-driver-green with code unchanged
-    # this round (still mirror-swept in-repo) — they rotate out, and
-    # the freed 39 slots RE-CONFIRM the registry's oldest driver rows:
-    # every query whose last green row is round 1 (10 queries) plus 29
-    # of the 33 whose last row is round 2. Deferred to round 9 (oldest
-    # remaining): u1_union_all, x10_frame_seconds, x12_uid_concat,
-    # f10_least_cap (r2) and the five r3 F-family projections.
-    "ext_rollup", "ext_cube", "ext_pivot",
-    "dedup_simhash", "sim_topk_bruteforce",
-    "text_langid", "text_quality_score", "text_token_count",
-    "text_fingerprint", "multimodal_binary_meta",
-    "w2_centered_smoothing", "w3_windowed_median",
-    "w4_linear_interpolation", "w5_top1_per_group",
-    "w6_topk_candidates", "w8_global_sort_limit", "w9_tumbling_clips",
-    "u3_except", "u4_explode_duration_set",
-    "x1_iou_arithmetic", "x2_box_center_size",
-    "x6_av_length_align",
-    "m2_scene_change_islands",
-    "f1_confidence_filter", "f4_having_greatest_avg", "f9_ordered_limit",
-    "j2_tolerance_check", "j5_spatial_best_match",
-    "j7_anti_equality_pair",
+    # NEW this round — driver-checked the round they land: the on-disk
+    # IVF index under the oracle gate (VERDICT r8 ask #5) and its
+    # incremental seed-build + frozen-centroid delta-append sibling
+    # (incremental == rebuild, sharing sim_ivf_topk's oracle).
+    "sim_ivf_disk_topk", "sim_ivf_disk_merge",
+    # Plan changed this round — must be re-checked the round their
+    # expression changes: the two rebuilt corpus-window eval twins
+    # (ntile via two-phase global_rank + arithmetic reconstruction;
+    # exclusive running negatives via global_cumsum — VERDICT r8 ask
+    # #1), the Spearman rho quotient-split (ADVICE r8 headroom fix),
+    # and the k-means seed ranking's partition-spec change.
+    "classifier_decile_lift", "classifier_auc_eval",
+    "quality_rank_agreement", "emb_kmeans_assign",
+    # Round-9 rotation: the r8 debuts are r8-driver-green with code
+    # unchanged this round (still mirror-swept in-repo) — they rotate
+    # out, and the freed slots RE-CONFIRM the re-confirm queue deferred
+    # at each r8 rotation point (u1/x10/x12/f10 at r2, the five r3
+    # F-family projections, and the nine displaced r2 rows named in
+    # round 8)...
+    "u1_union_all", "x10_frame_seconds", "x12_uid_concat",
+    "f10_least_cap",
+    "f2_arithmetic_filter", "f3_having_count", "f7_isin_filter",
+    "f8_range_filter", "f11_project_rename",
+    "x11_json_parse", "x13_string_parsing", "x7_wrap_pad_array",
+    "text_repetition_filter", "dedup_exact", "a4_conditional_count",
+    "a1_ensemble_round_avg", "a5_per_speaker_f1", "a9_energy_db",
+    "j4_group_collect",
+    # ...plus the oldest remaining driver rows (all last green in
+    # round 4, code unchanged, mirror-swept in-repo every round since).
+    # Deferred to round 10 (next-oldest, also r4): sample_stratified,
+    # sim_pq_topk, split_train_val_test, text_normalize, text_pii_scrub,
+    # text_tfidf_topk, text_vocab_topk.
+    "a3_counts", "a7_extent_minmax_first", "a8_distinct",
+    "agg_salted_hot_keys", "contamination_ngram", "doc_char_entropy",
+    "doc_length_histogram", "emb_pq_codes", "emb_quantize_int8",
+    "ext_grouping_sets", "ext_semi_anti_join", "j1_equijoin_ranked",
+    "j3_surrogate_equijoin", "j8_length_constrained_pick", "j9_asof_join",
+    "mix_domain_weights", "multimodal_frame_sample",
+    "sample_bernoulli_hash",
 ]
 
 
