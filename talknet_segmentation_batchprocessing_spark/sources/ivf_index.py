@@ -135,6 +135,57 @@ def append_ivf_index(
         )
 
 
+def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
+    """OPTIMIZE for the IVF index: rewrite the vectors layout so each
+    list is one file (sources/compaction.py's small-files story applied
+    to the ANN index). Streaming ingest (streaming/ann_ingest.py)
+    accumulates one file per (micro-batch x touched list); probing a
+    list then opens every batch's fragment. Compaction reads the whole
+    layout — including any batch_id level — and rewrites it as plain
+    single-level ``cent_id=`` partitions, one shuffle partition (and
+    thus one file) per list.
+
+    Publish is atomic at directory granularity: the new layout lands in
+    a staging dir, the old ``vectors`` is moved aside, the staging dir
+    renamed in, then the old layout deleted — a reader sees either the
+    old or the new complete layout. (On a real object store this is the
+    manifest-swap in sources/upsert.py; local rename suffices here.)
+
+    Returns (files_before, files_after). Once compacted, the streaming
+    checkpoint's replay window must be closed (the batch_id partitions
+    a replay would overwrite are gone) — same rule as VACUUM vs time
+    travel in the lakehouse layer.
+    """
+    import shutil
+
+    vec_root = os.path.join(index_path, "vectors")
+
+    def _count_files(root: str) -> int:
+        return sum(
+            1
+            for r, _d, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(vec_root)
+    vecs = spark.read.parquet(vec_root).select("vec_id", "v", "cent_id")
+    staged = vec_root + ".compacting"
+    shutil.rmtree(staged, ignore_errors=True)
+    (
+        vecs.repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(staged)
+    )
+    old = vec_root + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(vec_root, old)
+    os.rename(staged, vec_root)
+    shutil.rmtree(old, ignore_errors=True)
+    return before, _count_files(vec_root)
+
+
 def search_ivf_index(
     spark: SparkSession,
     index_path: str,

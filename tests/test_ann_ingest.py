@@ -123,3 +123,44 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert (
         spark.read.parquet(os.path.join(path, "vectors")).count() == rows_first
     ), "replay duplicated vectors instead of overwriting its partition"
+
+
+def test_compaction_collapses_stream_fragments(spark, tmp_path):
+    """After streaming ingest, each probed list is fragmented across
+    batch files; compact_ivf_index rewrites to one file per list with
+    IDENTICAL search results, and the batch_id level is gone."""
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        compact_ivf_index,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "compact_index")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    # three appends -> three batch partitions per touched list
+    third = (n - cut) // 3
+    for i in range(3):
+        lo = cut + i * third
+        hi = cut + (i + 1) * third if i < 2 else n
+        append_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            path,
+            batch_id=i,
+        )
+    before_rows = spark.read.parquet(os.path.join(path, "vectors")).count()
+    want = _search(spark, path)
+
+    files_before, files_after = compact_ivf_index(spark, path)
+    assert files_after < files_before
+
+    vec_root = os.path.join(path, "vectors")
+    cents = [d for d in os.listdir(vec_root) if d.startswith("cent_id=")]
+    assert cents
+    for c in cents:
+        entries = os.listdir(os.path.join(vec_root, c))
+        assert not any(e.startswith("batch_id=") for e in entries)
+        assert sum(1 for e in entries if e.endswith(".parquet")) == 1
+
+    assert spark.read.parquet(vec_root).count() == before_rows
+    assert _search(spark, path) == want
