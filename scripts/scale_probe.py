@@ -139,6 +139,8 @@ HEAVY = [
     # incremental index maintenance: seed-build + delta-append, then
     # search — min-of-2 measures the amortized search like its sibling
     "sim_ivf_disk_merge",
+    # the persisted IndexIVFPQ: pruned code-partition scan + ADC
+    "sim_ivfpq_disk_topk",
 ]
 
 # dims copied as-is (nation/region are constant-size at any SF)

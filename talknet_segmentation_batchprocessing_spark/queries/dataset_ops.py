@@ -3669,6 +3669,54 @@ _late_bind_ivfpq()
 
 
 @query(
+    "sim_ivfpq_disk_topk",
+    oracle=None,  # late-bound below: shares sim_ivfpq_topk's oracle
+    doc="The persisted FAISS IndexIVFPQ: coarse centroids, PQ "
+    "codebooks, and per-vector codes on disk — codes partitioned by "
+    "coarse list, RAW VECTORS NEVER STORED (the 16x compression is "
+    "now a storage fact, not just a compute trick). Search routes "
+    "queries through the stored coarse quantizer, prunes to the "
+    "nprobe probed list partitions at planning time, and ADC-scores "
+    "the stored codes against broadcast per-query LUTs. "
+    "Build-if-absent per dataset fingerprint like sim_ivf_disk_topk; "
+    "identical rows to sim_ivfpq_topk, so the two share one oracle",
+    tags=("similarity", "quantization", "ext"),
+)
+def sim_ivfpq_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.ivf_index import build_ivfpq_index, search_ivfpq_index
+    from .extensions import _IVF_NPROBE, _ivf_disk_index_path
+
+    path = _ivf_disk_index_path(sf_dir) + "_pq"
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        build_ivfpq_index(spark, emb, path)
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PQ_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    return search_ivfpq_index(
+        spark, path, queries, k=_PQ_TOPK, nprobe=_IVF_NPROBE
+    )
+
+
+def _late_bind_ivfpq_disk() -> None:
+    from ..registry import REGISTRY
+
+    REGISTRY["sim_ivfpq_disk_topk"].oracle = REGISTRY["sim_ivfpq_topk"].oracle
+
+
+_late_bind_ivfpq_disk()
+
+
+@query(
     "sim_ivfpq_recall",
     oracle=None,  # late-bound below: composes two registered oracles
     doc="ANN quality audit for the composed index — recall@3 of "

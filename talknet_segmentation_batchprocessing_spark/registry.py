@@ -153,8 +153,10 @@ _DRIVER_WINDOW = [
     # NEW this round — driver-checked the round they land: the on-disk
     # IVF index under the oracle gate (VERDICT r8 ask #5) and its
     # incremental seed-build + frozen-centroid delta-append sibling
-    # (incremental == rebuild, sharing sim_ivf_topk's oracle).
-    "sim_ivf_disk_topk", "sim_ivf_disk_merge",
+    # (incremental == rebuild, sharing sim_ivf_topk's oracle), plus
+    # the persisted IndexIVFPQ (codes on disk, raw vectors never
+    # stored; shares sim_ivfpq_topk's oracle).
+    "sim_ivf_disk_topk", "sim_ivf_disk_merge", "sim_ivfpq_disk_topk",
     # Plan changed this round — must be re-checked the round their
     # expression changes: the two rebuilt corpus-window eval twins
     # (ntile via two-phase global_rank + arithmetic reconstruction;
@@ -179,16 +181,15 @@ _DRIVER_WINDOW = [
     "j4_group_collect",
     # ...plus the oldest remaining driver rows (all last green in
     # round 4, code unchanged, mirror-swept in-repo every round since).
-    # Deferred to round 10 (next-oldest, also r4): sample_stratified,
-    # sim_pq_topk, split_train_val_test, text_normalize, text_pii_scrub,
-    # text_tfidf_topk, text_vocab_topk.
+    # Deferred to round 10 (next-oldest, also r4): sample_bernoulli_hash,
+    # sample_stratified, sim_pq_topk, split_train_val_test,
+    # text_normalize, text_pii_scrub, text_tfidf_topk, text_vocab_topk.
     "a3_counts", "a7_extent_minmax_first", "a8_distinct",
     "agg_salted_hot_keys", "contamination_ngram", "doc_char_entropy",
     "doc_length_histogram", "emb_pq_codes", "emb_quantize_int8",
     "ext_grouping_sets", "ext_semi_anti_join", "j1_equijoin_ranked",
     "j3_surrogate_equijoin", "j8_length_constrained_pick", "j9_asof_join",
     "mix_domain_weights", "multimodal_frame_sample",
-    "sample_bernoulli_hash",
 ]
 
 

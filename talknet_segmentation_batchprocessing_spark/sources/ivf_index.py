@@ -135,6 +135,148 @@ def append_ivf_index(
         )
 
 
+def build_ivfpq_index(spark: SparkSession, emb: DataFrame, out_path: str) -> None:
+    """(vec_id, v) frame -> on-disk IVF+PQ index (the persisted FAISS
+    IndexIVFPQ): ``centroids/`` (coarse quantizer), ``codebooks/``
+    (m, code_id, cv — the PQ sub-quantizers), and ``codes/`` holding
+    ONLY (vec_id, code0..code3) per vector, partitioned by the coarse
+    cent_id — raw vectors are never stored, the 16x compression that
+    makes billion-scale serving possible. All three artifacts reuse
+    sim_ivf_topk's / sim_pq_topk's exact training and assignment
+    stages, so searches against this layout are checked by
+    sim_ivfpq_topk's oracle.
+    """
+    from ..queries.dataset_ops import _pq_assign_long, _pq_cb, _pq_wide_codes
+    from ..queries.extensions import (
+        _DOT_VC_SPARK,
+        _NORM_CV_SPARK,
+        _NORM_SPARK,
+        _ivf_centroids,
+    )
+
+    e = emb.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
+    cent = _ivf_centroids(e).withColumn("cn", F.expr(_NORM_CV_SPARK))
+    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    cb = _pq_cb(spark, emb.select("vec_id", "v"))
+    codes = _pq_wide_codes(_pq_assign_long(spark, emb.select("vec_id", "v"), cb))
+    cent.select("cent_id", "cv").write.mode("overwrite").parquet(
+        os.path.join(out_path, "centroids")
+    )
+    cb.write.mode("overwrite").parquet(os.path.join(out_path, "codebooks"))
+    (
+        codes.join(assign, "vec_id")
+        .repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(os.path.join(out_path, "codes"))
+    )
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, v) batch -> (query_id, neighbor_id, rank, adc_dist):
+    route each query through the stored coarse quantizer to nprobe
+    lists, scan ONLY those code partitions (planning-time pruning),
+    score in the COMPRESSED domain by PQ asymmetric distance (each
+    candidate costs 4 LUT lookups against the broadcast per-query
+    distance tables — raw vectors never leave disk because they were
+    never stored), per-query top-k. Mirrors sim_ivfpq_topk stage for
+    stage, fixed m-order ADC sum included."""
+    from ..functions.rounding import stable_round
+    from ..queries.dataset_ops import _PQ_M
+    from ..queries.extensions import (
+        _DOT_VC_SPARK,
+        _NORM_CV_SPARK,
+        _NORM_SPARK,
+    )
+
+    cent = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .withColumn("cn", F.expr(_NORM_CV_SPARK))
+    )
+    q = queries.select("query_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
+    qp = q.withColumnRenamed("query_id", "vec_id").crossJoin(
+        F.broadcast(cent)
+    ).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    probe_rows = (
+        qp.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+        .collect()  # bounded: |queries| * nprobe
+    )
+    probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
+
+    codes = spark.read.parquet(os.path.join(index_path, "codes")).filter(
+        F.col("cent_id").isin(probed_lists)  # planning-time pruning
+    )
+    cand = codes.join(
+        F.broadcast(
+            spark.createDataFrame(probe_rows, "query_id bigint, cent_id bigint")
+            .withColumn("cent_id", F.col("cent_id").cast("int"))
+        ),
+        "cent_id",
+    ).filter(F.col("vec_id") != F.col("query_id"))
+
+    cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
+    lut_d2 = F.expr(
+        "aggregate(zip_with(transform(sequence(1, 16), i -> element_at(v, int(m*16 + i))), cv,"
+        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "m", "code_id", lut_d2.alias("d2")
+    )
+    lut_m = lut.groupBy("query_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
+            lambda p: p["d2"],
+        ).alias("arr")
+    )
+    lut_q = lut_m.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "arr"))),
+            lambda p: p["arr"],
+        ).alias("luts")
+    )
+    base = cand.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(lut_q), "query_id"
+    )
+    d = [
+        F.element_at(
+            F.element_at(F.col("luts"), m + 1), F.col(f"code{m}").cast("int") + 1
+        )
+        for m in range(_PQ_M)
+    ]
+    adc = d[0] + d[1] + d[2] + d[3]  # fixed m-order, matching the oracle
+    scored = base.select("query_id", "neighbor_id", adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            stable_round(F.col("adc"), 6).alias("adc_dist"),
+        )
+    )
+
+
 def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
     """OPTIMIZE for the IVF index: rewrite the vectors layout so each
     list is one file (sources/compaction.py's small-files story applied

@@ -201,3 +201,41 @@ def test_incremental_merge_equals_rebuild_without_rewriting_seed(spark, tmp_path
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_ivfpq_disk_query_prunes_and_stores_no_vectors(spark):
+    """sim_ivfpq_disk_topk (round 9): the persisted IndexIVFPQ — the
+    codes scan is partition-pruned to the probed lists, the stored
+    codes table has NO raw-vector column (compression is a storage
+    fact), and the registered query returns sim_ivfpq_topk's exact
+    rows (shared oracle)."""
+    from talknet_segmentation_batchprocessing_spark.queries.dataset_ops import (
+        sim_ivfpq_disk_topk,
+        sim_ivfpq_topk,
+    )
+    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+        _ivf_disk_index_path,
+    )
+
+    out = sim_ivfpq_disk_topk(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "empty partition filter: no pruning"
+
+    idx = _ivf_disk_index_path(SF_SMOKE) + "_pq"
+    codes_schema = spark.read.parquet(os.path.join(idx, "codes")).schema
+    names = set(codes_schema.fieldNames())
+    assert "v" not in names and "embedding" not in names
+    assert {"vec_id", "code0", "code1", "code2", "code3"} <= names
+
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r)
+        for r in sim_ivfpq_topk(spark, SF_SMOKE)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+        .collect()
+    )
+    assert got == want and len(got) > 0
