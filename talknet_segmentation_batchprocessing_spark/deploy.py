@@ -177,12 +177,13 @@ def ensure_protobuf_runtime() -> bool:
     import sys
 
     for root in _pb_shim_roots():
-        if root not in sys.path:
+        added_to_sys_path = root not in sys.path
+        if added_to_sys_path:
             sys.path.insert(0, root)
-        env_pp = os.environ.get("PYTHONPATH", "")
-        if root not in env_pp.split(os.pathsep):
+        prev_pp = os.environ.get("PYTHONPATH")
+        if root not in (prev_pp or "").split(os.pathsep):
             os.environ["PYTHONPATH"] = (
-                root + (os.pathsep + env_pp if env_pp else "")
+                root + (os.pathsep + prev_pp if prev_pp else "")
             )
         try:
             from google.protobuf import descriptor  # noqa: F401
@@ -190,6 +191,28 @@ def ensure_protobuf_runtime() -> bool:
             _PB_SHIM_READY = True
             return True
         except ImportError:
+            # Undo everything this candidate touched before trying the
+            # next root: the vendor layout ships a NON-namespace
+            # ``google/__init__.py``, so a failed partial import leaves
+            # a regular 'google' package cached in sys.modules with
+            # __path__ pinned to the dead root — the next candidate
+            # would re-resolve against it and could never succeed, and
+            # Spark workers would inherit the dead PYTHONPATH entry.
+            if added_to_sys_path:
+                try:
+                    sys.path.remove(root)
+                except ValueError:
+                    pass
+            if prev_pp is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = prev_pp
+            for mod in [
+                m
+                for m in sys.modules
+                if m == "google" or m.startswith("google.")
+            ]:
+                sys.modules.pop(mod, None)
             continue
     _PB_SHIM_READY = False
     return False

@@ -246,8 +246,11 @@ def global_rank(
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY key [DESC], tiebreaks)``: adaptive
     one-phase window below CROSSOVER_ROWS, else bucket-local row_number
-    + per-bucket count offsets. Result column is int (same type as
-    row_number)."""
+    + per-bucket count offsets. Result column is BIGINT: row_number()
+    itself returns int, but the two-phase offset sum crosses 2^31 on
+    100-TB-scale inputs (the whole point of the bucketed path), so the
+    rank is emitted as long in both branches — identical type either
+    side of the crossover, no silent wrap past 2^31 rows."""
     df, n, bnds = prepare_keyed(df, key_col, n_buckets, n_upper)
     if n <= CROSSOVER_ROWS or not bnds:
         w = Window.partitionBy("_tp_p").orderBy(
@@ -255,7 +258,7 @@ def global_rank(
         )
         return (
             df.withColumn("_tp_p", one_partition_col())
-            .withColumn(out_col, F.row_number().over(w).cast("int"))
+            .withColumn(out_col, F.row_number().over(w).cast("bigint"))
             .drop("_tp_p")
         )
     b = attach_range_bucket(df, key_col, bnds, descending)
@@ -264,7 +267,10 @@ def global_rank(
     w = Window.partitionBy(_BUCKET).orderBy(*_order(key_col, tiebreak_cols, descending))
     return (
         b.join(F.broadcast(off), _BUCKET)
-        .withColumn(out_col, (F.col("_tp_off") + F.row_number().over(w)).cast("int"))
+        .withColumn(
+            out_col,
+            (F.col("_tp_off").cast("bigint") + F.row_number().over(w)).cast("bigint"),
+        )
         .drop(_BUCKET, "_tp_off")
     )
 

@@ -1233,13 +1233,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bump whenever the on-disk index layout or its build parameters
+# change shape in a way the parquet schema alone would not reveal —
+# stale indexes built by older code must miss the cache, not get
+# silently reused (bench runs are not oracle-checked).
+_IVF_INDEX_FORMAT = 2
+
+
+def _index_cache_root() -> str:
+    """Per-user 0700 cache root for build-once index artifacts. NOT the
+    shared tempdir: a world-writable /tmp path is pre-creatable by
+    another user, so the bare ``_SUCCESS`` stat in the build-if-absent
+    checks would accept a poisoned or symlinked directory."""
+    base = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "spark_graft"
+    )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    try:
+        os.chmod(base, 0o700)  # pre-existing dir keeps the contract too
+    except OSError:
+        pass
+    return base
+
+
 def _ivf_disk_index_path(sf_dir: str) -> str:
-    """Per-(sf_dir, data-fingerprint) index location under the temp
-    root: the fingerprint folds in the embeddings parquet's mtime+size
-    so a regenerated testdata tree gets a fresh index instead of a
-    stale one."""
+    """Per-(sf_dir, data-fingerprint, index-format+params) location
+    under the per-user cache root: the fingerprint folds in the
+    embeddings parquet's mtime+size (a regenerated testdata tree gets
+    a fresh index instead of a stale one) AND the index format version
+    + build parameters (changing _IVF_K/_IVF_SAMPLE/PQ layout must
+    never silently reuse an index built by older code)."""
     import hashlib
-    import tempfile
+
+    from .dataset_ops import _PQ_M, _PQ_SAMPLE
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
@@ -1254,10 +1280,14 @@ def _ivf_disk_index_path(sf_dir: str) -> str:
             sig = f"{os.path.getmtime(src):.0f}_{os.path.getsize(src)}"
     except OSError:
         sig = "na"
+    params = (
+        f"fmt{_IVF_INDEX_FORMAT}_k{_IVF_K}_s{_IVF_SAMPLE}"
+        f"_pqm{_PQ_M}_pqs{_PQ_SAMPLE}"
+    )
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{sig}".encode()
+        f"{os.path.abspath(sf_dir)}|{sig}|{params}".encode()
     ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    return os.path.join(_index_cache_root(), f"ivf_{key}")
 
 
 @query(
@@ -1329,8 +1359,13 @@ def sim_ivf_disk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _ivf_disk_index_path(sf_dir) + "_merged"
     marker = os.path.join(path, "_MERGED")
-    if not os.path.exists(marker):
-        # a dir without the end-to-end marker is a partial build/append
+    # A dir without the end-to-end marker is a partial build/append; a
+    # marker without a vectors dir is a compaction-swap crash whose
+    # recovery also failed — treat BOTH as absent (the marker alone
+    # must never vouch for a missing layout).
+    if not os.path.exists(marker) or not os.path.isdir(
+        os.path.join(path, "vectors")
+    ):
         shutil.rmtree(path, ignore_errors=True)
         emb = load(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")

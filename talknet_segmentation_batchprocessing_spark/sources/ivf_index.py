@@ -24,6 +24,52 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+_EPOCH_MARKER = "_COMPACTION_EPOCH"
+
+
+def _recover_layout(index_path: str, sub: str) -> str:
+    """Heal the compaction swap's crash window: between
+    ``os.rename(live, live + '.old')`` and ``os.rename(staged, live)``
+    no live directory exists. If we find that state (live missing,
+    ``.old`` present), the staged copy may be incomplete — the OLD
+    layout is the only one known complete, so move it back. Returns
+    the live layout path either way."""
+    live = os.path.join(index_path, sub)
+    old = live + ".old"
+    if not os.path.isdir(live) and os.path.isdir(old):
+        os.rename(old, live)
+    return live
+
+
+def _read_epoch(index_path: str) -> int | None:
+    """Last micro-batch id folded into a compacted layout, or None if
+    the index was never compacted."""
+    p = os.path.join(index_path, _EPOCH_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _check_replay_epoch(index_path: str, batch_id: int) -> None:
+    """Refuse a streaming replay that predates the compaction epoch:
+    compaction collapses the batch_id partition level, so a replayed
+    micro-batch <= epoch can no longer overwrite 'its own' partitions —
+    it would silently re-append rows the compacted layout already
+    contains. Same rule as VACUUM vs time travel: once compacted, the
+    replay window left of the marker is closed, and a checkpoint that
+    still points there must be discarded (restart the stream with a
+    fresh checkpoint; arrivals after the marker are unaffected)."""
+    epoch = _read_epoch(index_path)
+    if epoch is not None and int(batch_id) <= epoch:
+        raise RuntimeError(
+            f"micro-batch {batch_id} predates the compaction epoch "
+            f"{epoch} of index {index_path}: its rows are already in "
+            "the compacted layout and its batch partitions are gone, "
+            "so replaying it would duplicate rows. Discard the stale "
+            "streaming checkpoint and restart from a fresh one."
+        )
+
 
 def build_ivf_index(emb: DataFrame, out_path: str, batch_id: int | None = None) -> int:
     """(vec_id, v) frame -> on-disk IVF index at ``out_path``:
@@ -102,6 +148,9 @@ def append_ivf_index(
     """
     from ..queries.extensions import _DOT_VC_SPARK, _NORM_CV_SPARK, _NORM_SPARK
 
+    if batch_id is not None:
+        _check_replay_epoch(index_path, batch_id)
+    _recover_layout(index_path, "vectors")
     spark = emb_delta.sparkSession
     cent = (
         spark.read.parquet(os.path.join(index_path, "centroids"))
@@ -135,7 +184,9 @@ def append_ivf_index(
         )
 
 
-def build_ivfpq_index(spark: SparkSession, emb: DataFrame, out_path: str) -> None:
+def build_ivfpq_index(
+    spark: SparkSession, emb: DataFrame, out_path: str, batch_id: int | None = None
+) -> None:
     """(vec_id, v) frame -> on-disk IVF+PQ index (the persisted FAISS
     IndexIVFPQ): ``centroids/`` (coarse quantizer), ``codebooks/``
     (m, code_id, cv — the PQ sub-quantizers), and ``codes/`` holding
@@ -145,6 +196,13 @@ def build_ivfpq_index(spark: SparkSession, emb: DataFrame, out_path: str) -> Non
     sim_ivf_topk's / sim_pq_topk's exact training and assignment
     stages, so searches against this layout are checked by
     sim_ivfpq_topk's oracle.
+
+    ``batch_id`` (streaming-ingest layout, same convention as
+    :func:`build_ivf_index`): when set, codes land under
+    (cent_id, batch_id) two-level partitions so streaming appends can
+    overwrite exactly their own batch partition on replay; the seed
+    conventionally takes batch_id=-1. cent_id stays the OUTER level,
+    so probe-time partition pruning is unchanged.
     """
     from ..queries.dataset_ops import _pq_assign_long, _pq_cb, _pq_wide_codes
     from ..queries.extensions import (
@@ -171,13 +229,86 @@ def build_ivfpq_index(spark: SparkSession, emb: DataFrame, out_path: str) -> Non
         os.path.join(out_path, "centroids")
     )
     cb.write.mode("overwrite").parquet(os.path.join(out_path, "codebooks"))
+    coded = codes.join(assign, "vec_id")
+    parts = ["cent_id"]
+    if batch_id is not None:
+        coded = coded.withColumn("batch_id", F.lit(int(batch_id)))
+        parts.append("batch_id")
     (
-        codes.join(assign, "vec_id")
-        .repartition("cent_id")
+        coded.repartition("cent_id")
         .write.mode("overwrite")
-        .partitionBy("cent_id")
+        .partitionBy(*parts)
         .parquet(os.path.join(out_path, "codes"))
     )
+
+
+def append_ivfpq_index(
+    emb_delta: DataFrame, index_path: str, batch_id: int | None = None
+) -> None:
+    """Incremental maintenance for the COMPRESSED index — the layout
+    you actually stream into at 100 TB, because only codes ever touch
+    disk: assign a delta batch of (vec_id, v) vectors to the EXISTING
+    stored coarse centroids, PQ-encode them against the EXISTING
+    stored codebooks (both quantizers frozen at seed time, the FAISS
+    IndexIVFPQ.add posture), and land ONLY the (vec_id, code0..code3)
+    rows in their list partitions. Raw delta vectors exist solely in
+    flight; nothing outside the touched partitions is rewritten.
+
+    Assignment + encoding are byte-identical to
+    :func:`build_ivfpq_index` (same `_pq_assign_long` stage against
+    the stored codebooks, same coarse tie-breaks), so seed-build +
+    append equals a full rebuild whenever the coarse AND PQ training
+    samples are contained in the seed — the convergence contract
+    tests/test_ann_ingest.py pins against the sim_ivfpq_topk oracle.
+
+    ``batch_id`` (streaming ingest): dynamic partition overwrite under
+    (cent_id, batch_id=N) — a replayed micro-batch rewrites exactly
+    its own partitions to the same content, idempotent like the flat
+    index's sink; a replay at or below the compaction epoch is
+    refused (see :func:`_check_replay_epoch`).
+    """
+    from ..queries.dataset_ops import _pq_assign_long, _pq_wide_codes
+    from ..queries.extensions import _DOT_VC_SPARK, _NORM_CV_SPARK, _NORM_SPARK
+
+    if batch_id is not None:
+        _check_replay_epoch(index_path, batch_id)
+    _recover_layout(index_path, "codes")
+    spark = emb_delta.sparkSession
+    cent = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .withColumn("cn", F.expr(_NORM_CV_SPARK))
+    )
+    cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
+    e = emb_delta.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
+    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    codes = _pq_wide_codes(
+        _pq_assign_long(spark, emb_delta.select("vec_id", "v"), cb)
+    )
+    coded = codes.join(assign, "vec_id")
+    if batch_id is None:
+        (
+            coded.repartition("cent_id")
+            .write.mode("append")
+            .partitionBy("cent_id")
+            .parquet(os.path.join(index_path, "codes"))
+        )
+    else:
+        (
+            coded.withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition("cent_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cent_id", "batch_id")
+            .parquet(os.path.join(index_path, "codes"))
+        )
 
 
 def search_ivfpq_index(
@@ -222,7 +353,7 @@ def search_ivfpq_index(
     )
     probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
 
-    codes = spark.read.parquet(os.path.join(index_path, "codes")).filter(
+    codes = spark.read.parquet(_recover_layout(index_path, "codes")).filter(
         F.col("cent_id").isin(probed_lists)  # planning-time pruning
     )
     cand = codes.join(
@@ -290,17 +421,27 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
     Publish is atomic at directory granularity: the new layout lands in
     a staging dir, the old ``vectors`` is moved aside, the staging dir
     renamed in, then the old layout deleted — a reader sees either the
-    old or the new complete layout. (On a real object store this is the
-    manifest-swap in sources/upsert.py; local rename suffices here.)
+    old or the new complete layout. A crash between the two renames
+    (live missing, ``.old`` present) is healed on the next entry to any
+    index operation by :func:`_recover_layout`, which moves the old —
+    only-known-complete — layout back. (On a real object store this is
+    the manifest-swap in sources/upsert.py; local rename suffices
+    here.)
 
-    Returns (files_before, files_after). Once compacted, the streaming
-    checkpoint's replay window must be closed (the batch_id partitions
-    a replay would overwrite are gone) — same rule as VACUUM vs time
-    travel in the lakehouse layer.
+    Returns (files_before, files_after). Compaction collapses the
+    batch_id partition level, so it CLOSES the streaming replay window:
+    the max batch_id folded in is recorded in the ``_COMPACTION_EPOCH``
+    marker at the index root, and :func:`append_ivf_index` /
+    :func:`append_ivfpq_index` refuse any micro-batch at or below it —
+    a post-compaction replay fails loudly instead of silently
+    duplicating rows (same rule as VACUUM vs time travel in the
+    lakehouse layer). Only compact at a point where the stream is
+    stopped on a committed checkpoint: an uncommitted in-flight batch's
+    part-files would be folded in as-is.
     """
     import shutil
 
-    vec_root = os.path.join(index_path, "vectors")
+    vec_root = _recover_layout(index_path, "vectors")
 
     def _count_files(root: str) -> int:
         return sum(
@@ -310,7 +451,19 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
             if f.endswith(".parquet")
         )
 
+    def _max_batch_id(root: str) -> int:
+        mx = -1
+        for _r, ds, _f in os.walk(root):
+            for d in ds:
+                if d.startswith("batch_id="):
+                    try:
+                        mx = max(mx, int(d.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+        return mx
+
     before = _count_files(vec_root)
+    folded_epoch = _max_batch_id(vec_root)
     vecs = spark.read.parquet(vec_root).select("vec_id", "v", "cent_id")
     staged = vec_root + ".compacting"
     shutil.rmtree(staged, ignore_errors=True)
@@ -325,6 +478,12 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
     os.rename(vec_root, old)
     os.rename(staged, vec_root)
     shutil.rmtree(old, ignore_errors=True)
+    # Close the replay window AFTER the swap is complete: epoch only
+    # ever moves forward (repeated compactions keep the max).
+    prev = _read_epoch(index_path)
+    epoch = max(folded_epoch, prev if prev is not None else -1)
+    with open(os.path.join(index_path, _EPOCH_MARKER), "w") as f:
+        f.write(str(epoch))
     return before, _count_files(vec_root)
 
 
@@ -371,7 +530,7 @@ def search_ivf_index(
     probe_rows = qprobe.collect()  # bounded: |queries| * nprobe
     probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
 
-    vecs = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
+    vecs = spark.read.parquet(_recover_layout(index_path, "vectors")).filter(
         F.col("cent_id").isin(probed_lists)  # planning-time pruning
     )
     cand = vecs.join(

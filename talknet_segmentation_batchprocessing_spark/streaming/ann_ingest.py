@@ -44,3 +44,29 @@ def ann_index_sink(vectors: DataFrame, index_path: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_pq_index_sink(vectors: DataFrame, index_path: str, checkpoint_dir: str):
+    """Streaming ingest for the COMPRESSED index — the layout that
+    matters at 100 TB, because only (vec_id, code0..code3) rows ever
+    reach disk: each micro-batch of (vec_id, v) vectors is
+    coarse-assigned and PQ-encoded against the quantizers FROZEN at
+    seed time (seeded beforehand with ``build_ivfpq_index(...,
+    batch_id=-1)``) and lands under its own (cent_id, batch_id)
+    partitions via dynamic partition overwrite — replay-idempotent
+    exactly like :func:`ann_index_sink`, and a replay older than a
+    compaction epoch is refused rather than silently duplicated.
+    Returns the StreamingQuery."""
+    from ..sources.ivf_index import append_ivfpq_index
+
+    def _apply(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        append_ivfpq_index(batch, index_path, batch_id=int(bid))
+
+    return (
+        vectors.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

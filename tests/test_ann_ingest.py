@@ -164,3 +164,175 @@ def test_compaction_collapses_stream_fragments(spark, tmp_path):
 
     assert spark.read.parquet(vec_root).count() == before_rows
     assert _search(spark, path) == want
+
+
+def _pq_queries(spark):
+    return (
+        load(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+
+
+def _pq_search(spark, path):
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        search_ivfpq_index,
+    )
+
+    return sorted(
+        tuple(r)
+        for r in search_ivfpq_index(
+            spark, path, _pq_queries(spark), k=5, nprobe=2
+        ).collect()
+    )
+
+
+def test_pq_streamed_ingest_converges_to_batch_index(spark, tmp_path):
+    """Stream-ingested IVF+PQ (codes only on disk) == the registered
+    sim_ivfpq_topk answer: both quantizers are frozen at seed time and
+    the seed contains the coarse AND PQ training samples, so append
+    equals rebuild bit for bit."""
+    from talknet_segmentation_batchprocessing_spark.queries.dataset_ops import (
+        sim_ivfpq_topk,
+    )
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        build_ivfpq_index,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.ann_ingest import (
+        ann_pq_index_sink,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = max(256, n // 2)  # contains both 256-vector training samples
+
+    want = sorted(
+        tuple(r)
+        for r in sim_ivfpq_topk(spark, SF_SMOKE)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+        .collect()
+    )
+
+    path = str(tmp_path / "pq_stream_index")
+    build_ivfpq_index(spark, emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    drop = tmp_path / "pq_delta"
+    drop.mkdir()
+    delta = emb.filter(F.col("vec_id") >= cut)
+    half = cut + (n - cut) // 2
+    delta.filter(F.col("vec_id") < half).coalesce(1).write.parquet(
+        str(drop / "b0")
+    )
+    delta.filter(F.col("vec_id") >= half).coalesce(1).write.parquet(
+        str(drop / "b1")
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "*"))
+    )
+    q = ann_pq_index_sink(stream, path, str(tmp_path / "pq_ckpt"))
+    q.awaitTermination()
+
+    got = _pq_search(spark, path)
+    assert got == want and len(got) > 0
+
+    # codes landed under (cent_id outer, batch_id inner); raw vectors
+    # were never written anywhere in the index
+    code_root = os.path.join(path, "codes")
+    cents = [d for d in os.listdir(code_root) if d.startswith("cent_id=")]
+    assert cents
+    bids = {
+        b
+        for c in cents
+        for b in os.listdir(os.path.join(code_root, c))
+        if b.startswith("batch_id=")
+    }
+    assert "batch_id=-1" in bids and len(bids) >= 3
+    assert "v" not in spark.read.parquet(code_root).columns
+
+
+def test_pq_replayed_batch_is_idempotent(spark, tmp_path):
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "pq_replay_index")
+    build_ivfpq_index(spark, emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    delta = emb.filter(F.col("vec_id") >= cut)
+
+    append_ivfpq_index(delta, path, batch_id=0)
+    first = _pq_search(spark, path)
+    rows_first = spark.read.parquet(os.path.join(path, "codes")).count()
+
+    append_ivfpq_index(delta, path, batch_id=0)  # the replay
+    assert _pq_search(spark, path) == first
+    assert (
+        spark.read.parquet(os.path.join(path, "codes")).count() == rows_first
+    ), "replay duplicated codes instead of overwriting its partition"
+
+
+def test_post_compaction_replay_is_refused(spark, tmp_path):
+    """Compaction closes the replay window: a micro-batch replayed from
+    a pre-compaction checkpoint is REFUSED (its batch partitions are
+    gone, so overwriting them is impossible and appending would
+    duplicate) — and the index still equals the batch-built answer."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        compact_ivf_index,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "epoch_index")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    half = cut + (n - cut) // 2
+    append_ivf_index(delta.filter(F.col("vec_id") < half), path, batch_id=0)
+    append_ivf_index(delta.filter(F.col("vec_id") >= half), path, batch_id=1)
+    want = _search(spark, path)
+    rows = spark.read.parquet(os.path.join(path, "vectors")).count()
+
+    compact_ivf_index(spark, path)
+    with open(os.path.join(path, "_COMPACTION_EPOCH")) as f:
+        assert int(f.read().strip()) == 1
+
+    # a crashed-before-commit checkpoint replays batch 1 post-compaction
+    with pytest.raises(RuntimeError, match="compaction epoch"):
+        append_ivf_index(delta.filter(F.col("vec_id") >= half), path, batch_id=1)
+
+    # refused means nothing was written: still the batch-built answer
+    assert _search(spark, path) == want
+    assert spark.read.parquet(os.path.join(path, "vectors")).count() == rows
+
+    # ...and the stream continues normally past the marker
+    append_ivf_index(
+        delta.filter(F.col("vec_id") >= half).limit(0), path, batch_id=2
+    )
+
+
+def test_compaction_crash_window_recovers(spark, tmp_path):
+    """Crash between the two renames of the compaction swap leaves no
+    live vectors dir and a complete ``.old`` — the next index operation
+    heals it by moving the old layout back, and searches still answer
+    the batch-built result."""
+    emb = _emb(spark)
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "crash_index")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    append_ivf_index(emb.filter(F.col("vec_id") >= cut), path, batch_id=0)
+    want = _search(spark, path)
+
+    vec_root = os.path.join(path, "vectors")
+    os.rename(vec_root, vec_root + ".old")  # the crash window state
+    assert _search(spark, path) == want
+    assert os.path.isdir(vec_root) and not os.path.exists(vec_root + ".old")

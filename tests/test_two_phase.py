@@ -66,8 +66,13 @@ def test_global_rank_matches_naive(spark):
                     .sort_values("id")
                 )
                 order = [F.desc("key") if desc else F.asc("key"), F.col("id")]
+                # the helper emits BIGINT (the two-phase offset sum can
+                # cross 2^31), so the naive row_number is cast to match
                 want = (
-                    df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+                    df.withColumn(
+                        "rn",
+                        F.row_number().over(Window.orderBy(*order)).cast("bigint"),
+                    )
                     .select("id", "rn")
                     .toPandas()
                     .sort_values("id")
