@@ -24,96 +24,90 @@ from talknet_segmentation_batchprocessing_spark.session import get_spark
 
 # Headline set: auto-derived from the registry so every new round's
 # debuts are benched by DEFAULT — a query only escapes the bench by
-# being named in BENCH_EXCLUDED below with the documented rule.
+# being named in BENCH_EXCLUDED below with a RECORDED measurement.
 #
-# Exclusion rule: micro scalar / filter / projection / tiny-aggregate
-# queries whose sf0.1 wall time is dominated by session fixed cost
-# (< ~100 ms of actual plan work) — benching them measures the
-# harness, not the engine. Everything else (anything with a shuffle,
-# a window, a UDF stage, or a join of two non-broadcast sides) stays.
-BENCH_EXCLUDED = frozenset([
-    "w6_nms_greedy",
-    "curation_dsir_vs_rules",
-    "text_unigram_logprob",
-    "ext_rollup",
-    "ext_cube",
-    "ext_pivot",
-    "text_langid",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_binary_meta",
-    "w2_centered_smoothing",
-    "w5_top1_per_group",
-    "w6_topk_candidates",
-    "w8_global_sort_limit",
-    "w9_tumbling_clips",
-    "u3_except",
-    "u4_explode_duration_set",
-    "x1_iou_arithmetic",
-    "x2_box_center_size",
-    "x6_av_length_align",
-    "m2_scene_change_islands",
-    "f1_confidence_filter",
-    "f4_having_greatest_avg",
-    "f9_ordered_limit",
-    "j2_tolerance_check",
-    "j7_anti_equality_pair",
-    "w7_batch_packing",
-    "u1_union_all",
-    "ext_semi_anti_join",
-    "ext_grouping_sets",
-    "u6_intersect",
-    "x10_frame_seconds",
-    "x11_json_parse",
-    "x12_uid_concat",
-    "x13_string_parsing",
-    "x7_wrap_pad_array",
-    "x19_json_field_stats",
-    "x17_timecode",
-    "x20_variant_json",
-    "w1_udtf_runs",
-    "f2_arithmetic_filter",
-    "f3_having_count",
-    "f7_isin_filter",
-    "f8_range_filter",
-    "f10_least_cap",
-    "f11_project_rename",
-    "j3_surrogate_equijoin",
-    "j4_group_collect",
-    "j8_length_constrained_pick",
-    "a1_ensemble_round_avg",
-    "a3_counts",
-    "a4_conditional_count",
-    "a5_per_speaker_f1",
-    "a7_extent_minmax_first",
-    "a8_distinct",
-    "a9_energy_db",
-    "ext_unpivot",
-    "agg_salted_hot_keys",
-    "x15_softmax_argmax",
-    "dedup_exact",
-    "dedup_cc_clusters",
-    "dedup_cc_labelprop",
-    "sim_lsh_bucketed",
-    "text_vocab_topk",
-    "emb_quantize_int8",
-    "text_repetition_filter",
-    "text_token_fertility",
-    "sample_stratified",
-    "mix_domain_weights",
-    "doc_length_histogram",
-    "text_normalize",
-    "text_pii_scrub",
-    "doc_char_entropy",
-    "sample_weighted_reservoir",
-    "quality_ensemble_vote",
-])
+# Exclusion rule — measured, not argued: a query may be excluded only
+# with a recorded sf0.1 wall time under _EXCLUDE_MAX_CALIB_UNITS
+# calibration units (wall_sec / calib_sec, host-normalized; 1 unit is
+# ~0.46-0.57 s across observed round hosts — i.e. the measurement is
+# dominated by session fixed cost, not plan work). Benching those
+# measures the harness, not the engine. Each entry records its units
+# from a min-of-2 sweep of every excluded query at sf0.1 (2026-08-16,
+# calib_sec 0.569, /tmp/excluded_timings.json protocol identical to
+# this file's). The same sweep PROMOTED the 24 queries that were over
+# the bar into the headline set — quality_ensemble_vote (6.0 units),
+# curation_dsir_vs_rules (7.4), dedup_cc_clusters/_labelprop,
+# w6_nms_greedy, agg_salted_hot_keys, a3_counts, ... — closing the
+# round-9 finding that the list contradicted its own documented rule.
+# The assert in _headline() keeps the discipline: no name stays
+# excluded without a sub-bar measurement, so adding one means
+# measuring first.
+_EXCLUDE_MAX_CALIB_UNITS = 1.0
+BENCH_EXCLUDED = {  # name -> measured sf0.1 wall, in calib units
+    "j2_tolerance_check": 0.98,
+    "m2_scene_change_islands": 0.95,
+    "f4_having_greatest_avg": 0.95,
+    "ext_cube": 0.93,
+    "x19_json_field_stats": 0.93,
+    "w2_centered_smoothing": 0.93,
+    "ext_pivot": 0.86,
+    "ext_semi_anti_join": 0.82,
+    "mix_domain_weights": 0.82,
+    "a1_ensemble_round_avg": 0.80,
+    "text_token_fertility": 0.79,
+    "ext_grouping_sets": 0.77,
+    "text_vocab_topk": 0.76,
+    "j3_surrogate_equijoin": 0.76,
+    "w5_top1_per_group": 0.76,
+    "x15_softmax_argmax": 0.71,
+    "doc_length_histogram": 0.70,
+    "w9_tumbling_clips": 0.67,
+    "ext_unpivot": 0.65,
+    "emb_quantize_int8": 0.64,
+    "x2_box_center_size": 0.63,
+    "u6_intersect": 0.62,
+    "u3_except": 0.59,
+    "x11_json_parse": 0.59,
+    "sample_stratified": 0.58,
+    "f2_arithmetic_filter": 0.56,
+    "dedup_exact": 0.54,
+    "a8_distinct": 0.54,
+    "x6_av_length_align": 0.54,
+    "f3_having_count": 0.53,
+    "sample_weighted_reservoir": 0.49,
+    "u4_explode_duration_set": 0.48,
+    "text_token_count": 0.47,
+    "text_fingerprint": 0.46,
+    "f1_confidence_filter": 0.45,
+    "text_normalize": 0.43,
+    "x17_timecode": 0.43,
+    "u1_union_all": 0.41,
+    "f10_least_cap": 0.40,
+    "a9_energy_db": 0.39,
+    "f7_isin_filter": 0.37,
+    "w8_global_sort_limit": 0.36,
+    "f9_ordered_limit": 0.36,
+    "f8_range_filter": 0.34,
+    "x20_variant_json": 0.33,
+    "f11_project_rename": 0.31,
+    "x7_wrap_pad_array": 0.30,
+    "x10_frame_seconds": 0.28,
+    "multimodal_binary_meta": 0.26,
+    "x12_uid_concat": 0.26,
+    "x13_string_parsing": 0.24,
+}
 
 
 def _headline() -> list[str]:
     registry._ensure_loaded()
-    missing = BENCH_EXCLUDED - set(registry.REGISTRY)
+    missing = set(BENCH_EXCLUDED) - set(registry.REGISTRY)
     assert not missing, f"BENCH_EXCLUDED names unknown queries: {missing}"
+    over = {
+        n: u for n, u in BENCH_EXCLUDED.items() if u >= _EXCLUDE_MAX_CALIB_UNITS
+    }
+    assert not over, (
+        f"excluded queries measured OVER the bar — promote them: {over}"
+    )
     return [n for n in registry.REGISTRY if n not in BENCH_EXCLUDED]
 
 

@@ -141,7 +141,90 @@ HEAVY = [
     "sim_ivf_disk_merge",
     # the persisted IndexIVFPQ: pruned code-partition scan + ADC
     "sim_ivfpq_disk_topk",
+    # round 10 debut: one broadcast-centroid assign pass + 2-key agg —
+    # should track the corpus scan ~linearly
+    "sim_ivf_drift_audit",
 ]
+
+# --x100: a third decade for the adaptive two-phase queries (VERDICT
+# r9 ask #7). documents-only 100x replica set — these three queries
+# read nothing else. At sf0.1 documents is 5k rows, so 100x = 500k:
+# still BELOW the measured 1.5M-row crossover, meaning the default
+# adaptive path stays one-phase — so each query is probed BOTH ways
+# (default, and with the crossover forced to 0 so the bucketed
+# two-phase plan runs) to measure what the bucketed path would cost
+# when the corpus does cross.
+SF_X100 = "/tmp/scale_sf100_docs"
+REPLICAS_X100 = 100
+X100_QUERIES = [
+    "classifier_decile_lift",
+    "classifier_auc_eval",
+    "quality_rank_agreement",
+]
+
+
+def synthesize_x100() -> None:
+    os.makedirs(SF_X100, exist_ok=True)
+    dst = f"{SF_X100}/documents.parquet"
+    if os.path.exists(dst):
+        return
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()
+    out = [docs]
+    for k in range(1, REPLICAS_X100):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * 10_000_000
+        # one appended replica token per doc: de-ties the margin keys
+        # (length/vocab features shift slightly) WITHOUT inflating the
+        # vocabulary 100x — a real 100x corpus grows vocab ~sqrt
+        # (Heaps), so the per-word suffixing used for the dedup 10x
+        # set would overstate the vocab-keyed LM work here
+        d["text"] = d["text"] + f" zreplica{k}"
+        d["n_chars"] = d["text"].str.len()
+        out.append(d)
+    big = pd.concat(out, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(big, preserve_index=False), dst)
+    print(f"synthesized {len(big)} docs (x{REPLICAS_X100}) under {SF_X100}")
+
+
+def probe_x100(spark, curve: dict) -> None:
+    from talknet_segmentation_batchprocessing_spark.plans import two_phase
+
+    synthesize_x100()
+    for name in X100_QUERIES:
+        spec = registry.REGISTRY[name]
+        entry = curve.setdefault(name, {})
+        for label, sf_dir, crossover in (
+            ("sf0.1", SF_SMALL, None),
+            ("x100", SF_X100, None),
+            ("x100_two_phase", SF_X100, 0),
+        ):
+            old = two_phase.CROSSOVER_ROWS
+            if crossover is not None:
+                two_phase.CROSSOVER_ROWS = crossover
+            try:
+                best = None
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    registry.release_persisted()
+                    t0 = time.perf_counter()
+                    spec.fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    el = time.perf_counter() - t0
+                    best = el if best is None else min(best, el)
+            finally:
+                two_phase.CROSSOVER_ROWS = old
+            entry[label] = round(best, 3)
+        # growth per decade: 10x ratio comes from the existing sf1
+        # entry; the 100x point divides by it to isolate the 2nd decade
+        if entry.get("sf1"):
+            entry["ratio_sf1_to_x100"] = round(entry["x100"] / entry["sf1"], 2)
+        entry["ratio_x100_vs_sf0.1"] = round(entry["x100"] / entry["sf0.1"], 2)
+        entry["two_phase_overhead_x100"] = round(
+            entry["x100_two_phase"] / entry["x100"], 2
+        )
+        print(f"  {name}: {entry}")
+
 
 # dims copied as-is (nation/region are constant-size at any SF)
 TABLES = ["region", "nation"]
@@ -248,7 +331,7 @@ def main() -> int:
     # the existing curve (the batch sweep is ~25 min; don't repeat it
     # to refresh one entry)
     heavy = HEAVY
-    if "--scd2-only" in sys.argv or "--only" in sys.argv:
+    if "--scd2-only" in sys.argv or "--only" in sys.argv or "--x100" in sys.argv:
         heavy = []
         if "--only" in sys.argv:
             heavy = sys.argv[sys.argv.index("--only") + 1].split(",")
@@ -282,6 +365,11 @@ def main() -> int:
         curve[name] = {**times, "ratio_10x_rows": ratio}
         print(f"  {name}: {times['sf0.1']}s -> {times['sf1']}s  ({ratio}x)")
 
+    # third decade for the adaptive two-phase queries (VERDICT r9 ask
+    # #7): --x100 reruns just those three and merges into the curve
+    if "--x100" in sys.argv:
+        probe_x100(spark, curve)
+
     # streaming SCD2 changelog + merge sink on a 10x event stream
     # (VERDICT r8 ask 4's third leg): not a registered batch query, so
     # probed directly — availableNow over the events parquet, state
@@ -295,8 +383,8 @@ def main() -> int:
         streaming_scd2_changelog,
     )
 
-    # targeted --only reruns keep the existing streaming entry
-    run_scd2 = "--only" not in sys.argv
+    # targeted --only / --x100 reruns keep the existing streaming entry
+    run_scd2 = "--only" not in sys.argv and "--x100" not in sys.argv
     try:
         from talknet_segmentation_batchprocessing_spark.sources.upsert import (  # noqa: E402
             init_table,

@@ -1403,6 +1403,85 @@ def _late_bind_ivf_disk_oracle() -> None:
 _late_bind_ivf_disk_oracle()
 
 
+@query(
+    "sim_ivf_drift_audit",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_ivf_kmeans_cte()}
+tot AS (SELECT count(*) AS n FROM e),
+assign AS (
+  SELECT vec_id, cc FROM (
+    SELECT e.vec_id, {_COS_VC_DUCK} AS cc,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN a.vec_id < greatest({_IVF_SAMPLE}, t.n // 2)
+            THEN 'seed' ELSE 'appended' END AS cohort,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       floor(avg(cc) * 1e6 + 0.5) / 1e6 AS mean_cos,
+       floor(quantile_cont(cc, 0.5) * 1e6 + 0.5) / 1e6 AS p50_cos,
+       floor(quantile_cont(cc, 0.1) * 1e6 + 0.5) / 1e6 AS p10_cos,
+       floor(min(cc) * 1e6 + 0.5) / 1e6 AS min_cos
+FROM assign a CROSS JOIN tot t
+GROUP BY 1
+""",
+    doc="Centroid-drift audit for the frozen-quantizer stream: "
+    "incremental append (sim_ivf_disk_merge, streaming/ann_ingest.py) "
+    "freezes the coarse centroids at seed time, so as the arriving "
+    "distribution drifts, vectors land ever farther from their winning "
+    "centroid and recall decays silently. This is the staleness signal "
+    "that triggers a rebuild — the sim_recall_eval pattern applied to "
+    "index AGE: the assignment-cosine distribution (mean / median / "
+    "p10 / min cos to the winning centroid) of the seed cohort vs the "
+    "appended cohort, split at the same seed cut as sim_ivf_disk_merge "
+    "(cut = max(sample, n/2), so the k-means sample is wholly in the "
+    "seed). A widening gap between the two rows = rebuild. One "
+    "broadcast-centroid assign pass over the corpus + a 2-key "
+    "aggregate — same cost shape as the index build itself, no "
+    "all-pairs work. Spark percentile() and DuckDB quantile_cont() "
+    "share the continuous-interpolation definition (verified "
+    "bit-identical in w13/sketch_quantiles)",
+    tags=("similarity", "audit", "ext"),
+)
+def sim_ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.two_phase import parquet_rows
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = parquet_rows(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
+    cut = max(_IVF_SAMPLE, n // 2)
+    e = emb.withColumn("nrm", F.expr(_NORM_SPARK))
+    cent = _ivf_centroids(e).withColumn("cn", F.expr(_NORM_CV_SPARK))
+    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cc")
+    )
+    cohort = F.when(F.col("vec_id") < cut, F.lit("seed")).otherwise(
+        F.lit("appended")
+    )
+    return (
+        assign.select(cohort.alias("cohort"), "cc")
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            stable_round(F.avg("cc"), 6).alias("mean_cos"),
+            stable_round(F.expr("percentile(cc, 0.5)"), 6).alias("p50_cos"),
+            stable_round(F.expr("percentile(cc, 0.1)"), 6).alias("p10_cos"),
+            stable_round(F.min("cc"), 6).alias("min_cos"),
+        )
+    )
+
+
 _BAL_PPM = 1_000_000  # keep-rate resolution: parts per million
 
 

@@ -145,51 +145,48 @@ _LOADED = False
 # registered query has at least one driver-green row; rotation debt
 # stays zero.
 _DRIVER_WINDOW = [
-    # Round-9 allocation. anchors: flagship + e2e + eval arm + kernels
+    # Round-10 allocation. anchors: flagship + e2e + eval arm + kernels
     # (checked every round)
     "w1_speaking_segments", "pipeline_scores_to_segments",
     "q1_pricing_summary", "ava_map_eval", "columbia_f1_eval",
     "j6_greedy_tracking", "w6_nms_greedy",
-    # NEW this round — driver-checked the round they land: the on-disk
-    # IVF index under the oracle gate (VERDICT r8 ask #5) and its
-    # incremental seed-build + frozen-centroid delta-append sibling
-    # (incremental == rebuild, sharing sim_ivf_topk's oracle), plus
-    # the persisted IndexIVFPQ (codes on disk, raw vectors never
-    # stored; shares sim_ivfpq_topk's oracle).
+    # NEW this round — driver-checked the round it lands: the
+    # centroid-drift staleness audit for the frozen-quantizer
+    # incremental index (VERDICT r9 ask #6).
+    "sim_ivf_drift_audit",
+    # R9 debuts stay in per VERDICT r9 ask #8 (and their shared module,
+    # sources/ivf_index.py, changed this round: compaction epoch
+    # marker, crash-window recovery, PQ append path).
     "sim_ivf_disk_topk", "sim_ivf_disk_merge", "sim_ivfpq_disk_topk",
-    # Plan changed this round — must be re-checked the round their
-    # expression changes: the two rebuilt corpus-window eval twins
-    # (ntile via two-phase global_rank + arithmetic reconstruction;
-    # exclusive running negatives via global_cumsum — VERDICT r8 ask
-    # #1), the Spearman rho quotient-split (ADVICE r8 headroom fix),
-    # and the k-means seed ranking's partition-spec change.
-    "classifier_decile_lift", "classifier_auc_eval",
-    "quality_rank_agreement", "emb_kmeans_assign",
-    # Round-9 rotation: the r8 debuts are r8-driver-green with code
-    # unchanged this round (still mirror-swept in-repo) — they rotate
-    # out, and the freed slots RE-CONFIRM the re-confirm queue deferred
-    # at each r8 rotation point (u1/x10/x12/f10 at r2, the five r3
-    # F-family projections, and the nine displaced r2 rows named in
-    # round 8)...
-    "u1_union_all", "x10_frame_seconds", "x12_uid_concat",
-    "f10_least_cap",
-    "f2_arithmetic_filter", "f3_having_count", "f7_isin_filter",
-    "f8_range_filter", "f11_project_rename",
-    "x11_json_parse", "x13_string_parsing", "x7_wrap_pad_array",
-    "text_repetition_filter", "dedup_exact", "a4_conditional_count",
-    "a1_ensemble_round_avg", "a5_per_speaker_f1", "a9_energy_db",
-    "j4_group_collect",
-    # ...plus the oldest remaining driver rows (all last green in
-    # round 4, code unchanged, mirror-swept in-repo every round since).
-    # Deferred to round 10 (next-oldest, also r4): sample_bernoulli_hash,
-    # sample_stratified, sim_pq_topk, split_train_val_test,
-    # text_normalize, text_pii_scrub, text_tfidf_topk, text_vocab_topk.
-    "a3_counts", "a7_extent_minmax_first", "a8_distinct",
-    "agg_salted_hot_keys", "contamination_ngram", "doc_char_entropy",
-    "doc_length_histogram", "emb_pq_codes", "emb_quantize_int8",
-    "ext_grouping_sets", "ext_semi_anti_join", "j1_equijoin_ranked",
-    "j3_surrogate_equijoin", "j8_length_constrained_pick", "j9_asof_join",
-    "mix_domain_weights", "multimodal_frame_sample",
+    # Plan changed this round — global_rank now emits BIGINT in both
+    # adaptive branches (ADVICE r9: the two-phase offset sum crosses
+    # 2^31 at scale), so every query whose expression carries that
+    # rank is re-checked the round it changes: the surfaced rank (j1),
+    # the modulo splits (u2, talkset), the arithmetic ntile (decile),
+    # and the Spearman rank pair (rank agreement).
+    "j1_equijoin_ranked", "u2_union_modulo_split",
+    "classifier_decile_lift", "quality_rank_agreement",
+    "talkset_generate",
+    # Round-10 rotation: re-confirm the queue deferred at round 9's
+    # rotation point (all last green in round 4, code unchanged,
+    # mirror-swept in-repo every round since)...
+    "sample_bernoulli_hash", "sample_stratified", "sim_pq_topk",
+    "split_train_val_test", "text_normalize", "text_pii_scrub",
+    "text_tfidf_topk", "text_vocab_topk",
+    # ...the rest of the round-4 cohort (same posture)...
+    "w10_sessionize", "w11_sliding_window", "w1_udtf_runs",
+    "w7_batch_packing", "x15_softmax_argmax", "x17_timecode",
+    "x19_json_field_stats", "x3_crop_geometry",
+    # ...and the oldest remaining driver rows (all last green in
+    # round 5, code unchanged, mirror-swept in-repo every round
+    # since). Deferred to round 11 (also r5): the remaining 18 r5
+    # rows from dedup_semantic_keep through x21_zorder_value.
+    "a6_average_precision", "agg_time_rollup", "contamination_bloom",
+    "curation_pipeline", "dedup_cc_clusters", "dedup_cc_labelprop",
+    "dedup_cc_star", "dedup_containment", "dedup_embedding_cosine",
+    "dedup_exact_substring", "dedup_incremental", "dedup_keep_canonical",
+    "dedup_keep_canonical_lsh", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "doc_chunk_overlap", "emb_cluster_balance", "emb_dim_stats",
 ]
 
 

@@ -23,8 +23,8 @@ def test_headline_is_registry_minus_exclusions():
     registry._ensure_loaded()
     names = set(registry.REGISTRY)
     headline = bench._headline()
-    assert set(headline) | bench.BENCH_EXCLUDED == names
-    assert not (set(headline) & bench.BENCH_EXCLUDED)
+    assert set(headline) | set(bench.BENCH_EXCLUDED) == names
+    assert not (set(headline) & set(bench.BENCH_EXCLUDED))
     # order is deterministic (registry insertion order)
     assert headline == [n for n in registry.REGISTRY if n not in bench.BENCH_EXCLUDED]
 
@@ -34,8 +34,22 @@ def test_excluded_names_all_exist():
     that would silently re-admit nothing / mask a typo for a new one."""
     bench = _bench()
     registry._ensure_loaded()
-    missing = bench.BENCH_EXCLUDED - set(registry.REGISTRY)
+    missing = set(bench.BENCH_EXCLUDED) - set(registry.REGISTRY)
     assert not missing
+
+
+def test_exclusions_are_measured_and_sub_bar():
+    """Measured-not-argued (round-10): every exclusion carries a
+    recorded sf0.1 measurement in calib units, and every recorded
+    value is under the bar — an entry added without measuring (or a
+    query that grew past the bar on re-measure) fails here."""
+    bench = _bench()
+    assert isinstance(bench.BENCH_EXCLUDED, dict)
+    for name, units in bench.BENCH_EXCLUDED.items():
+        assert isinstance(units, float), f"{name}: no recorded measurement"
+        assert 0 < units < bench._EXCLUDE_MAX_CALIB_UNITS, (
+            f"{name} measured {units} calib units — over the bar, promote it"
+        )
 
 
 def test_flagships_never_excluded():
@@ -47,5 +61,15 @@ def test_flagships_never_excluded():
         "sim_ivf_disk_topk",
         "classifier_decile_lift",
         "classifier_auc_eval",
+        # promoted by the round-10 measured sweep: were excluded under
+        # the old "<100ms" rationale while measuring seconds of plan
+        # work — must never slip back out of the headline set
+        "quality_ensemble_vote",
+        "curation_dsir_vs_rules",
+        "dedup_cc_clusters",
+        "dedup_cc_labelprop",
+        "w6_nms_greedy",
+        "agg_salted_hot_keys",
+        "sim_ivf_drift_audit",
     ):
         assert name not in bench.BENCH_EXCLUDED

@@ -762,3 +762,36 @@ def test_scd2_merge_refold_side_is_seed_plus_delta(spark):
     # "cut_us", which is why the weaker assert was insufficient
     assert "<= cut_us" in plan, "seed side lost its us <= cut predicate"
     assert "> cut_us" in plan, "merge side lost its us > cut predicate"
+
+
+def test_plans_md_covers_every_registered_query():
+    """PLANS.md must not drift from the registry (round-9 found the
+    newest debut missing from the audit): its stated query count and
+    its data rows both equal the registry, every registered name has
+    a row, and no row is an ERR placeholder."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(path) as f:
+        lines = f.read().splitlines()
+    m = next(
+        re.search(r"\((\d+) queries\)", ln)
+        for ln in lines
+        if re.search(r"\(\d+ queries\)", ln)
+    )
+    stated = int(m.group(1))
+    rows = [
+        ln
+        for ln in lines
+        if ln.startswith("| ") and not ln.startswith("| query |")
+    ]
+    names = {ln.split("|")[1].strip() for ln in rows}
+    assert stated == len(rows) == len(names)
+    registered = set(registry.REGISTRY)
+    assert names == registered, (
+        f"missing rows: {sorted(registered - names)[:5]}; "
+        f"stale rows: {sorted(names - registered)[:5]}"
+    )
+    errs = [ln for ln in rows if "| ERR |" in ln]
+    assert not errs, errs[:3]
