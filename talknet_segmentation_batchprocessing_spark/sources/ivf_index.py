@@ -119,6 +119,13 @@ def build_ivf_index(emb: DataFrame, out_path: str, batch_id: int | None = None) 
         .partitionBy(*parts)
         .parquet(os.path.join(out_path, "vectors"))
     )
+    # a full rebuild starts a fresh stream generation: micro-batch
+    # numbering restarts, so a compaction epoch from the PREVIOUS
+    # generation must not refuse the new stream's early batches
+    try:
+        os.remove(os.path.join(out_path, _EPOCH_MARKER))
+    except FileNotFoundError:
+        pass
     return cent.count()
 
 
@@ -240,6 +247,11 @@ def build_ivfpq_index(
         .partitionBy(*parts)
         .parquet(os.path.join(out_path, "codes"))
     )
+    # fresh stream generation on rebuild — same rule as build_ivf_index
+    try:
+        os.remove(os.path.join(out_path, _EPOCH_MARKER))
+    except FileNotFoundError:
+        pass
 
 
 def append_ivfpq_index(
@@ -408,18 +420,17 @@ def search_ivfpq_index(
     )
 
 
-def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
-    """OPTIMIZE for the IVF index: rewrite the vectors layout so each
-    list is one file (sources/compaction.py's small-files story applied
-    to the ANN index). Streaming ingest (streaming/ann_ingest.py)
-    accumulates one file per (micro-batch x touched list); probing a
-    list then opens every batch's fragment. Compaction reads the whole
-    layout — including any batch_id level — and rewrites it as plain
+def _compact_layout(
+    spark: SparkSession, index_path: str, sub: str, data_cols: list[str]
+) -> tuple[int, int]:
+    """Shared OPTIMIZE machinery for a cent_id-partitioned index layout
+    (``vectors`` for IVF-Flat, ``codes`` for IVF+PQ): read the whole
+    layout — including any batch_id level — and rewrite it as plain
     single-level ``cent_id=`` partitions, one shuffle partition (and
     thus one file) per list.
 
     Publish is atomic at directory granularity: the new layout lands in
-    a staging dir, the old ``vectors`` is moved aside, the staging dir
+    a staging dir, the old live dir is moved aside, the staging dir
     renamed in, then the old layout deleted — a reader sees either the
     old or the new complete layout. A crash between the two renames
     (live missing, ``.old`` present) is healed on the next entry to any
@@ -441,7 +452,7 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
     """
     import shutil
 
-    vec_root = _recover_layout(index_path, "vectors")
+    live_root = _recover_layout(index_path, sub)
 
     def _count_files(root: str) -> int:
         return sum(
@@ -462,21 +473,21 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
                         pass
         return mx
 
-    before = _count_files(vec_root)
-    folded_epoch = _max_batch_id(vec_root)
-    vecs = spark.read.parquet(vec_root).select("vec_id", "v", "cent_id")
-    staged = vec_root + ".compacting"
+    before = _count_files(live_root)
+    folded_epoch = _max_batch_id(live_root)
+    rows = spark.read.parquet(live_root).select(*data_cols, "cent_id")
+    staged = live_root + ".compacting"
     shutil.rmtree(staged, ignore_errors=True)
     (
-        vecs.repartition("cent_id")
+        rows.repartition("cent_id")
         .write.mode("overwrite")
         .partitionBy("cent_id")
         .parquet(staged)
     )
-    old = vec_root + ".old"
+    old = live_root + ".old"
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(vec_root, old)
-    os.rename(staged, vec_root)
+    os.rename(live_root, old)
+    os.rename(staged, live_root)
     shutil.rmtree(old, ignore_errors=True)
     # Close the replay window AFTER the swap is complete: epoch only
     # ever moves forward (repeated compactions keep the max).
@@ -484,7 +495,34 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
     epoch = max(folded_epoch, prev if prev is not None else -1)
     with open(os.path.join(index_path, _EPOCH_MARKER), "w") as f:
         f.write(str(epoch))
-    return before, _count_files(vec_root)
+    return before, _count_files(live_root)
+
+
+def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
+    """OPTIMIZE for the IVF-Flat index: rewrite the vectors layout so
+    each list is one file (sources/compaction.py's small-files story
+    applied to the ANN index). Streaming ingest (streaming/
+    ann_ingest.py) accumulates one file per (micro-batch x touched
+    list); probing a list then opens every batch's fragment. See
+    :func:`_compact_layout` for the swap/crash/replay-window rules."""
+    return _compact_layout(spark, index_path, "vectors", ["vec_id", "v"])
+
+
+def compact_ivfpq_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
+    """OPTIMIZE for the persisted IVF+PQ index: same machinery over the
+    codes layout — the one that actually accumulates fragments at
+    100 TB, since the compressed index is the one streamed into
+    (:func:`ann_pq_index_sink`). Rewrites (vec_id, code0..code3) rows
+    into one file per coarse list; same atomic swap, crash self-heal,
+    and replay-window epoch as the flat index."""
+    from ..queries.dataset_ops import _PQ_M
+
+    return _compact_layout(
+        spark,
+        index_path,
+        "codes",
+        ["vec_id"] + [f"code{m}" for m in range(_PQ_M)],
+    )
 
 
 def search_ivf_index(

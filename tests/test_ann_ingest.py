@@ -336,3 +336,69 @@ def test_compaction_crash_window_recovers(spark, tmp_path):
     os.rename(vec_root, vec_root + ".old")  # the crash window state
     assert _search(spark, path) == want
     assert os.path.isdir(vec_root) and not os.path.exists(vec_root + ".old")
+
+
+def test_pq_compaction_collapses_fragments_and_closes_replay(spark, tmp_path):
+    """The codes layout compacts exactly like the flat one: one file
+    per list, identical search results, batch level gone — and the
+    epoch marker refuses a post-compaction replay."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "pq_compact_index")
+    build_ivfpq_index(spark, emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    half = cut + (n - cut) // 2
+    append_ivfpq_index(delta.filter(F.col("vec_id") < half), path, batch_id=0)
+    append_ivfpq_index(delta.filter(F.col("vec_id") >= half), path, batch_id=1)
+    before_rows = spark.read.parquet(os.path.join(path, "codes")).count()
+    want = _pq_search(spark, path)
+
+    files_before, files_after = compact_ivfpq_index(spark, path)
+    assert files_after < files_before
+
+    code_root = os.path.join(path, "codes")
+    cents = [d for d in os.listdir(code_root) if d.startswith("cent_id=")]
+    assert cents
+    for c in cents:
+        entries = os.listdir(os.path.join(code_root, c))
+        assert not any(e.startswith("batch_id=") for e in entries)
+        assert sum(1 for e in entries if e.endswith(".parquet")) == 1
+
+    assert spark.read.parquet(code_root).count() == before_rows
+    assert _pq_search(spark, path) == want
+
+    with pytest.raises(RuntimeError, match="compaction epoch"):
+        append_ivfpq_index(delta.filter(F.col("vec_id") >= half), path, batch_id=1)
+    assert _pq_search(spark, path) == want
+
+
+def test_rebuild_clears_compaction_epoch(spark, tmp_path):
+    """A full rebuild starts a fresh stream generation: the previous
+    generation's compaction epoch must not refuse the new stream's
+    early batches."""
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        compact_ivf_index,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "regen_index")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    append_ivf_index(emb.filter(F.col("vec_id") >= cut), path, batch_id=0)
+    compact_ivf_index(spark, path)
+    assert os.path.exists(os.path.join(path, "_COMPACTION_EPOCH"))
+
+    # rebuild in place -> fresh generation, batch numbering restarts
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    assert not os.path.exists(os.path.join(path, "_COMPACTION_EPOCH"))
+    append_ivf_index(emb.filter(F.col("vec_id") >= cut), path, batch_id=0)
