@@ -141,9 +141,11 @@ HEAVY = [
     "sim_ivf_disk_merge",
     # the persisted IndexIVFPQ: pruned code-partition scan + ADC
     "sim_ivfpq_disk_topk",
-    # round 10 debut: one broadcast-centroid assign pass + 2-key agg —
-    # should track the corpus scan ~linearly
+    # round 10 debuts: one broadcast-centroid assign pass + 2-key agg —
+    # should track the corpus scan ~linearly; and the compressed-index
+    # incremental merge (build+append amortized, then pruned ADC search)
     "sim_ivf_drift_audit",
+    "sim_ivfpq_disk_merge",
 ]
 
 # --x100: a third decade for the adaptive two-phase queries (VERDICT

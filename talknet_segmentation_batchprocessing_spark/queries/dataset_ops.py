@@ -3717,6 +3717,84 @@ _late_bind_ivfpq_disk()
 
 
 @query(
+    "sim_ivfpq_disk_merge",
+    oracle=None,  # late-bound below: the full-rebuild contract
+    doc="Incremental maintenance for the COMPRESSED index — "
+    "sim_ivf_disk_merge's daily-crawl posture applied to the persisted "
+    "IndexIVFPQ (sources/ivf_index.py append_ivfpq_index): seed-build "
+    "from the first half of the corpus (which contains BOTH bounded "
+    "training samples, so the coarse centroids AND the PQ codebooks "
+    "are frozen exactly as a production index's are), then the "
+    "remaining vectors are assigned + PQ-encoded against the stored "
+    "quantizers and appended into their code-list partitions — no "
+    "retraining, no rewrite of existing lists, and only codes ever "
+    "touch disk. Because both samples are contained in the seed, "
+    "seed-build + delta-append equals a full rebuild bit for bit, so "
+    "the query searches the MERGED index and is checked against the "
+    "same full-corpus oracle as sim_ivfpq_topk — incremental == "
+    "rebuild for the compressed layout, verified row for row",
+    tags=("similarity", "quantization", "ext"),
+)
+def sim_ivfpq_disk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..plans.two_phase import parquet_rows
+    from ..sources.ivf_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from .extensions import _IVF_NPROBE, _IVF_SAMPLE, _ivf_disk_index_path
+
+    path = _ivf_disk_index_path(sf_dir) + "_pq_merged"
+    marker = os.path.join(path, "_MERGED")
+    # same absence rule as sim_ivf_disk_merge: no end-to-end marker OR
+    # no codes layout (failed swap recovery) -> rebuild from scratch
+    if not os.path.exists(marker) or not os.path.isdir(
+        os.path.join(path, "codes")
+    ):
+        shutil.rmtree(path, ignore_errors=True)
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        n = parquet_rows(sf_dir, "embeddings")
+        if n is None:
+            n = emb.count()
+        # the cut must keep BOTH bounded training samples (coarse
+        # k-means and PQ codebooks) inside the seed so the frozen
+        # quantizers equal a full rebuild's
+        cut = max(_IVF_SAMPLE, _PQ_SAMPLE, n // 2)
+        build_ivfpq_index(spark, emb.filter(F.col("vec_id") < cut), path)
+        append_ivfpq_index(emb.filter(F.col("vec_id") >= cut), path)
+        with open(marker, "w") as f:
+            f.write(str(cut))
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PQ_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    return search_ivfpq_index(
+        spark, path, queries, k=_PQ_TOPK, nprobe=_IVF_NPROBE
+    )
+
+
+def _late_bind_ivfpq_disk_merge() -> None:
+    from ..registry import REGISTRY
+
+    # incremental == rebuild for the compressed layout: the merged
+    # index must answer exactly like a full-corpus build, which is
+    # what sim_ivfpq_topk's oracle computes
+    REGISTRY["sim_ivfpq_disk_merge"].oracle = REGISTRY["sim_ivfpq_topk"].oracle
+
+
+_late_bind_ivfpq_disk_merge()
+
+
+@query(
     "sim_ivfpq_recall",
     oracle=None,  # late-bound below: composes two registered oracles
     doc="ANN quality audit for the composed index — recall@3 of "
