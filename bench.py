@@ -126,12 +126,16 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Per-query min over 3 round-robin passes: this VM shows
+    # Per-query min over 2 round-robin passes: this VM shows
     # multi-second host pauses (observed 40-50s stalls). Back-to-back
     # repeats of one query can all land inside a single stall;
     # interleaving the passes means a stall inflates at most one pass
-    # per query. Cache is cleared before every run so every measurement
-    # is a cold plan.
+    # per query, and the min discards it. Cache is cleared before
+    # every run so every measurement is a cold plan. (Was 3 passes
+    # through round 9; the round-10 measured-exclusion sweep grew the
+    # headline set 145 -> 172, so the third pass — whose min almost
+    # always matched pass 2, both being warm-JIT — was dropped to keep
+    # total bench wall inside the prior rounds' envelope.)
     timings: dict[str, float] = {}
 
     def drop_session_tables() -> None:
@@ -144,7 +148,7 @@ def main() -> None:
             if t.name.startswith(("graph_oriented_edges", "graph_sym_edges")):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
-    for _ in range(3):
+    for _ in range(2):
         for name in headline:
             spec = registry.REGISTRY.get(name)
             if spec is None:

@@ -105,6 +105,117 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# UniMax epoch-capped budget allocation (Chung et al., ICLR 2023)
+# ---------------------------------------------------------------------------
+
+# Integer-exact UniMax: budget and corpus sizes in chars (BIGINT), an
+# INTEGER epoch cap, and floor division for the equal-share branch —
+# the whole recurrence stays in BIGINT, so engines cannot diverge.
+_UNIMAX_EPOCH_CAP = 2  # max epochs any source may be repeated
+# synthetic char budget: half the corpus (forces both branches of the
+# recurrence to bind on the test data — small sources cap out, large
+# sources split the remainder)
+_UNIMAX_ORACLE = f"""
+WITH RECURSIVE stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS c
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total_chars,
+         CAST(count(*) AS BIGINT) AS n_src
+  FROM stats
+),
+ordered AS (
+  SELECT source, n_docs, c,
+         row_number() OVER (ORDER BY c, source) AS rn
+  FROM stats
+),
+alloc AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS source,
+         CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS c,
+         CAST(NULL AS BIGINT) AS budget,
+         (SELECT total_chars // 2 FROM tot) AS remaining,
+         (SELECT n_src FROM tot) AS left_cnt
+  UNION ALL
+  SELECT o.rn, o.source, o.n_docs, o.c,
+         least({_UNIMAX_EPOCH_CAP} * o.c, a.remaining // a.left_cnt),
+         a.remaining
+           - least({_UNIMAX_EPOCH_CAP} * o.c, a.remaining // a.left_cnt),
+         a.left_cnt - 1
+  FROM alloc a JOIN ordered o ON o.rn = a.rn + 1
+)
+SELECT a.source, a.n_docs, a.c AS n_chars_total,
+       a.budget AS budget_chars,
+       a.budget = {_UNIMAX_EPOCH_CAP} * a.c AS cap_bound,
+       floor((a.budget * 1.0 / a.c) * 1e6 + 0.5) / 1e6 AS epochs,
+       floor((a.budget * 1.0 / (t.total_chars // 2)) * 1e6 + 0.5) / 1e6
+         AS budget_share
+FROM alloc a CROSS JOIN tot t WHERE a.rn > 0
+"""
+
+
+@query(
+    "mix_unimax_budgets",
+    oracle=_UNIMAX_ORACLE,
+    doc="UniMax budget allocation (Chung et al., ICLR 2023 — the mT5v2/"
+    "uniform-with-epoch-cap successor to temperature sampling): "
+    "sources sorted by corpus size ascending; each takes "
+    "min(cap * its_chars, remaining_budget / remaining_sources) — "
+    "small sources are fully used up to the repeat cap (never "
+    "oversampled into memorization), the freed budget redistributes "
+    "to larger sources toward uniform. The recurrence is inherently "
+    "sequential in the SOURCE axis, which is bounded (languages/"
+    "domains, not documents), so it runs driver-side over the "
+    "collected per-source stats exactly like the k-means sample — the "
+    "corpus-sized work is one map-side-combinable groupBy(source) "
+    "scan. Integer-exact: char counts, an INTEGER epoch cap, and "
+    "floor division keep the whole allocation in BIGINT (no "
+    "transcendentals, unlike the temperature rule), so engines agree "
+    "bit for bit; the oracle runs the same recurrence as a recursive "
+    "CTE. Read next to mix_temperature_sampling: same inputs, the "
+    "two published answers to 'how hard do we oversample the tail?'",
+    tags=("dataset", "mixing", "ext"),
+)
+def mix_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import track_persist
+
+    docs = load(spark, sf_dir, "documents")
+    stats = track_persist(
+        docs.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("c"),
+        )
+    )
+    # bounded collect: one row per SOURCE (the language/domain axis),
+    # the same class as the k-means / PQ training samples
+    rows = sorted(stats.collect(), key=lambda r: (int(r["c"]), r["source"]))
+    total_chars = sum(int(r["c"]) for r in rows)
+    budget = total_chars // 2
+    remaining, left = budget, len(rows)
+    alloc = []
+    for r in rows:
+        b = min(_UNIMAX_EPOCH_CAP * int(r["c"]), remaining // left)
+        alloc.append((r["source"], b))
+        remaining -= b
+        left -= 1
+    alloc_df = spark.createDataFrame(alloc, "source string, budget bigint")
+    return stats.join(F.broadcast(alloc_df), "source").select(
+        "source",
+        "n_docs",
+        F.col("c").alias("n_chars_total"),
+        F.col("budget").alias("budget_chars"),
+        (F.col("budget") == F.lit(_UNIMAX_EPOCH_CAP) * F.col("c")).alias(
+            "cap_bound"
+        ),
+        stable_round(F.col("budget") * F.lit(1.0) / F.col("c"), 6).alias("epochs"),
+        stable_round(F.col("budget") * F.lit(1.0) / F.lit(budget), 6).alias(
+            "budget_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-rule filter ablation over the Gopher battery
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,140 @@
+"""Streaming centroid-drift monitor (streaming/ann_drift.py): per
+micro-batch assignment-cosine summaries against the frozen index
+centroids, bit-equal to the batch twin under any chunking, with the
+replay-idempotence crash discipline."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from talknet_segmentation_batchprocessing_spark.registry import load
+from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+    build_ivf_index,
+)
+from talknet_segmentation_batchprocessing_spark.streaming.ann_drift import (
+    ann_drift_monitor_sink,
+    batch_drift_stats,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _emb(spark):
+    return load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _seeded_index(spark, emb, tmp_path):
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "drift_index")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    return path, cut, n
+
+
+def test_streamed_monitor_equals_batch_twin(spark, tmp_path):
+    emb = _emb(spark)
+    path, cut, n = _seeded_index(spark, emb, tmp_path)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    half = cut + (n - cut) // 2
+    chunks = [
+        delta.filter(F.col("vec_id") < half),
+        delta.filter(F.col("vec_id") >= half),
+    ]
+
+    drop = tmp_path / "drift_delta"
+    drop.mkdir()
+    for i, ch in enumerate(chunks):
+        ch.coalesce(1).write.parquet(str(drop / f"b{i}"))
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "*"))
+    )
+    monitor = str(tmp_path / "monitor")
+    q = ann_drift_monitor_sink(stream, path, monitor, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        int(r["batch_id"]): (
+            int(r["n_vecs"]),
+            int(r["mean_cos_ppb"]),
+            int(r["min_cos_ppb"]),
+        )
+        for r in spark.read.parquet(monitor).collect()
+    }
+    assert set(got) == {0, 1}
+    # file-order of the two drop files decides which chunk became
+    # batch 0 — compare as a multiset of summary rows
+    want = {
+        (
+            int(r["n_vecs"]),
+            int(r["mean_cos_ppb"]),
+            int(r["min_cos_ppb"]),
+        )
+        for ch in chunks
+        for r in batch_drift_stats(spark, ch, path).collect()
+    }
+    assert set(got.values()) == want
+    assert all(v[0] > 0 for v in got.values())
+
+    # the monitor is the rebuild signal: its rows must be comparable
+    # to the seed cohort's own stats (same grid, same centroids)
+    seed_row = batch_drift_stats(
+        spark, emb.filter(F.col("vec_id") < cut), path
+    ).collect()[0]
+    assert int(seed_row["n_vecs"]) == cut
+
+
+def test_monitor_replay_is_idempotent(spark, tmp_path):
+    emb = _emb(spark)
+    path, cut, n = _seeded_index(spark, emb, tmp_path)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    monitor = str(tmp_path / "monitor")
+
+    stats = batch_drift_stats(spark, delta, path)
+    (
+        stats.withColumn("batch_id", F.lit(0))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(monitor)
+    )
+    first = sorted(tuple(r) for r in spark.read.parquet(monitor).collect())
+    # the replay: same batch id, same content -> same single row
+    (
+        stats.withColumn("batch_id", F.lit(0))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(monitor)
+    )
+    after = sorted(tuple(r) for r in spark.read.parquet(monitor).collect())
+    assert after == first and len(after) == 1
+
+
+def test_chunking_invariance_of_grid_stats(spark, tmp_path):
+    """The 1e9-grid design claim directly: stats of the union equal
+    the count-weighted merge of per-chunk stats (BIGINT sums are
+    associative), so no chunking of the stream can move the mean."""
+    emb = _emb(spark)
+    path, cut, n = _seeded_index(spark, emb, tmp_path)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    third = cut + (n - cut) // 3
+    parts = [
+        delta.filter(F.col("vec_id") < third),
+        delta.filter(F.col("vec_id") >= third),
+    ]
+    whole = batch_drift_stats(spark, delta, path).collect()[0]
+    rows = [batch_drift_stats(spark, p, path).collect()[0] for p in parts]
+    n_sum = sum(int(r["n_vecs"]) for r in rows)
+    weighted = sum(int(r["n_vecs"]) * int(r["mean_cos_ppb"]) for r in rows)
+    assert int(whole["n_vecs"]) == n_sum
+    # per-chunk means lose < 1 ppb each to integer division
+    assert abs(weighted // n_sum - int(whole["mean_cos_ppb"])) <= 1
+    assert int(whole["min_cos_ppb"]) == min(int(r["min_cos_ppb"]) for r in rows)
