@@ -215,6 +215,54 @@ def mix_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mix_strategy_agreement",
+    oracle=f"""
+WITH t AS ({_TEMP_MIX_ORACLE}),
+u AS ({_UNIMAX_ORACLE})
+SELECT t.source, t.n_docs, t.n_chars_total,
+       t.epochs AS temp_epochs, u.epochs AS unimax_epochs,
+       floor((t.epochs - u.epochs) * 1e6 + 0.5) / 1e6 AS epoch_gap,
+       u.cap_bound,
+       t.epochs > u.epochs AS tail_protected
+FROM t JOIN u ON u.source = t.source
+""",
+    doc="The before-you-switch report for the mixture rule (the "
+    "curation_dsir_vs_rules pattern applied to sampling): per source, "
+    "the oversampling epochs temperature sampling (T=2) would apply "
+    "vs the epochs UniMax's cap allows, their gap, and whether the "
+    "source is tail-protected (temperature would repeat it MORE than "
+    "the cap permits — exactly the memorization risk UniMax exists to "
+    "remove). Composed from the two REGISTERED strategies so it "
+    "audits precisely what users run; the oracle nests the two proven "
+    "oracles (the recursive UniMax CTE inside a WITH scope, the "
+    "sim_ivfpq_recall composition pattern). Cost: the parents' plans "
+    "+ one join on the bounded source axis",
+    tags=("dataset", "mixing", "audit", "ext"),
+)
+def mix_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = mix_temperature_sampling(spark, sf_dir).select(
+        "source", "n_docs", "n_chars_total", F.col("epochs").alias("temp_epochs")
+    )
+    u = mix_unimax_budgets(spark, sf_dir).select(
+        "source",
+        F.col("epochs").alias("unimax_epochs"),
+        "cap_bound",
+    )
+    return t.join(u, "source").select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        "temp_epochs",
+        "unimax_epochs",
+        stable_round(F.col("temp_epochs") - F.col("unimax_epochs"), 6).alias(
+            "epoch_gap"
+        ),
+        "cap_bound",
+        (F.col("temp_epochs") > F.col("unimax_epochs")).alias("tail_protected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-rule filter ablation over the Gopher battery
 # ---------------------------------------------------------------------------

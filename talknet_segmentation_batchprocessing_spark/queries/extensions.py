@@ -2437,6 +2437,177 @@ from ..registry import REGISTRY as _EXT_REG  # noqa: E402
 _EXT_REG["sim_recall_eval"].oracle = _recall_oracle()
 
 
+_NPROBE_AXIS = (1, 2, 4, 8)
+
+
+def _nprobe_sweep_oracle() -> str:
+    from ..registry import REGISTRY
+
+    bf = REGISTRY["sim_topk_bruteforce"].oracle
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_ivf_kmeans_cte()}
+ranked AS (
+  SELECT vec_id, cent_id, rn FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+  )
+),
+assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cent_id, rn AS probe_rn
+  FROM ranked WHERE vec_id < 10
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, q.probe_rn
+  FROM qprobe q JOIN assign a
+    ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+),
+cpairs AS (
+  SELECT c.query_id, c.neighbor_id, c.probe_rn, qa.v AS av, nb.v AS bv
+  FROM cand c
+  JOIN e qa ON qa.vec_id = c.query_id
+  JOIN e nb ON nb.vec_id = c.neighbor_id
+),
+cscored AS (
+  SELECT query_id, neighbor_id, probe_rn, {_COS_EXPR_DUCK} AS cs FROM cpairs
+),
+axis AS (SELECT unnest([{", ".join(str(x) for x in _NPROBE_AXIS)}]) AS np),
+pern AS (
+  SELECT s.query_id, s.neighbor_id, s.cs, x.np
+  FROM cscored s CROSS JOIN axis x WHERE s.probe_rn <= x.np
+),
+topk AS (
+  SELECT np, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY np, query_id
+                                 ORDER BY cs DESC, neighbor_id) AS rk
+    FROM pern
+  ) WHERE rk <= 3
+),
+bf AS ({bf}),
+hits AS (
+  SELECT t.np, count(*) AS n_hits
+  FROM topk t JOIN bf b
+    ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+   AND b.rank <= 3
+  GROUP BY t.np
+),
+counts AS (SELECT np, count(*) AS n_candidates FROM pern GROUP BY np),
+nq AS (SELECT count(DISTINCT query_id) AS q FROM bf)
+SELECT CAST(c.np AS INTEGER) AS nprobe,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       floor((coalesce(h.n_hits, 0) * 1.0 / (nq.q * 3)) * 1e6 + 0.5) / 1e6
+         AS recall_at_3
+FROM counts c LEFT JOIN hits h ON h.np = c.np CROSS JOIN nq
+"""
+
+
+@query(
+    "sim_nprobe_sweep",
+    oracle=None,  # late-bound below (needs sim_topk_bruteforce registered)
+    doc="The nprobe tuning curve — dedup_threshold_sweep's "
+    "measure-the-knob pattern applied to the IVF index: recall@3 vs "
+    "brute-force ground truth AND candidate-scan cost at every probe "
+    "width on one shared axis (1, 2, 4, 8 = full scan), from ONE "
+    "assignment pass and ONE exact scoring of each (query, candidate) "
+    "pair — each pair carries the probe rank of its list, so the "
+    "per-width top-k just filters probe_rn <= nprobe; no per-width "
+    "re-scan, no re-scoring. This is the report that picks nprobe for "
+    "a recall SLO: read the recall column against the n_candidates "
+    "column (the cost you pay for it). Composes the registered "
+    "k-means/assignment definitions and the brute-force oracle; like "
+    "every ANN audit here it runs on the bounded query sample — the "
+    "top of the axis IS the brute-force baseline's cost by "
+    "construction, which is what makes the curve complete",
+    tags=("similarity", "eval", "ext"),
+)
+def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.expr(_NORM_SPARK))
+    )
+    cent = _ivf_centroids(emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
+    cpairs = emb.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    # multi-consumer intermediate (assign + qprobe both read it):
+    # persist so the n x K cosine ranking runs once, not per consumer
+    from ..registry import track_persist
+
+    ranked = track_persist(
+        cpairs.withColumn("rn", F.row_number().over(wv)).select(
+            "vec_id", "cent_id", "rn"
+        )
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    qprobe = ranked.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "cent_id", F.col("rn").alias("probe_rn")
+    )
+    cand = (
+        F.broadcast(qprobe)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "probe_rn")
+    )
+    qe = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .withColumn(
+            "cs", F.try_divide(F.expr(_DOT_AB_SPARK), F.col("an") * F.col("bn"))
+        )
+        .select("query_id", "neighbor_id", "probe_rn", "cs")
+    )
+    axis = spark.createDataFrame([(x,) for x in _NPROBE_AXIS], "nprobe int")
+    pern = scored.crossJoin(F.broadcast(axis)).filter(
+        F.col("probe_rn") <= F.col("nprobe")
+    )
+    wq = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cs"), "neighbor_id"
+    )
+    topk = pern.withColumn("rk", F.row_number().over(wq)).filter(F.col("rk") <= 3)
+    bf3 = sim_topk_bruteforce(spark, sf_dir).filter(F.col("rank") <= 3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        topk.join(bf3, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("_nh"))
+    )
+    counts = pern.groupBy("nprobe").agg(F.count("*").alias("n_candidates"))
+    nq = bf3.agg(F.countDistinct("query_id").alias("_q"))
+    nh = F.coalesce(F.col("_nh"), F.lit(0))
+    return (
+        counts.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            nh.cast("bigint").alias("n_hits"),
+            stable_round(nh * F.lit(1.0) / (F.col("_q") * 3), 6).alias(
+                "recall_at_3"
+            ),
+        )
+    )
+
+
+_EXT_REG["sim_nprobe_sweep"].oracle = _nprobe_sweep_oracle()
+
+
 @query(
     "text_langid_confusion",
     oracle=f"""

@@ -156,10 +156,13 @@ _DRIVER_WINDOW = [
     # maintenance for the COMPRESSED index (seed-build + frozen
     # coarse+PQ quantizer append == full rebuild, sharing
     # sim_ivfpq_topk's oracle — puts the r10 append_ivfpq_index path
-    # under the driver gate, not just pytest), plus the UniMax
-    # epoch-capped budget allocation (integer-exact recurrence vs a
-    # recursive-CTE oracle).
+    # under the driver gate, not just pytest), the UniMax epoch-capped
+    # budget allocation (integer-exact recurrence vs a recursive-CTE
+    # oracle), the temperature-vs-UniMax strategy agreement audit, and
+    # the nprobe tuning curve (recall + candidate cost per probe width
+    # from one scoring pass, vs the brute-force oracle).
     "sim_ivf_drift_audit", "sim_ivfpq_disk_merge", "mix_unimax_budgets",
+    "mix_strategy_agreement", "sim_nprobe_sweep",
     # R9 debuts stay in per VERDICT r9 ask #8 (and their shared module,
     # sources/ivf_index.py, changed this round: compaction epoch
     # marker, crash-window recovery, PQ append path).
@@ -185,15 +188,15 @@ _DRIVER_WINDOW = [
     "x19_json_field_stats", "x3_crop_geometry",
     # ...and the oldest remaining driver rows (all last green in
     # round 5, code unchanged, mirror-swept in-repo every round
-    # since). Deferred to round 11 (also r5): emb_cluster_balance and
-    # emb_dim_stats plus the remaining 18 r5 rows from
-    # dedup_semantic_keep through x21_zorder_value.
+    # since). Deferred to round 11 (also r5): dedup_ngram_jaccard,
+    # doc_chunk_overlap, emb_cluster_balance and emb_dim_stats plus
+    # the remaining 18 r5 rows from dedup_semantic_keep through
+    # x21_zorder_value.
     "a6_average_precision", "agg_time_rollup", "contamination_bloom",
     "curation_pipeline", "dedup_cc_clusters", "dedup_cc_labelprop",
     "dedup_cc_star", "dedup_containment", "dedup_embedding_cosine",
     "dedup_exact_substring", "dedup_incremental", "dedup_keep_canonical",
-    "dedup_keep_canonical_lsh", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "doc_chunk_overlap",
+    "dedup_keep_canonical_lsh", "dedup_minhash_lsh",
 ]
 
 
