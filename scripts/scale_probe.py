@@ -142,10 +142,17 @@ HEAVY = [
     # the persisted IndexIVFPQ: pruned code-partition scan + ADC
     "sim_ivfpq_disk_topk",
     # round 10 debuts: one broadcast-centroid assign pass + 2-key agg —
-    # should track the corpus scan ~linearly; and the compressed-index
-    # incremental merge (build+append amortized, then pruned ADC search)
+    # should track the corpus scan ~linearly; the compressed-index
+    # incremental merge (build+append amortized, then pruned ADC
+    # search); the nprobe sweep (its np=8 arm IS the brute-force
+    # baseline over the bounded query batch, so growth tracks
+    # |queries| x corpus — linear); and the two mixing reports
+    # (source-keyed aggregates, output O(sources))
     "sim_ivf_drift_audit",
     "sim_ivfpq_disk_merge",
+    "sim_nprobe_sweep",
+    "mix_unimax_budgets",
+    "mix_strategy_agreement",
 ]
 
 # --x100: a third decade for the adaptive two-phase queries (VERDICT
