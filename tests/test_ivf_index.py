@@ -239,3 +239,35 @@ def test_ivfpq_disk_query_prunes_and_stores_no_vectors(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_cache_path_is_per_user_0700_and_param_fingerprinted(
+    monkeypatch, tmp_path
+):
+    """The build-once cache must live in a private per-user root (a
+    world-shared /tmp path is pre-creatable by another user, so a bare
+    _SUCCESS stat would trust a poisoned dir), and the fingerprint
+    must fold in the index format version AND build parameters —
+    changing _IVF_K or bumping the format must miss the cache instead
+    of silently reusing an index built by older code."""
+    from talknet_segmentation_batchprocessing_spark.queries import (
+        extensions as ext,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    p_base = ext._ivf_disk_index_path(SF_SMOKE)
+    root = ext._index_cache_root()
+    assert p_base.startswith(str(tmp_path / "cache"))
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+
+    monkeypatch.setattr(ext, "_IVF_INDEX_FORMAT", ext._IVF_INDEX_FORMAT + 1)
+    p_fmt = ext._ivf_disk_index_path(SF_SMOKE)
+    assert p_fmt != p_base
+
+    monkeypatch.setattr(ext, "_IVF_K", ext._IVF_K + 1)
+    p_k = ext._ivf_disk_index_path(SF_SMOKE)
+    assert p_k not in (p_base, p_fmt)
+
+    monkeypatch.setattr(ext, "_IVF_SAMPLE", ext._IVF_SAMPLE * 2)
+    p_s = ext._ivf_disk_index_path(SF_SMOKE)
+    assert p_s not in (p_base, p_fmt, p_k)
