@@ -53,21 +53,29 @@ def _read_epoch(index_path: str) -> int | None:
 
 def _check_replay_epoch(index_path: str, batch_id: int) -> None:
     """Refuse a streaming replay that predates the compaction epoch:
-    compaction collapses the batch_id partition level, so a replayed
-    micro-batch <= epoch can no longer overwrite 'its own' partitions —
-    it would silently re-append rows the compacted layout already
-    contains. Same rule as VACUUM vs time travel: once compacted, the
-    replay window left of the marker is closed, and a checkpoint that
-    still points there must be discarded (restart the stream with a
-    fresh checkpoint; arrivals after the marker are unaffected)."""
+    compaction folds every batch at or below the epoch into the
+    baseline partition, so a replayed micro-batch <= epoch no longer
+    has 'its own' partition to overwrite — its dynamic overwrite would
+    hit the BASELINE, replacing the whole folded list with just that
+    batch's rows. Same rule as VACUUM vs time travel: the replay
+    window left of the marker is closed. Resume the ORIGINAL
+    checkpoint after compacting (its batch ids continue monotonically
+    past the epoch, so normal progress is never refused); a checkpoint
+    that still wants to replay into the window — crash before the
+    last pre-compaction commit, or a checkpoint reset to 0 — must be
+    advanced past the epoch (or the index rebuilt, which clears the
+    marker and starts a fresh generation)."""
     epoch = _read_epoch(index_path)
     if epoch is not None and int(batch_id) <= epoch:
         raise RuntimeError(
             f"micro-batch {batch_id} predates the compaction epoch "
-            f"{epoch} of index {index_path}: its rows are already in "
-            "the compacted layout and its batch partitions are gone, "
-            "so replaying it would duplicate rows. Discard the stale "
-            "streaming checkpoint and restart from a fresh one."
+            f"{epoch} of index {index_path}: its rows are already "
+            "folded into the baseline partition, so replaying it "
+            "would overwrite the baseline with a fraction of its "
+            "rows. Resume the pre-compaction checkpoint (its batch "
+            "ids continue past the epoch); if this batch id comes "
+            "from a reset/stale checkpoint, advance it past the "
+            "epoch or rebuild the index to start a fresh generation."
         )
 
 
@@ -425,9 +433,12 @@ def _compact_layout(
 ) -> tuple[int, int]:
     """Shared OPTIMIZE machinery for a cent_id-partitioned index layout
     (``vectors`` for IVF-Flat, ``codes`` for IVF+PQ): read the whole
-    layout — including any batch_id level — and rewrite it as plain
-    single-level ``cent_id=`` partitions, one shuffle partition (and
-    thus one file) per list.
+    layout and rewrite it as one file per list. A streamed layout
+    (two-level cent_id/batch_id partitions) KEEPS its batch level —
+    everything folds into a single baseline partition
+    ``batch_id=<epoch>`` per list, so partition depth stays uniform
+    and post-compaction micro-batches (> epoch) append normally next
+    to the baseline; a never-streamed layout stays single-level.
 
     Publish is atomic at directory granularity: the new layout lands in
     a staging dir, the old live dir is moved aside, the staging dir
@@ -439,16 +450,22 @@ def _compact_layout(
     the manifest-swap in sources/upsert.py; local rename suffices
     here.)
 
-    Returns (files_before, files_after). Compaction collapses the
-    batch_id partition level, so it CLOSES the streaming replay window:
-    the max batch_id folded in is recorded in the ``_COMPACTION_EPOCH``
-    marker at the index root, and :func:`append_ivf_index` /
-    :func:`append_ivfpq_index` refuse any micro-batch at or below it —
-    a post-compaction replay fails loudly instead of silently
-    duplicating rows (same rule as VACUUM vs time travel in the
-    lakehouse layer). Only compact at a point where the stream is
-    stopped on a committed checkpoint: an uncommitted in-flight batch's
-    part-files would be folded in as-is.
+    Returns (files_before, files_after). Folding the per-batch
+    fragments into the baseline CLOSES the streaming replay window at
+    the max folded batch_id, recorded in the ``_COMPACTION_EPOCH``
+    marker at the index root: :func:`append_ivf_index` /
+    :func:`append_ivfpq_index` refuse any micro-batch at or below it,
+    because a replayed batch's dynamic overwrite would now hit the
+    BASELINE partition — replacing the whole folded list with just
+    that batch's rows. The refusal turns that data-loss into a loud
+    error (same rule as VACUUM vs time travel in the lakehouse
+    layer). Operationally: stop the stream on a committed checkpoint,
+    compact, then resume the SAME checkpoint — file-source batch ids
+    continue monotonically past the epoch, so normal progress is
+    never refused; only a genuinely stale replay (crash before the
+    last commit, or a checkpoint reset to 0) is. An uncommitted
+    in-flight batch's part-files would be folded in as-is, which is
+    why the stream must be stopped first.
     """
     import shutil
 
@@ -462,26 +479,34 @@ def _compact_layout(
             if f.endswith(".parquet")
         )
 
-    def _max_batch_id(root: str) -> int:
-        mx = -1
+    def _batch_level(root: str) -> tuple[bool, int]:
+        has, mx = False, -(10**18)
         for _r, ds, _f in os.walk(root):
             for d in ds:
                 if d.startswith("batch_id="):
                     try:
                         mx = max(mx, int(d.split("=", 1)[1]))
+                        has = True
                     except ValueError:
                         pass
-        return mx
+        return has, (mx if has else -1)
 
     before = _count_files(live_root)
-    folded_epoch = _max_batch_id(live_root)
+    has_batches, folded_epoch = _batch_level(live_root)
     rows = spark.read.parquet(live_root).select(*data_cols, "cent_id")
+    parts = ["cent_id"]
+    if has_batches:
+        # keep the layout depth uniform: the folded baseline lives in
+        # ONE batch partition per list, at the epoch id itself — new
+        # micro-batches (> epoch) land beside it, never inside it
+        rows = rows.withColumn("batch_id", F.lit(int(folded_epoch)))
+        parts.append("batch_id")
     staged = live_root + ".compacting"
     shutil.rmtree(staged, ignore_errors=True)
     (
         rows.repartition("cent_id")
         .write.mode("overwrite")
-        .partitionBy("cent_id")
+        .partitionBy(*parts)
         .parquet(staged)
     )
     old = live_root + ".old"

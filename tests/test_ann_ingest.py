@@ -128,7 +128,10 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
 def test_compaction_collapses_stream_fragments(spark, tmp_path):
     """After streaming ingest, each probed list is fragmented across
     batch files; compact_ivf_index rewrites to one file per list with
-    IDENTICAL search results, and the batch_id level is gone."""
+    IDENTICAL search results. The batch LEVEL survives (uniform
+    partition depth so later micro-batches append normally) but all
+    folded batches collapse into the single baseline partition at the
+    epoch id."""
     from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
         compact_ivf_index,
     )
@@ -159,10 +162,20 @@ def test_compaction_collapses_stream_fragments(spark, tmp_path):
     assert cents
     for c in cents:
         entries = os.listdir(os.path.join(vec_root, c))
-        assert not any(e.startswith("batch_id=") for e in entries)
-        assert sum(1 for e in entries if e.endswith(".parquet")) == 1
+        # everything folded into ONE baseline batch partition (at the
+        # epoch id = max folded batch), one file inside it
+        bdirs = [e for e in entries if e.startswith("batch_id=")]
+        assert bdirs == ["batch_id=2"]
+        inner = os.listdir(os.path.join(vec_root, c, bdirs[0]))
+        assert sum(1 for e in inner if e.endswith(".parquet")) == 1
 
     assert spark.read.parquet(vec_root).count() == before_rows
+    assert _search(spark, path) == want
+
+    # uniform depth means the stream continues normally past the epoch
+    append_ivf_index(
+        emb.filter(F.col("vec_id") >= n), path, batch_id=3
+    )  # empty delta, but exercises the layout write path
     assert _search(spark, path) == want
 
 
@@ -370,8 +383,10 @@ def test_pq_compaction_collapses_fragments_and_closes_replay(spark, tmp_path):
     assert cents
     for c in cents:
         entries = os.listdir(os.path.join(code_root, c))
-        assert not any(e.startswith("batch_id=") for e in entries)
-        assert sum(1 for e in entries if e.endswith(".parquet")) == 1
+        bdirs = [e for e in entries if e.startswith("batch_id=")]
+        assert bdirs == ["batch_id=1"]
+        inner = os.listdir(os.path.join(code_root, c, bdirs[0]))
+        assert sum(1 for e in inner if e.endswith(".parquet")) == 1
 
     assert spark.read.parquet(code_root).count() == before_rows
     assert _pq_search(spark, path) == want
