@@ -202,8 +202,15 @@ def probe_x100(spark, curve: dict) -> None:
     for name in X100_QUERIES:
         spec = registry.REGISTRY[name]
         entry = curve.setdefault(name, {})
+        # All points of the decade curve are measured FRESH in this
+        # run, under x100_-prefixed keys: overwriting the batch
+        # sweep's sf0.1/sf1 values (measured on a possibly different
+        # host) while keeping its ratio_10x_rows would make the entry
+        # internally inconsistent — ratios must only ever divide
+        # numbers from the same run.
         for label, sf_dir, crossover in (
-            ("sf0.1", SF_SMALL, None),
+            ("x100_base_sf0.1", SF_SMALL, None),
+            ("x100_base_sf1", SF_BIG, None),
             ("x100", SF_X100, None),
             ("x100_two_phase", SF_X100, 0),
         ):
@@ -224,11 +231,12 @@ def probe_x100(spark, curve: dict) -> None:
             finally:
                 two_phase.CROSSOVER_ROWS = old
             entry[label] = round(best, 3)
-        # growth per decade: 10x ratio comes from the existing sf1
-        # entry; the 100x point divides by it to isolate the 2nd decade
-        if entry.get("sf1"):
-            entry["ratio_sf1_to_x100"] = round(entry["x100"] / entry["sf1"], 2)
-        entry["ratio_x100_vs_sf0.1"] = round(entry["x100"] / entry["sf0.1"], 2)
+        entry["ratio_sf1_to_x100"] = round(
+            entry["x100"] / entry["x100_base_sf1"], 2
+        )
+        entry["ratio_x100_vs_sf0.1"] = round(
+            entry["x100"] / entry["x100_base_sf0.1"], 2
+        )
         entry["two_phase_overhead_x100"] = round(
             entry["x100_two_phase"] / entry["x100"], 2
         )

@@ -185,6 +185,19 @@ def ensure_protobuf_runtime() -> bool:
             os.environ["PYTHONPATH"] = (
                 root + (os.pathsep + prev_pp if prev_pp else "")
             )
+        # Purge any cached non-working 'google' BEFORE the attempt,
+        # not just after a failure: the probe import above (or an
+        # earlier candidate) may have cached a regular non-namespace
+        # 'google' package — e.g. a legacy site-packages install
+        # without a usable protobuf runtime — whose pinned __path__
+        # would make THIS candidate's import re-resolve against the
+        # dead location and fail even though the candidate is fine.
+        # Reaching this loop at all means the cached google (if any)
+        # has no working protobuf, so dropping it is always safe.
+        for mod in [
+            m for m in sys.modules if m == "google" or m.startswith("google.")
+        ]:
+            sys.modules.pop(mod, None)
         try:
             from google.protobuf import descriptor  # noqa: F401
 
@@ -192,12 +205,9 @@ def ensure_protobuf_runtime() -> bool:
             return True
         except ImportError:
             # Undo everything this candidate touched before trying the
-            # next root: the vendor layout ships a NON-namespace
-            # ``google/__init__.py``, so a failed partial import leaves
-            # a regular 'google' package cached in sys.modules with
-            # __path__ pinned to the dead root — the next candidate
-            # would re-resolve against it and could never succeed, and
-            # Spark workers would inherit the dead PYTHONPATH entry.
+            # next root — the next candidate must not inherit this
+            # root's sys.path entry, and Spark workers must not
+            # inherit the dead PYTHONPATH entry.
             if added_to_sys_path:
                 try:
                     sys.path.remove(root)
@@ -207,12 +217,12 @@ def ensure_protobuf_runtime() -> bool:
                 os.environ.pop("PYTHONPATH", None)
             else:
                 os.environ["PYTHONPATH"] = prev_pp
-            for mod in [
-                m
-                for m in sys.modules
-                if m == "google" or m.startswith("google.")
-            ]:
-                sys.modules.pop(mod, None)
             continue
+    # all candidates failed: leave no half-imported 'google' cached
+    # for unrelated importers to trip over
+    for mod in [
+        m for m in sys.modules if m == "google" or m.startswith("google.")
+    ]:
+        sys.modules.pop(mod, None)
     _PB_SHIM_READY = False
     return False

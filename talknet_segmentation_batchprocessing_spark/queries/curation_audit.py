@@ -219,22 +219,32 @@ def mix_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mix_strategy_agreement",
     oracle=f"""
 WITH t AS ({_TEMP_MIX_ORACLE}),
-u AS ({_UNIMAX_ORACLE})
-SELECT t.source, t.n_docs, t.n_chars_total,
-       t.epochs AS temp_epochs, u.epochs AS unimax_epochs,
-       floor((t.epochs - u.epochs) * 1e6 + 0.5) / 1e6 AS epoch_gap,
+u AS ({_UNIMAX_ORACLE}),
+b AS (SELECT CAST(sum(n_chars_total) AS BIGINT) // 2 AS budget FROM t),
+te AS (
+  SELECT t.source, t.n_docs, t.n_chars_total,
+         floor((t.temp_weight * b.budget / t.n_chars_total) * 1e6 + 0.5) / 1e6
+           AS temp_epochs
+  FROM t CROSS JOIN b
+)
+SELECT te.source, te.n_docs, te.n_chars_total,
+       te.temp_epochs, u.epochs AS unimax_epochs,
+       floor((te.temp_epochs - u.epochs) * 1e6 + 0.5) / 1e6 AS epoch_gap,
        u.cap_bound,
-       t.epochs > u.epochs AS tail_protected
-FROM t JOIN u ON u.source = t.source
+       te.temp_epochs > u.epochs AS tail_protected
+FROM te JOIN u ON u.source = te.source
 """,
     doc="The before-you-switch report for the mixture rule (the "
-    "curation_dsir_vs_rules pattern applied to sampling): per source, "
-    "the oversampling epochs temperature sampling (T=2) would apply "
-    "vs the epochs UniMax's cap allows, their gap, and whether the "
-    "source is tail-protected (temperature would repeat it MORE than "
-    "the cap permits — exactly the memorization risk UniMax exists to "
-    "remove). Composed from the two REGISTERED strategies so it "
-    "audits precisely what users run; the oracle nests the two proven "
+    "curation_dsir_vs_rules pattern applied to sampling), compared "
+    "UNDER THE SAME CHAR BUDGET so the gap measures the POLICIES and "
+    "not their bookkeeping: temperature's epochs for a source are its "
+    "renormalized weight times the shared budget over its corpus "
+    "size, UniMax's are its capped allocation over the same size — "
+    "their gap, and whether the source is tail-protected "
+    "(temperature would repeat it MORE than the cap permits — "
+    "exactly the memorization risk UniMax exists to remove). "
+    "Composed from the two REGISTERED strategies so it audits "
+    "precisely what users run; the oracle nests the two proven "
     "oracles (the recursive UniMax CTE inside a WITH scope, the "
     "sim_ivfpq_recall composition pattern). Cost: the parents' plans "
     "+ one join on the bounded source axis",
@@ -242,14 +252,27 @@ FROM t JOIN u ON u.source = t.source
 )
 def mix_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = mix_temperature_sampling(spark, sf_dir).select(
-        "source", "n_docs", "n_chars_total", F.col("epochs").alias("temp_epochs")
+        "source", "n_docs", "n_chars_total", "temp_weight"
+    )
+    # the SAME budget UniMax allocates (half the corpus chars), so the
+    # two epoch columns are commensurable
+    b = t.agg(
+        F.expr("CAST(sum(n_chars_total) AS BIGINT) div 2").alias("budget")
+    )
+    te = t.crossJoin(F.broadcast(b)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        stable_round(
+            F.col("temp_weight") * F.col("budget") / F.col("n_chars_total"), 6
+        ).alias("temp_epochs"),
     )
     u = mix_unimax_budgets(spark, sf_dir).select(
         "source",
         F.col("epochs").alias("unimax_epochs"),
         "cap_bound",
     )
-    return t.join(u, "source").select(
+    return te.join(u, "source").select(
         "source",
         "n_docs",
         "n_chars_total",

@@ -1455,14 +1455,14 @@ def sim_ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n is None:
         n = emb.count()
     cut = max(_IVF_SAMPLE, n // 2)
-    e = emb.withColumn("nrm", F.expr(_NORM_SPARK))
-    cent = _ivf_centroids(e).withColumn("cn", F.expr(_NORM_CV_SPARK))
-    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    # THE shared coarse-assignment definition (sources/ivf_index.py):
+    # the audit must measure distance under the exact expression the
+    # index assigns with, or the signal audits the wrong quantizer
+    from ..sources.ivf_index import rank_centroids
+
+    cent = _ivf_centroids(emb)
     assign = (
-        pairs.withColumn("rn", F.row_number().over(wv))
+        rank_centroids(emb, cent)
         .filter(F.col("rn") == 1)
         .select("vec_id", "cc")
     )
@@ -2530,17 +2530,15 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("nrm", F.expr(_NORM_SPARK))
     )
-    cent = _ivf_centroids(emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
-    cpairs = emb.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    # THE shared coarse-assignment definition (sources/ivf_index.py) —
     # multi-consumer intermediate (assign + qprobe both read it):
     # persist so the n x K cosine ranking runs once, not per consumer
     from ..registry import track_persist
+    from ..sources.ivf_index import rank_centroids
 
+    cent = _ivf_centroids(emb)
     ranked = track_persist(
-        cpairs.withColumn("rn", F.row_number().over(wv)).select(
+        rank_centroids(emb.select("vec_id", "v"), cent).select(
             "vec_id", "cent_id", "rn"
         )
     )

@@ -48,7 +48,29 @@ def _read_epoch(index_path: str) -> int | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(f.read().strip())
+        content = f.read().strip()
+    try:
+        return int(content)
+    except ValueError:
+        raise RuntimeError(
+            f"corrupt compaction marker {p!r} (content {content!r}): "
+            "the marker is written atomically, so this means external "
+            "tampering or filesystem damage — verify the index layout "
+            "and rewrite or remove the marker by hand."
+        ) from None
+
+
+def _write_epoch(index_path: str, epoch: int) -> None:
+    """Atomic marker write (tmp + rename): a crash mid-write must
+    never leave an empty/truncated marker that poisons every later
+    append with an unexplained parse error."""
+    p = os.path.join(index_path, _EPOCH_MARKER)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(epoch)))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
 
 
 def _check_replay_epoch(index_path: str, batch_id: int) -> None:
@@ -79,6 +101,47 @@ def _check_replay_epoch(index_path: str, batch_id: int) -> None:
         )
 
 
+def rank_centroids(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, v) x (cent_id, cv) -> (vec_id, v, cent_id, cc, rn):
+    cosine of every vector against every (broadcast) centroid, ranked
+    per vector with ties to the lowest cent_id — THE coarse-assignment
+    expression. Every build / append / search-probe / drift-monitor
+    stage routes through this one definition, because the
+    incremental == rebuild and disk == in-session contracts depend on
+    the assignment being byte-identical everywhere; a tie-break or
+    norm tweak applied to one copy but not another would silently
+    break them. Mirrors sim_ivf_topk's oracle stage exactly."""
+    from ..queries.extensions import _DOT_VC_SPARK, _NORM_CV_SPARK, _NORM_SPARK
+
+    e = vectors.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
+    c = cent.select("cent_id", "cv").withColumn("cn", F.expr(_NORM_CV_SPARK))
+    pairs = e.crossJoin(F.broadcast(c)).withColumn(
+        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    return pairs.withColumn("rn", F.row_number().over(wv))
+
+
+def assign_centroids(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """Winning list per vector: (vec_id, v, cent_id)."""
+    return (
+        rank_centroids(vectors, cent)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+
+
+def probe_lists(queries: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, v) -> the nprobe nearest lists per query:
+    (query_id, cent_id), same ranking as :func:`rank_centroids`."""
+    ranked = rank_centroids(
+        queries.select(F.col("query_id").alias("vec_id"), "v"), cent
+    )
+    return ranked.filter(F.col("rn") <= nprobe).select(
+        F.col("vec_id").alias("query_id"), "cent_id"
+    )
+
+
 def build_ivf_index(emb: DataFrame, out_path: str, batch_id: int | None = None) -> int:
     """(vec_id, v) frame -> on-disk IVF index at ``out_path``:
     ``centroids/`` (K rows) + ``vectors/`` partitioned by cent_id.
@@ -96,24 +159,10 @@ def build_ivf_index(emb: DataFrame, out_path: str, batch_id: int | None = None) 
     start at 0). cent_id stays the OUTER level, so probe-time
     partition pruning is unchanged.
     """
-    from ..queries.extensions import (
-        _DOT_VC_SPARK,
-        _NORM_CV_SPARK,
-        _NORM_SPARK,
-        _ivf_centroids,
-    )
+    from ..queries.extensions import _ivf_centroids
 
-    e = emb.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
-    cent = _ivf_centroids(e).withColumn("cn", F.expr(_NORM_CV_SPARK))
-    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
-    assign = (
-        pairs.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cent_id")
-    )
+    cent = _ivf_centroids(emb.select("vec_id", "v"))
+    assign = assign_centroids(emb, cent)
     cent.select("cent_id", "cv").write.mode("overwrite").parquet(
         os.path.join(out_path, "centroids")
     )
@@ -161,26 +210,12 @@ def append_ivf_index(
     content, so the streaming sink is idempotent; batches never touch
     each other's or the seed's (batch_id=-1) partitions.
     """
-    from ..queries.extensions import _DOT_VC_SPARK, _NORM_CV_SPARK, _NORM_SPARK
-
     if batch_id is not None:
         _check_replay_epoch(index_path, batch_id)
     _recover_layout(index_path, "vectors")
     spark = emb_delta.sparkSession
-    cent = (
-        spark.read.parquet(os.path.join(index_path, "centroids"))
-        .withColumn("cn", F.expr(_NORM_CV_SPARK))
-    )
-    e = emb_delta.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
-    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
-    assign = (
-        pairs.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cent_id")
-    )
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    assign = assign_centroids(emb_delta, cent)
     if batch_id is None:
         (
             assign.repartition("cent_id")
@@ -220,24 +255,10 @@ def build_ivfpq_index(
     so probe-time partition pruning is unchanged.
     """
     from ..queries.dataset_ops import _pq_assign_long, _pq_cb, _pq_wide_codes
-    from ..queries.extensions import (
-        _DOT_VC_SPARK,
-        _NORM_CV_SPARK,
-        _NORM_SPARK,
-        _ivf_centroids,
-    )
+    from ..queries.extensions import _ivf_centroids
 
-    e = emb.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
-    cent = _ivf_centroids(e).withColumn("cn", F.expr(_NORM_CV_SPARK))
-    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
-    assign = (
-        pairs.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
+    cent = _ivf_centroids(emb.select("vec_id", "v"))
+    assign = assign_centroids(emb, cent).select("vec_id", "cent_id")
     cb = _pq_cb(spark, emb.select("vec_id", "v"))
     codes = _pq_wide_codes(_pq_assign_long(spark, emb.select("vec_id", "v"), cb))
     cent.select("cent_id", "cv").write.mode("overwrite").parquet(
@@ -288,27 +309,14 @@ def append_ivfpq_index(
     refused (see :func:`_check_replay_epoch`).
     """
     from ..queries.dataset_ops import _pq_assign_long, _pq_wide_codes
-    from ..queries.extensions import _DOT_VC_SPARK, _NORM_CV_SPARK, _NORM_SPARK
 
     if batch_id is not None:
         _check_replay_epoch(index_path, batch_id)
     _recover_layout(index_path, "codes")
     spark = emb_delta.sparkSession
-    cent = (
-        spark.read.parquet(os.path.join(index_path, "centroids"))
-        .withColumn("cn", F.expr(_NORM_CV_SPARK))
-    )
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
     cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
-    e = emb_delta.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
-    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
-    assign = (
-        pairs.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
+    assign = assign_centroids(emb_delta, cent).select("vec_id", "cent_id")
     codes = _pq_wide_codes(
         _pq_assign_long(spark, emb_delta.select("vec_id", "v"), cb)
     )
@@ -348,29 +356,10 @@ def search_ivfpq_index(
     stage, fixed m-order ADC sum included."""
     from ..functions.rounding import stable_round
     from ..queries.dataset_ops import _PQ_M
-    from ..queries.extensions import (
-        _DOT_VC_SPARK,
-        _NORM_CV_SPARK,
-        _NORM_SPARK,
-    )
 
-    cent = (
-        spark.read.parquet(os.path.join(index_path, "centroids"))
-        .withColumn("cn", F.expr(_NORM_CV_SPARK))
-    )
-    q = queries.select("query_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
-    qp = q.withColumnRenamed("query_id", "vec_id").crossJoin(
-        F.broadcast(cent)
-    ).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
-    probe_rows = (
-        qp.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cent_id")
-        .collect()  # bounded: |queries| * nprobe
-    )
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    q = queries.select("query_id", "v")
+    probe_rows = probe_lists(q, cent, nprobe).collect()  # bounded: |q|*nprobe
     probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
 
     codes = spark.read.parquet(_recover_layout(index_path, "codes")).filter(
@@ -509,17 +498,24 @@ def _compact_layout(
         .partitionBy(*parts)
         .parquet(staged)
     )
+    # Close the replay window BEFORE the swap (epoch only ever moves
+    # forward; repeated compactions keep the max). Ordering matters:
+    # a crash between marker and swap leaves the OLD layout live with
+    # the window already closed — a legitimate replay gets a loud
+    # spurious refusal (recoverable: retry the compaction, or remove
+    # the marker after verifying the layout). The other order —
+    # marker after swap — has a crash window where the FOLDED layout
+    # is live with the window still open, and a replay's dynamic
+    # overwrite replaces the baseline partition with a fraction of
+    # its rows: silent data loss. Spurious refusal beats corruption.
+    prev = _read_epoch(index_path)
+    epoch = max(folded_epoch, prev if prev is not None else -1)
+    _write_epoch(index_path, epoch)
     old = live_root + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(live_root, old)
     os.rename(staged, live_root)
     shutil.rmtree(old, ignore_errors=True)
-    # Close the replay window AFTER the swap is complete: epoch only
-    # ever moves forward (repeated compactions keep the max).
-    prev = _read_epoch(index_path)
-    epoch = max(folded_epoch, prev if prev is not None else -1)
-    with open(os.path.join(index_path, _EPOCH_MARKER), "w") as f:
-        f.write(str(epoch))
     return before, _count_files(live_root)
 
 
@@ -565,32 +561,15 @@ def search_ivf_index(
     The probed-list id set is bounded (queries x nprobe), collected to
     drive planning-time pruning — the documented bounded-collect class.
     """
-    from ..queries.extensions import (
-        _DOT_AB_SPARK,
-        _DOT_VC_SPARK,
-        _NORM_CV_SPARK,
-        _NORM_SPARK,
-    )
+    from ..queries.extensions import _DOT_AB_SPARK, _NORM_SPARK
 
-    cent = (
-        spark.read.parquet(os.path.join(index_path, "centroids"))
-        .withColumn("cn", F.expr(_NORM_CV_SPARK))
-    )
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
     q = queries.select(
         F.col("query_id"), F.col("v")
     ).withColumn("nrm", F.expr(_NORM_SPARK))
-    qp = q.withColumnRenamed("query_id", "vec_id").crossJoin(
-        F.broadcast(cent)
-    ).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
-    qprobe = (
-        qp.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cent_id")
-    )
-    probe_rows = qprobe.collect()  # bounded: |queries| * nprobe
+    probe_rows = probe_lists(
+        q.select("query_id", "v"), cent, nprobe
+    ).collect()  # bounded: |queries| * nprobe
     probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
 
     vecs = spark.read.parquet(_recover_layout(index_path, "vectors")).filter(

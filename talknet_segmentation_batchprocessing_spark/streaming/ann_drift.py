@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -36,19 +36,11 @@ def batch_drift_stats(
     against the index's stored (frozen) centroids: n_vecs,
     mean_cos_ppb, p_min_cos_ppb. Shared by the streaming sink (per
     micro-batch) and the parity tests (whole-delta twin)."""
-    from ..queries.extensions import _DOT_VC_SPARK, _NORM_CV_SPARK, _NORM_SPARK
+    from ..sources.ivf_index import rank_centroids
 
-    cent = (
-        spark.read.parquet(os.path.join(index_path, "centroids"))
-        .withColumn("cn", F.expr(_NORM_CV_SPARK))
-    )
-    e = vectors.select("vec_id", "v").withColumn("nrm", F.expr(_NORM_SPARK))
-    pairs = e.crossJoin(F.broadcast(cent.select("cent_id", "cv", "cn"))).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
     best = (
-        pairs.withColumn("rn", F.row_number().over(wv))
+        rank_centroids(vectors.select("vec_id", "v"), cent)
         .filter(F.col("rn") == 1)
         # 1e9 grid BEFORE aggregation: BIGINT sum/min are order-free,
         # so stream chunking cannot move the result

@@ -1,10 +1,11 @@
-"""deploy.ensure_protobuf_runtime fallback-loop hygiene: a candidate
-root that fails to import must be fully unwound (sys.path, PYTHONPATH,
-and the partially-imported non-namespace ``google`` package in
-sys.modules) before the next candidate is tried — otherwise the broken
-root's pinned ``__path__`` shadows every later candidate and the
-fallback can never succeed. Runs in a subprocess so the import-state
-surgery cannot leak into this test session."""
+"""deploy.ensure_protobuf_runtime fallback-loop hygiene: a poisoned
+``google`` package — whether cached by a failed CANDIDATE import or by
+the PRE-LOOP probe import (a legacy non-namespace site-packages
+install without a usable protobuf runtime) — must never shadow a later
+working candidate: the loop purges the module cache before every
+attempt and unwinds sys.path/PYTHONPATH after every failure. Runs in a
+subprocess so the import-state surgery cannot leak into this test
+session."""
 
 from __future__ import annotations
 
@@ -19,11 +20,12 @@ _SCRIPT = textwrap.dedent(
     """
     import os, pathlib, sys, tempfile
 
-    sys.path.insert(0, os.environ["REPO_ROOT"])
+    repo = os.environ["REPO_ROOT"]
+    sys.path.insert(0, repo)
     import talknet_segmentation_batchprocessing_spark.deploy as dep
 
-    # a poisoned candidate: ships a regular (non-namespace) google
-    # package WITHOUT a usable protobuf runtime — importing it caches
+    # a poisoned root: ships a regular (non-namespace) google package
+    # WITHOUT a usable protobuf runtime — importing through it caches
     # 'google' with __path__ pinned here
     broken = tempfile.mkdtemp(prefix="pbshim_broken_")
     g = pathlib.Path(broken, "google")
@@ -31,6 +33,14 @@ _SCRIPT = textwrap.dedent(
     (g / "__init__.py").write_text("")
     (g / "protobuf" / "__init__.py").write_text("")
 
+    def purge_google():
+        for m in [
+            m for m in sys.modules
+            if m == "google" or m.startswith("google.")
+        ]:
+            sys.modules.pop(m)
+
+    # --- scenario 1: poisoned CANDIDATE ahead of a working one -------
     real_roots = dep._pb_shim_roots
 
     def roots_with_poison():
@@ -39,7 +49,6 @@ _SCRIPT = textwrap.dedent(
 
     dep._pb_shim_roots = roots_with_poison
     dep._PB_SHIM_READY = None
-
     ok = dep.ensure_protobuf_runtime()
     assert ok, "fallback must recover via the vendored root"
     assert broken not in sys.path, "failed root left in sys.path"
@@ -52,6 +61,27 @@ _SCRIPT = textwrap.dedent(
     assert broken not in list(getattr(google, "__path__", [])), (
         "google package still pinned to the dead root"
     )
+
+    # --- scenario 2: poison cached by the PRE-LOOP probe import, and
+    # only ONE (working) candidate root exists — the loop must purge
+    # the stale cache BEFORE the attempt, or the single candidate can
+    # never succeed
+    purge_google()
+    vendored = os.path.join(repo, "vendor", "pbshim")
+    sys.path = [
+        p for p in sys.path if p not in (broken, vendored)
+    ]
+    os.environ.pop("PYTHONPATH", None)
+    sys.path.append(broken)  # probe import caches the poisoned google
+
+    dep._pb_shim_roots = lambda: iter([vendored])
+    dep._PB_SHIM_READY = None
+    ok2 = dep.ensure_protobuf_runtime()
+    assert ok2, (
+        "pre-loop poison must not sabotage the only working candidate"
+    )
+    from google.protobuf import descriptor as d2  # noqa: F401
+
     print("FALLBACK_OK")
     """
 )
