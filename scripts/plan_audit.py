@@ -50,23 +50,61 @@ def _count(plan: str, *patterns: str) -> int:
     return len(ids) + len(noid)
 
 
-def _existing_rows(path: str) -> dict[str, tuple]:
-    """Parse a previously generated PLANS.md back into name -> row, so
-    ``--only name1,name2`` can refresh specific rows without re-running
-    all registered queries (~25 min). The merged output is re-emitted
-    in REGISTRY order, so new debuts slot into their proper position."""
+def _existing_rows(path: str) -> tuple[dict[str, tuple], int]:
+    """Parse a previously generated PLANS.md back into (name -> row,
+    unparsed-row count), so ``--only name1,name2`` can refresh specific
+    rows without re-running all registered queries (~25 min). The
+    merged output is re-emitted in REGISTRY order, so new debuts slot
+    into their proper position. Rows that don't split into exactly 6
+    cells are counted, not silently dropped — a dropped row would be
+    re-audited as a 'debut', masking a corrupt prior file."""
     rows: dict[str, tuple] = {}
+    bad = 0
     try:
         with open(path) as f:
             for line in f:
                 if not line.startswith("| ") or line.startswith("| query |"):
                     continue
+                if set(line.strip()) <= {"|", "-", " "}:
+                    continue  # the header separator row
                 cells = [c.strip() for c in line.strip().strip("|").split("|")]
                 if len(cells) == 6:
                     rows[cells[0]] = tuple(cells)
+                else:
+                    bad += 1
     except FileNotFoundError:
         pass
-    return rows
+    return rows, bad
+
+
+def _stale_modules(out_path: str, only: set[str], reg) -> list[str]:
+    """Package modules edited AFTER the prior PLANS.md was generated
+    but NOT owned by any --only query: their queries' reused rows may
+    be stale, because plan shape can change through shared helpers
+    (round 10's global_rank BIGINT change touched 5 queries via
+    plans/two_phase.py). Returns repo-relative paths to warn about."""
+    try:
+        plans_mtime = os.path.getmtime(out_path)
+    except OSError:
+        return []
+    named_files = set()
+    for n in only:
+        mod = sys.modules.get(reg.REGISTRY[n].fn.__module__)
+        if mod is not None and getattr(mod, "__file__", None):
+            named_files.add(os.path.abspath(mod.__file__))
+    pkg_root = os.path.dirname(os.path.abspath(reg.__file__))
+    repo_root = os.path.dirname(pkg_root)
+    stale = []
+    for r, _d, fs in os.walk(pkg_root):
+        for f in fs:
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(r, f)
+            if os.path.abspath(p) in named_files:
+                continue
+            if os.path.getmtime(p) > plans_mtime:
+                stale.append(os.path.relpath(p, repo_root))
+    return sorted(stale)
 
 
 def main() -> int:
@@ -81,7 +119,23 @@ def main() -> int:
         if unknown:
             print(f"--only names unknown queries: {sorted(unknown)}")
             return 2
-    prior = _existing_rows(out_path) if only else {}
+    prior: dict[str, tuple] = {}
+    if only:
+        prior, n_bad = _existing_rows(out_path)
+        if n_bad:
+            print(
+                f"WARNING: {n_bad} prior PLANS.md row(s) failed to parse "
+                "and will be re-audited if named (or re-emitted as debuts)"
+            )
+        stale = _stale_modules(out_path, only, registry)
+        if stale:
+            print(
+                f"WARNING: {len(stale)} package module(s) changed since "
+                "the last full audit but are outside the --only queries' "
+                "modules — reused rows may be stale through shared "
+                f"helpers: {', '.join(stale[:8])}"
+                + (" ..." if len(stale) > 8 else "")
+            )
     rows = []
     for name, spec in registry.REGISTRY.items():
         if only is not None and name not in only:

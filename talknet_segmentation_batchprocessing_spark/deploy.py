@@ -192,11 +192,16 @@ def ensure_protobuf_runtime() -> bool:
         # without a usable protobuf runtime — whose pinned __path__
         # would make THIS candidate's import re-resolve against the
         # dead location and fail even though the candidate is fine.
-        # Reaching this loop at all means the cached google (if any)
-        # has no working protobuf, so dropping it is always safe.
-        for mod in [
-            m for m in sys.modules if m == "google" or m.startswith("google.")
-        ]:
+        # Scope the purge to the namespace anchor plus the protobuf
+        # runtime itself: unrelated, WORKING google.* namespace
+        # packages (google.auth, google.cloud, ...) stay cached —
+        # evicting them would leave in-flight objects holding the old
+        # module instances while fresh imports silently duplicate
+        # module-level registries/singletons. Popping bare 'google'
+        # is enough to unpin the stale __path__ (re-import resolves
+        # it fresh; surviving google.X children just get re-attached
+        # as attributes on next import).
+        for mod in _pb_modules_to_purge(sys.modules):
             sys.modules.pop(mod, None)
         try:
             from google.protobuf import descriptor  # noqa: F401
@@ -218,11 +223,23 @@ def ensure_protobuf_runtime() -> bool:
             else:
                 os.environ["PYTHONPATH"] = prev_pp
             continue
-    # all candidates failed: leave no half-imported 'google' cached
-    # for unrelated importers to trip over
-    for mod in [
-        m for m in sys.modules if m == "google" or m.startswith("google.")
-    ]:
+    # all candidates failed: leave no half-imported protobuf runtime
+    # cached for unrelated importers to trip over (same scoped purge —
+    # working google.* siblings are not ours to evict)
+    for mod in _pb_modules_to_purge(sys.modules):
         sys.modules.pop(mod, None)
     _PB_SHIM_READY = False
     return False
+
+
+def _pb_modules_to_purge(modules) -> list[str]:
+    """The sys.modules keys ensure_protobuf_runtime may evict: the
+    'google' namespace anchor (whose cached __path__ can pin a dead
+    location) and the protobuf runtime trees — never unrelated
+    google.* namespace packages such as google.auth / google.cloud."""
+    return [
+        m
+        for m in modules
+        if m in ("google", "google.protobuf", "google._upb")
+        or m.startswith(("google.protobuf.", "google._upb."))
+    ]

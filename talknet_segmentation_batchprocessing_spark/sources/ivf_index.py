@@ -33,11 +33,36 @@ def _recover_layout(index_path: str, sub: str) -> str:
     no live directory exists. If we find that state (live missing,
     ``.old`` present), the staged copy may be incomplete — the OLD
     layout is the only one known complete, so move it back. Returns
-    the live layout path either way."""
+    the live layout path either way.
+
+    MUTATES DISK, so it runs only on WRITE paths (append / compact),
+    which assume a single writer at a time. Read paths use
+    :func:`_live_layout` instead: a concurrent reader healing during a
+    HEALTHY compaction swap could rename ``.old`` back between the
+    compactor's two renames, making the compactor's
+    ``os.rename(staged, live)`` collide — and leaving the epoch marker
+    advanced against a never-folded layout."""
     live = os.path.join(index_path, sub)
     old = live + ".old"
     if not os.path.isdir(live) and os.path.isdir(old):
         os.rename(old, live)
+    return live
+
+
+def _live_layout(index_path: str, sub: str) -> str:
+    """Read-only sibling of :func:`_recover_layout` for SEARCH paths:
+    resolve the layout to scan without touching disk. Mid-swap (live
+    missing, ``.old`` present) the old layout is the only complete
+    one, so read it where it stands — the writer heals or finishes the
+    swap on its own next entry. Readers concurrent with the swap's
+    final ``rmtree(old)`` can still lose the directory under a planned
+    scan; on a real object store the manifest swap removes that
+    window, locally it is the documented single-writer /
+    reader-quiesced-during-compaction posture."""
+    live = os.path.join(index_path, sub)
+    old = live + ".old"
+    if not os.path.isdir(live) and os.path.isdir(old):
+        return old
     return live
 
 
@@ -362,7 +387,7 @@ def search_ivfpq_index(
     probe_rows = probe_lists(q, cent, nprobe).collect()  # bounded: |q|*nprobe
     probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
 
-    codes = spark.read.parquet(_recover_layout(index_path, "codes")).filter(
+    codes = spark.read.parquet(_live_layout(index_path, "codes")).filter(
         F.col("cent_id").isin(probed_lists)  # planning-time pruning
     )
     cand = codes.join(
@@ -417,8 +442,35 @@ def search_ivfpq_index(
     )
 
 
+def _last_committed_batch(checkpoint_dir: str) -> tuple[int, int]:
+    """(last committed batch id, last started batch id) from a
+    Structured Streaming checkpoint's ``commits/`` and ``offsets/``
+    directories, -1 for an empty/absent side. A started-but-uncommitted
+    batch shows as ``offsets > commits``: its part-files may already
+    sit in the index layout, but the stream WILL replay it on resume —
+    compacting now would fold the half-written batch into the baseline
+    and then refuse its legitimate replay."""
+
+    def _mx(sub: str) -> int:
+        d = os.path.join(checkpoint_dir, sub)
+        mx = -1
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                try:
+                    mx = max(mx, int(f))
+                except ValueError:
+                    pass  # .tmp / metadata files
+        return mx
+
+    return _mx("commits"), _mx("offsets")
+
+
 def _compact_layout(
-    spark: SparkSession, index_path: str, sub: str, data_cols: list[str]
+    spark: SparkSession,
+    index_path: str,
+    sub: str,
+    data_cols: list[str],
+    checkpoint_dir: str | None = None,
 ) -> tuple[int, int]:
     """Shared OPTIMIZE machinery for a cent_id-partitioned index layout
     (``vectors`` for IVF-Flat, ``codes`` for IVF+PQ): read the whole
@@ -454,7 +506,13 @@ def _compact_layout(
     never refused; only a genuinely stale replay (crash before the
     last commit, or a checkpoint reset to 0) is. An uncommitted
     in-flight batch's part-files would be folded in as-is, which is
-    why the stream must be stopped first.
+    why the stream must be stopped ON A COMMITTED BATCH first — pass
+    the sink's ``checkpoint_dir`` and compaction verifies that
+    precondition itself, refusing when the layout holds a batch the
+    checkpoint never committed (crash between write and commit: the
+    stream will replay that batch on resume, so folding it now would
+    first corrupt the baseline with the half-written rows and then
+    block the legitimate replay).
     """
     import shutil
 
@@ -482,6 +540,25 @@ def _compact_layout(
 
     before = _count_files(live_root)
     has_batches, folded_epoch = _batch_level(live_root)
+    if checkpoint_dir is not None:
+        committed, started = _last_committed_batch(checkpoint_dir)
+        stray = folded_epoch if (has_batches and folded_epoch > committed) else None
+        if started > committed or stray is not None:
+            detail = (
+                f"layout holds batch_id={stray} beyond the last commit"
+                if stray is not None
+                else f"batch {started} started but never committed"
+            )
+            raise RuntimeError(
+                f"refusing to compact {index_path}: checkpoint "
+                f"{checkpoint_dir} shows an in-flight micro-batch "
+                f"({detail}, last committed {committed}). The stream "
+                "will replay that batch on resume; compacting now "
+                "would fold its partial part-files into the baseline "
+                "and then refuse the legitimate replay. Resume the "
+                "stream to let the batch commit (availableNow drains "
+                "it), then compact."
+            )
     rows = spark.read.parquet(live_root).select(*data_cols, "cent_id")
     parts = ["cent_id"]
     if has_batches:
@@ -508,9 +585,13 @@ def _compact_layout(
     # is live with the window still open, and a replay's dynamic
     # overwrite replaces the baseline partition with a fraction of
     # its rows: silent data loss. Spurious refusal beats corruption.
-    prev = _read_epoch(index_path)
-    epoch = max(folded_epoch, prev if prev is not None else -1)
-    _write_epoch(index_path, epoch)
+    # A never-streamed layout (no batch_id level) has NO replay window
+    # to close — writing a marker there would only poison a later
+    # seed-convention append (batch_id=-1 <= epoch -1), so skip it.
+    if has_batches:
+        prev = _read_epoch(index_path)
+        epoch = max(folded_epoch, prev if prev is not None else -1)
+        _write_epoch(index_path, epoch)
     old = live_root + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(live_root, old)
@@ -519,23 +600,33 @@ def _compact_layout(
     return before, _count_files(live_root)
 
 
-def compact_ivf_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
+def compact_ivf_index(
+    spark: SparkSession, index_path: str, checkpoint_dir: str | None = None
+) -> tuple[int, int]:
     """OPTIMIZE for the IVF-Flat index: rewrite the vectors layout so
     each list is one file (sources/compaction.py's small-files story
     applied to the ANN index). Streaming ingest (streaming/
     ann_ingest.py) accumulates one file per (micro-batch x touched
     list); probing a list then opens every batch's fragment. See
-    :func:`_compact_layout` for the swap/crash/replay-window rules."""
-    return _compact_layout(spark, index_path, "vectors", ["vec_id", "v"])
+    :func:`_compact_layout` for the swap/crash/replay-window rules;
+    pass the ingest sink's ``checkpoint_dir`` to have the
+    stopped-on-a-committed-batch precondition verified rather than
+    trusted."""
+    return _compact_layout(
+        spark, index_path, "vectors", ["vec_id", "v"], checkpoint_dir
+    )
 
 
-def compact_ivfpq_index(spark: SparkSession, index_path: str) -> tuple[int, int]:
+def compact_ivfpq_index(
+    spark: SparkSession, index_path: str, checkpoint_dir: str | None = None
+) -> tuple[int, int]:
     """OPTIMIZE for the persisted IVF+PQ index: same machinery over the
     codes layout — the one that actually accumulates fragments at
     100 TB, since the compressed index is the one streamed into
     (:func:`ann_pq_index_sink`). Rewrites (vec_id, code0..code3) rows
     into one file per coarse list; same atomic swap, crash self-heal,
-    and replay-window epoch as the flat index."""
+    replay-window epoch, and optional checkpoint precondition as the
+    flat index."""
     from ..queries.dataset_ops import _PQ_M
 
     return _compact_layout(
@@ -543,6 +634,7 @@ def compact_ivfpq_index(spark: SparkSession, index_path: str) -> tuple[int, int]
         index_path,
         "codes",
         ["vec_id"] + [f"code{m}" for m in range(_PQ_M)],
+        checkpoint_dir,
     )
 
 
@@ -572,7 +664,7 @@ def search_ivf_index(
     ).collect()  # bounded: |queries| * nprobe
     probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
 
-    vecs = spark.read.parquet(_recover_layout(index_path, "vectors")).filter(
+    vecs = spark.read.parquet(_live_layout(index_path, "vectors")).filter(
         F.col("cent_id").isin(probed_lists)  # planning-time pruning
     )
     cand = vecs.join(

@@ -334,9 +334,10 @@ def test_post_compaction_replay_is_refused(spark, tmp_path):
 
 def test_compaction_crash_window_recovers(spark, tmp_path):
     """Crash between the two renames of the compaction swap leaves no
-    live vectors dir and a complete ``.old`` — the next index operation
-    heals it by moving the old layout back, and searches still answer
-    the batch-built result."""
+    live vectors dir and a complete ``.old``. A SEARCH answers from the
+    old layout WITHOUT touching disk (a reader that healed could race a
+    healthy compactor's own swap renames); the next WRITE operation
+    heals by moving the old layout back."""
     emb = _emb(spark)
     n = emb.count()
     cut = max(256, n // 2)
@@ -347,8 +348,13 @@ def test_compaction_crash_window_recovers(spark, tmp_path):
 
     vec_root = os.path.join(path, "vectors")
     os.rename(vec_root, vec_root + ".old")  # the crash window state
+    # read path: correct answer, zero disk mutation
     assert _search(spark, path) == want
+    assert os.path.isdir(vec_root + ".old") and not os.path.exists(vec_root)
+    # write path: heals, then appends
+    append_ivf_index(emb.filter(F.col("vec_id") >= cut).limit(0), path, batch_id=1)
     assert os.path.isdir(vec_root) and not os.path.exists(vec_root + ".old")
+    assert _search(spark, path) == want
 
 
 def test_pq_compaction_collapses_fragments_and_closes_replay(spark, tmp_path):
@@ -417,3 +423,79 @@ def test_rebuild_clears_compaction_epoch(spark, tmp_path):
     build_ivf_index(emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
     assert not os.path.exists(os.path.join(path, "_COMPACTION_EPOCH"))
     append_ivf_index(emb.filter(F.col("vec_id") >= cut), path, batch_id=0)
+
+
+def test_compact_never_streamed_layout_writes_no_epoch(spark, tmp_path):
+    """Compacting a batch-built index (no batch_id level) must NOT
+    create a compaction epoch marker: there is no replay window to
+    close, and a marker at -1 would refuse the documented seed
+    convention batch_id=-1 forever after."""
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        compact_ivf_index,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "pure_batch_index")
+    build_ivf_index(emb, path)  # no batch_id: single-level layout
+    want = _search(spark, path)
+
+    compact_ivf_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "_COMPACTION_EPOCH"))
+    assert _search(spark, path) == want
+
+
+def _fake_checkpoint(tmp_path, name, commits, offsets):
+    cp = tmp_path / name
+    (cp / "commits").mkdir(parents=True)
+    (cp / "offsets").mkdir(parents=True)
+    for b in commits:
+        (cp / "commits" / str(b)).write_text("v1\n{}")
+    for b in offsets:
+        (cp / "offsets" / str(b)).write_text("v1\n{}")
+    return str(cp)
+
+
+def test_compact_refuses_uncommitted_inflight_batch(spark, tmp_path):
+    """Given the ingest sink's checkpoint dir, compaction verifies the
+    stopped-on-a-committed-batch precondition: a batch that STARTED
+    (offsets) but never COMMITTED will be replayed on resume, so
+    folding its part-files now would corrupt the baseline and then
+    refuse the legitimate replay. Both detection channels fire: the
+    checkpoint's offsets>commits gap, and stray batch partitions on
+    disk beyond the last commit."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        compact_ivf_index,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "guarded_index")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+    append_ivf_index(emb.filter(F.col("vec_id") >= cut), path, batch_id=0)
+    want = _search(spark, path)
+
+    # channel 1: offsets ahead of commits (crash mid-batch-1)
+    cp = _fake_checkpoint(tmp_path, "cp_inflight", commits=[0], offsets=[0, 1])
+    with pytest.raises(RuntimeError, match="in-flight micro-batch"):
+        compact_ivf_index(spark, path, checkpoint_dir=cp)
+
+    # channel 2: disk holds batch_id=0 but the checkpoint never
+    # committed it (crash between write and commit, offsets rewound)
+    cp2 = _fake_checkpoint(tmp_path, "cp_stray", commits=[], offsets=[])
+    with pytest.raises(RuntimeError, match="beyond the last commit"):
+        compact_ivf_index(spark, path, checkpoint_dir=cp2)
+
+    # refusal left the layout untouched
+    assert _search(spark, path) == want
+    assert not os.path.exists(os.path.join(path, "_COMPACTION_EPOCH"))
+
+    # consistent checkpoint: compaction proceeds and closes the window
+    cp3 = _fake_checkpoint(tmp_path, "cp_clean", commits=[0], offsets=[0])
+    files_before, files_after = compact_ivf_index(spark, path, checkpoint_dir=cp3)
+    assert files_after <= files_before
+    assert _search(spark, path) == want
+    with open(os.path.join(path, "_COMPACTION_EPOCH")) as f:
+        assert int(f.read().strip()) == 0

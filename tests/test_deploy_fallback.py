@@ -100,3 +100,36 @@ def test_failed_candidate_root_is_unwound():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "FALLBACK_OK" in out.stdout
+
+
+def test_purge_scope_spares_unrelated_google_namespace_packages():
+    """The protobuf fallback must only evict the 'google' namespace
+    anchor and the protobuf runtime trees — never working google.*
+    siblings (google.auth, google.cloud, ...): evicting those leaves
+    in-flight objects holding old module instances while fresh imports
+    duplicate module-level registries/singletons."""
+    from talknet_segmentation_batchprocessing_spark.deploy import (
+        _pb_modules_to_purge,
+    )
+
+    cached = {
+        "google": object(),
+        "google.protobuf": object(),
+        "google.protobuf.descriptor": object(),
+        "google._upb": object(),
+        "google._upb._message": object(),
+        "google.auth": object(),
+        "google.auth.transport": object(),
+        "google.cloud": object(),
+        "google.cloud.storage": object(),
+        "google_crc32c": object(),  # prefix lookalike, not google.*
+        "numpy": object(),
+    }
+    got = sorted(_pb_modules_to_purge(cached))
+    assert got == [
+        "google",
+        "google._upb",
+        "google._upb._message",
+        "google.protobuf",
+        "google.protobuf.descriptor",
+    ]

@@ -795,3 +795,32 @@ def test_plans_md_covers_every_registered_query():
     )
     errs = [ln for ln in rows if "| ERR |" in ln]
     assert not errs, errs[:3]
+
+
+def test_plan_audit_counts_unparsed_prior_rows(tmp_path):
+    """scripts/plan_audit.py --only reuses prior PLANS.md rows; a row
+    that doesn't split into exactly 6 cells must be COUNTED (it gets
+    re-audited as a debut), never silently dropped — silence would
+    mask a corrupt prior file as a clean run."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    p = tmp_path / "PLANS.md"
+    p.write_text(
+        "# PLANS\n"
+        "| query | BHJ | SMJ | shuffles | 1-part | NLJ |\n"
+        "|---|---|---|---|---|---|\n"
+        "| good_query | 1 | 0 | 2 | 0 | 0 |\n"
+        "| truncated_row | 1 | 0 |\n"
+        "| overlong_row | 1 | 0 | 2 | 0 | 0 | extra |\n"
+    )
+    rows, bad = mod._existing_rows(str(p))
+    assert set(rows) == {"good_query"}
+    assert bad == 2
