@@ -153,6 +153,14 @@ HEAVY = [
     "sim_nprobe_sweep",
     "mix_unimax_budgets",
     "mix_strategy_agreement",
+    # round 11: the nprobe curve against the PERSISTED index — four
+    # pruned scans (one per width; the widest IS the full corpus), so
+    # growth tracks |queries| x corpus like the in-session sweep, with
+    # the index build amortized by min-of-2
+    "sim_nprobe_sweep_disk",
+    # round 11: the monitor-to-decision wiring — reads the drift
+    # audit's cohort bands, output O(1)
+    "sim_ivf_rebuild_decision",
 ]
 
 # --x100: a third decade for the adaptive two-phase queries (VERDICT
@@ -170,6 +178,80 @@ X100_QUERIES = [
     "classifier_auc_eval",
     "quality_rank_agreement",
 ]
+
+
+# --x100-emb: a third decade for the on-disk ANN index family
+# (VERDICT r10 ask #4) — the amortization claim (0.95-1.27x at 10x)
+# confirmed another decade out, since the index is the 100 TB
+# centerpiece. embeddings-only 100x replica set (sf0.1 embeddings is
+# 2k rows, so 100x = 200k vectors); same seeded-noise de-correlation
+# as the 10x set, key-shifted per replica. min-of-2 per point keeps
+# the build-once/search-many amortization these queries document.
+SF_X100_EMB = "/tmp/scale_sf100_emb"
+X100_INDEX_QUERIES = [
+    "sim_ivf_disk_topk",
+    "sim_ivfpq_disk_topk",
+    "sim_ivfpq_disk_merge",
+]
+
+
+def synthesize_x100_emb() -> None:
+    os.makedirs(SF_X100_EMB, exist_ok=True)
+    dst = f"{SF_X100_EMB}/embeddings.parquet"
+    if os.path.exists(dst):
+        return
+    emb = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pandas()
+    vecs = np.stack(emb["embedding"].map(np.asarray))
+    out_e = [emb]
+    for k in range(1, REPLICAS_X100):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + k * 10_000_000
+        rng = np.random.default_rng(5000 + k)
+        noise = rng.normal(scale=1.0, size=vecs.shape).astype("float32")
+        mixed = (0.3 * vecs + noise * 0.15).astype("float32")
+        e["embedding"] = list(mixed)
+        out_e.append(e)
+    big = pd.concat(out_e, ignore_index=True)
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+         ("label", pa.int32())]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(big, schema=schema, preserve_index=False), dst
+    )
+    print(f"synthesized {len(big)} vecs (x{REPLICAS_X100}) under {SF_X100_EMB}")
+
+
+def probe_x100_index(spark, curve: dict) -> None:
+    synthesize_x100_emb()
+    for name in X100_INDEX_QUERIES:
+        spec = registry.REGISTRY[name]
+        entry = curve.setdefault(name, {})
+        # all decade points measured fresh in THIS run (same-host
+        # ratios only), under x100_-prefixed keys like probe_x100
+        for label, sf_dir in (
+            ("x100_base_sf0.1", SF_SMALL),
+            ("x100_base_sf1", SF_BIG),
+            ("x100", SF_X100_EMB),
+        ):
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                registry.release_persisted()
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            entry[label] = round(best, 3)
+        entry["ratio_sf1_to_x100"] = round(
+            entry["x100"] / entry["x100_base_sf1"], 2
+        )
+        entry["ratio_x100_vs_sf0.1"] = round(
+            entry["x100"] / entry["x100_base_sf0.1"], 2
+        )
+        print(f"  {name}: {entry}")
 
 
 def synthesize_x100() -> None:
@@ -348,7 +430,12 @@ def main() -> int:
     # the existing curve (the batch sweep is ~25 min; don't repeat it
     # to refresh one entry)
     heavy = HEAVY
-    if "--scd2-only" in sys.argv or "--only" in sys.argv or "--x100" in sys.argv:
+    if (
+        "--scd2-only" in sys.argv
+        or "--only" in sys.argv
+        or "--x100" in sys.argv
+        or "--x100-emb" in sys.argv
+    ):
         heavy = []
         if "--only" in sys.argv:
             heavy = sys.argv[sys.argv.index("--only") + 1].split(",")
@@ -387,6 +474,11 @@ def main() -> int:
     if "--x100" in sys.argv:
         probe_x100(spark, curve)
 
+    # third decade for the on-disk ANN index family (VERDICT r10 ask
+    # #4): --x100-emb reruns just those three and merges into the curve
+    if "--x100-emb" in sys.argv:
+        probe_x100_index(spark, curve)
+
     # streaming SCD2 changelog + merge sink on a 10x event stream
     # (VERDICT r8 ask 4's third leg): not a registered batch query, so
     # probed directly — availableNow over the events parquet, state
@@ -401,7 +493,11 @@ def main() -> int:
     )
 
     # targeted --only / --x100 reruns keep the existing streaming entry
-    run_scd2 = "--only" not in sys.argv and "--x100" not in sys.argv
+    run_scd2 = (
+        "--only" not in sys.argv
+        and "--x100" not in sys.argv
+        and "--x100-emb" not in sys.argv
+    )
     try:
         from talknet_segmentation_batchprocessing_spark.sources.upsert import (  # noqa: E402
             init_table,

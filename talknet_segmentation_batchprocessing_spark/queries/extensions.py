@@ -1482,6 +1482,132 @@ def sim_ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rebuild when the appended cohort's assignment-cosine band falls this
+# far below the seed cohort's (6-dp grid; the monitor-side twin in
+# streaming/ann_drift.py uses the same threshold on its ppb grid)
+_REBUILD_GAP = 0.05
+
+
+@query(
+    "sim_ivf_rebuild_decision",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_ivf_kmeans_cte()}
+tot AS (SELECT count(*) AS n FROM e),
+assign AS (
+  SELECT vec_id, cc FROM (
+    SELECT e.vec_id, {_COS_VC_DUCK} AS cc,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT CASE WHEN a.vec_id < greatest({_IVF_SAMPLE}, t.n // 2)
+              THEN 'seed' ELSE 'appended' END AS cohort,
+         floor(avg(cc) * 1e6 + 0.5) / 1e6 AS mean_cos,
+         floor(quantile_cont(cc, 0.1) * 1e6 + 0.5) / 1e6 AS p10_cos
+  FROM assign a CROSS JOIN tot t
+  GROUP BY 1
+),
+piv AS (
+  SELECT max(CASE WHEN cohort = 'seed' THEN mean_cos END) AS seed_mean_cos,
+         max(CASE WHEN cohort = 'appended' THEN mean_cos END)
+           AS recent_mean_cos,
+         max(CASE WHEN cohort = 'seed' THEN p10_cos END) AS seed_p10_cos,
+         max(CASE WHEN cohort = 'appended' THEN p10_cos END)
+           AS recent_p10_cos
+  FROM stats
+)
+SELECT seed_mean_cos, recent_mean_cos,
+       floor((seed_mean_cos - recent_mean_cos) * 1e6 + 0.5) / 1e6
+         AS mean_gap,
+       seed_p10_cos, recent_p10_cos,
+       floor((seed_p10_cos - recent_p10_cos) * 1e6 + 0.5) / 1e6 AS p10_gap,
+       CAST(CASE WHEN
+           floor((seed_mean_cos - recent_mean_cos) * 1e6 + 0.5) / 1e6
+             > {_REBUILD_GAP}
+           OR floor((seed_p10_cos - recent_p10_cos) * 1e6 + 0.5) / 1e6
+             > {_REBUILD_GAP}
+         THEN 1 ELSE 0 END AS BIGINT) AS should_rebuild
+FROM piv
+""",
+    doc="The drift signal turned into a DECISION — what actually "
+    "consumes sim_ivf_drift_audit: compare the appended cohort's "
+    "assignment-cosine band (mean and p10 against the frozen "
+    "centroids) to the seed cohort's, emit the gaps and a "
+    "should_rebuild verdict (either gap beyond the threshold = the "
+    "frozen quantizer no longer represents what the stream is "
+    "ingesting — rebuild, which re-trains centroids and starts a "
+    "fresh index generation). One broadcast-centroid assign pass + a "
+    "2-row pivot, O(1) output. Gaps subtract the ROUNDED cohort "
+    "stats, so both engines compare identical 6-dp inputs and the "
+    "boolean can never straddle an ulp. The monitor-side operational "
+    "twin (streaming/ann_drift.py monitor_rebuild_decision) applies "
+    "the same threshold to the streamed per-batch rows; the lifecycle "
+    "e2e drives signal -> decision -> rebuild -> fresh-generation "
+    "resume end to end",
+    tags=("similarity", "audit", "ext"),
+)
+def sim_ivf_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.two_phase import parquet_rows
+    from ..sources.ivf_index import rank_centroids
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = parquet_rows(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
+    cut = max(_IVF_SAMPLE, n // 2)
+    cent = _ivf_centroids(emb)
+    assign = (
+        rank_centroids(emb, cent)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cc")
+    )
+    cohort = F.when(F.col("vec_id") < cut, F.lit("seed")).otherwise(
+        F.lit("appended")
+    )
+    stats = (
+        assign.select(cohort.alias("cohort"), "cc")
+        .groupBy("cohort")
+        .agg(
+            stable_round(F.avg("cc"), 6).alias("mean_cos"),
+            stable_round(F.expr("percentile(cc, 0.1)"), 6).alias("p10_cos"),
+        )
+    )
+    piv = stats.agg(
+        F.max(F.when(F.col("cohort") == "seed", F.col("mean_cos"))).alias(
+            "seed_mean_cos"
+        ),
+        F.max(F.when(F.col("cohort") == "appended", F.col("mean_cos"))).alias(
+            "recent_mean_cos"
+        ),
+        F.max(F.when(F.col("cohort") == "seed", F.col("p10_cos"))).alias(
+            "seed_p10_cos"
+        ),
+        F.max(F.when(F.col("cohort") == "appended", F.col("p10_cos"))).alias(
+            "recent_p10_cos"
+        ),
+    )
+    mean_gap = stable_round(
+        F.col("seed_mean_cos") - F.col("recent_mean_cos"), 6
+    )
+    p10_gap = stable_round(F.col("seed_p10_cos") - F.col("recent_p10_cos"), 6)
+    return piv.select(
+        "seed_mean_cos",
+        "recent_mean_cos",
+        mean_gap.alias("mean_gap"),
+        "seed_p10_cos",
+        "recent_p10_cos",
+        p10_gap.alias("p10_gap"),
+        (
+            (mean_gap > _REBUILD_GAP) | (p10_gap > _REBUILD_GAP)
+        ).cast("bigint").alias("should_rebuild"),
+    )
+
+
 _BAL_PPM = 1_000_000  # keep-rate resolution: parts per million
 
 
@@ -2604,6 +2730,112 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXT_REG["sim_nprobe_sweep"].oracle = _nprobe_sweep_oracle()
+
+
+@query(
+    "sim_nprobe_sweep_disk",
+    oracle=None,  # late-bound below: identical curve to sim_nprobe_sweep
+    doc="The nprobe tuning curve against the PERSISTED index — the "
+    "report a 100 TB operator actually reads before setting the knob: "
+    "sim_nprobe_sweep measures the in-session assignment, this one "
+    "drives the SAME recall@3 / candidate-cost curve through the "
+    "on-disk layout (sources/ivf_index.py), so n_candidates at each "
+    "width counts rows of the list partitions a search at that width "
+    "actually opens (one pruned cent_id IN (...) scan per width — "
+    "plan-asserted per width in tests/test_ivf_index.py). The index "
+    "is the build-once fingerprinted artifact sim_ivf_disk_topk "
+    "amortizes; the ground truth stays the registered brute-force "
+    "oracle. Because the disk layout stores the identical assignment "
+    "(shared rank_centroids definition), the curve must equal the "
+    "in-session sweep's row for row — they share one oracle",
+    tags=("similarity", "eval", "ext"),
+)
+def sim_nprobe_sweep_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..registry import track_persist
+    from ..sources.ivf_index import build_ivf_index, probe_candidates
+
+    path = _ivf_disk_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "vectors", "_SUCCESS")):
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        build_ivf_index(emb, path)
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    qe = queries.select(
+        "query_id", F.col("v").alias("av")
+    ).withColumn(
+        "an",
+        F.expr(
+            "sqrt(aggregate(transform(av, x -> x * x), cast(0.0 as double),"
+            " (acc, v) -> acc + v))"
+        ),
+    )
+    bf3 = track_persist(
+        sim_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    nq = bf3.agg(F.countDistinct("query_id").alias("_q"))
+    per_width = []
+    for np_ in _NPROBE_AXIS:
+        # one pruned scan per width: candidates == the rows a search
+        # at this width reads off disk (multi-consumer: count + top-k)
+        cand = track_persist(
+            probe_candidates(spark, path, queries, np_, "vectors").select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("bv"),
+            )
+        )
+        counts = cand.agg(F.count("*").alias("n_candidates"))
+        scored = (
+            cand.withColumn(
+                "bn",
+                F.expr(
+                    "sqrt(aggregate(transform(bv, x -> x * x),"
+                    " cast(0.0 as double), (acc, v) -> acc + v))"
+                ),
+            )
+            .join(F.broadcast(qe), "query_id")
+            .withColumn(
+                "cs",
+                F.try_divide(F.expr(_DOT_AB_SPARK), F.col("an") * F.col("bn")),
+            )
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
+        topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
+            F.col("rk") <= 3
+        )
+        hits = topk.join(bf3, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("_nh")
+        )
+        per_width.append(
+            counts.crossJoin(hits)
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.col("n_candidates").cast("bigint").alias("n_candidates"),
+                F.col("_nh").cast("bigint").alias("n_hits"),
+                stable_round(
+                    F.col("_nh") * F.lit(1.0) / (F.col("_q") * 3), 6
+                ).alias("recall_at_3"),
+            )
+        )
+    return reduce(DataFrame.unionAll, per_width)
+
+
+# the disk layout stores the identical assignment, so the persisted
+# curve is checked against the SAME oracle as the in-session sweep
+_EXT_REG["sim_nprobe_sweep_disk"].oracle = _nprobe_sweep_oracle()
 
 
 @query(

@@ -382,21 +382,8 @@ def search_ivfpq_index(
     from ..functions.rounding import stable_round
     from ..queries.dataset_ops import _PQ_M
 
-    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
     q = queries.select("query_id", "v")
-    probe_rows = probe_lists(q, cent, nprobe).collect()  # bounded: |q|*nprobe
-    probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
-
-    codes = spark.read.parquet(_live_layout(index_path, "codes")).filter(
-        F.col("cent_id").isin(probed_lists)  # planning-time pruning
-    )
-    cand = codes.join(
-        F.broadcast(
-            spark.createDataFrame(probe_rows, "query_id bigint, cent_id bigint")
-            .withColumn("cent_id", F.col("cent_id").cast("int"))
-        ),
-        "cent_id",
-    ).filter(F.col("vec_id") != F.col("query_id"))
+    cand = probe_candidates(spark, index_path, q, nprobe, "codes")
 
     cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
     lut_d2 = F.expr(
@@ -638,6 +625,42 @@ def compact_ivfpq_index(
     )
 
 
+def probe_candidates(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int,
+    sub: str = "vectors",
+) -> DataFrame:
+    """The pruned candidate scan shared by every disk-search path:
+    route each (query_id, v) query to its nprobe nearest stored
+    centroids, then scan ONLY those list partitions of the ``sub``
+    layout (static ``cent_id IN`` pruning resolved at planning time —
+    the other K - nprobe directories are never opened) and pair each
+    query with the rows of its probed lists, self-pairs excluded.
+    Returns the layout's columns plus query_id. The probed-list id set
+    is bounded (|queries| x nprobe), collected to drive the pruning —
+    the documented bounded-collect class. Exposed so cost audits
+    (sim_nprobe_sweep_disk) can COUNT exactly what a search at that
+    width reads, from the identical scan."""
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    probe_rows = probe_lists(
+        queries.select("query_id", "v"), cent, nprobe
+    ).collect()  # bounded: |queries| * nprobe
+    probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
+
+    rows = spark.read.parquet(_live_layout(index_path, sub)).filter(
+        F.col("cent_id").isin(probed_lists)  # planning-time pruning
+    )
+    return rows.join(
+        F.broadcast(
+            spark.createDataFrame(probe_rows, "query_id bigint, cent_id bigint")
+            .withColumn("cent_id", F.col("cent_id").cast("int"))
+        ),
+        "cent_id",
+    ).filter(F.col("vec_id") != F.col("query_id"))
+
+
 def search_ivf_index(
     spark: SparkSession,
     index_path: str,
@@ -647,33 +670,17 @@ def search_ivf_index(
 ) -> DataFrame:
     """(query_id, v) batch -> (query_id, neighbor_id, cos_sim, rank):
     route each query to its nprobe nearest stored centroids, scan ONLY
-    those list partitions (static ``cent_id IN`` partition pruning),
-    exact-fold cosine verify, per-query top-k.
-
-    The probed-list id set is bounded (queries x nprobe), collected to
-    drive planning-time pruning — the documented bounded-collect class.
-    """
+    those list partitions (static ``cent_id IN`` partition pruning via
+    :func:`probe_candidates`), exact-fold cosine verify, per-query
+    top-k."""
     from ..queries.extensions import _DOT_AB_SPARK, _NORM_SPARK
 
-    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
     q = queries.select(
         F.col("query_id"), F.col("v")
     ).withColumn("nrm", F.expr(_NORM_SPARK))
-    probe_rows = probe_lists(
-        q.select("query_id", "v"), cent, nprobe
-    ).collect()  # bounded: |queries| * nprobe
-    probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
-
-    vecs = spark.read.parquet(_live_layout(index_path, "vectors")).filter(
-        F.col("cent_id").isin(probed_lists)  # planning-time pruning
+    cand = probe_candidates(
+        spark, index_path, q.select("query_id", "v"), nprobe, "vectors"
     )
-    cand = vecs.join(
-        F.broadcast(
-            spark.createDataFrame(probe_rows, "query_id bigint, cent_id bigint")
-            .withColumn("cent_id", F.col("cent_id").cast("int"))
-        ),
-        "cent_id",
-    ).filter(F.col("vec_id") != F.col("query_id"))
     ne = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

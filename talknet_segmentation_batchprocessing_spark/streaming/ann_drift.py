@@ -57,6 +57,74 @@ def batch_drift_stats(
     )
 
 
+# ppb twin of queries/extensions.py's _REBUILD_GAP (0.05 on the 6-dp
+# grid): rebuild when the recent mean assignment cosine falls this far
+# below the seed cohort's
+REBUILD_GAP_PPB = 50_000_000
+
+
+def monitor_rebuild_decision(
+    spark: SparkSession,
+    index_path: str,
+    monitor_path: str,
+    recent_batches: int = 3,
+    gap_threshold_ppb: int = REBUILD_GAP_PPB,
+) -> DataFrame:
+    """The monitor's consumer — what sim_ivf_rebuild_decision is for
+    the batch corpus, this is for the STREAM: read the drift-monitor
+    table, pool the most recent ``recent_batches`` micro-batch rows
+    (n_vecs-weighted mean on the integer ppb grid), compare against
+    the SEED cohort band (batch_id=-1 partitions of the index's own
+    vectors layout, scored by the shared batch_drift_stats), and emit
+    ONE row: (seed_mean_cos_ppb, recent_mean_cos_ppb, gap_ppb,
+    n_recent_batches, should_rebuild). Reads the monitor summaries and
+    K centroids plus one bounded seed-partition scan — never the
+    streamed corpus; should_rebuild = gap beyond the threshold means
+    the frozen quantizer no longer represents the arriving
+    distribution: rebuild the index (fresh generation, epoch cleared)
+    and resume the stream on a fresh checkpoint. The lifecycle e2e
+    (tests/test_index_lifecycle_e2e.py) drives exactly that sequence."""
+    from ..sources.ivf_index import _live_layout
+
+    seed = (
+        spark.read.parquet(_live_layout(index_path, "vectors"))
+        .filter(F.col("batch_id") == -1)
+        .select("vec_id", "v")
+    )
+    seed_stats = batch_drift_stats(spark, seed, index_path).select(
+        F.col("mean_cos_ppb").alias("seed_mean_cos_ppb")
+    )
+    mon = spark.read.parquet(monitor_path)
+    recent_ids = [
+        r[0]
+        for r in mon.select("batch_id")
+        .distinct()
+        .orderBy(F.desc("batch_id"))
+        .limit(recent_batches)
+        .collect()  # bounded: recent_batches ids
+    ]
+    recent = (
+        mon.filter(F.col("batch_id").isin(recent_ids))
+        .agg(
+            F.expr("sum(mean_cos_ppb * n_vecs) div sum(n_vecs)")
+            .cast("bigint")
+            .alias("recent_mean_cos_ppb"),
+            F.count("*").cast("bigint").alias("n_recent_batches"),
+        )
+    )
+    gap = F.col("seed_mean_cos_ppb") - F.col("recent_mean_cos_ppb")
+    return (
+        recent.crossJoin(F.broadcast(seed_stats))
+        .select(
+            "seed_mean_cos_ppb",
+            "recent_mean_cos_ppb",
+            gap.alias("gap_ppb"),
+            "n_recent_batches",
+            (gap > F.lit(int(gap_threshold_ppb))).alias("should_rebuild"),
+        )
+    )
+
+
 def ann_drift_monitor_sink(
     vectors: DataFrame, index_path: str, monitor_path: str, checkpoint_dir: str
 ):

@@ -271,3 +271,61 @@ def test_cache_path_is_per_user_0700_and_param_fingerprinted(
     monkeypatch.setattr(ext, "_IVF_SAMPLE", ext._IVF_SAMPLE * 2)
     p_s = ext._ivf_disk_index_path(SF_SMOKE)
     assert p_s not in (p_base, p_fmt, p_k)
+
+
+def test_nprobe_sweep_disk_prunes_per_width(spark, index_path):
+    """sim_nprobe_sweep_disk runs ONE pruned scan per probe width: at
+    each width the candidate scan's PartitionFilters IN-list covers
+    exactly the lists probed at THAT width, and the probed-list sets
+    grow monotonically with the width (a wider probe reads a superset
+    of the narrower one's partitions)."""
+    import re
+
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        probe_candidates,
+    )
+
+    queries = (
+        load(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    n_lists = len(
+        [
+            d
+            for d in os.listdir(os.path.join(index_path, "vectors"))
+            if d.startswith("cent_id=")
+        ]
+    )
+    probed_by_width = {}
+    for np_ in (1, 2):
+        cand = probe_candidates(spark, index_path, queries, np_, "vectors")
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cent_id" in plan
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and m.group(1).strip(), f"np={np_}: no partition filter"
+        # strip attribute exprIds (cent_id#62) before collecting the
+        # IN-list values
+        probed_by_width[np_] = set(
+            re.findall(r"\d+", re.sub(r"#\d+", "", m.group(1)))
+        )
+        # <=2 queries at these widths probe at most 2*np_ lists
+        assert len(probed_by_width[np_]) <= 2 * np_
+    assert probed_by_width[1] <= probed_by_width[2]
+    assert n_lists > len(probed_by_width[1]), "width-1 scan read every list"
+
+
+def test_nprobe_sweep_disk_equals_in_session_curve(spark):
+    """The persisted-index curve must equal the in-session sweep row
+    for row (shared assignment definition, shared oracle)."""
+    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+        sim_nprobe_sweep,
+        sim_nprobe_sweep_disk,
+    )
+
+    got = sorted(tuple(r) for r in sim_nprobe_sweep_disk(spark, SF_SMOKE).collect())
+    want = sorted(tuple(r) for r in sim_nprobe_sweep(spark, SF_SMOKE).collect())
+    assert got == want and len(got) == 4
