@@ -824,3 +824,39 @@ def test_plan_audit_counts_unparsed_prior_rows(tmp_path):
     rows, bad = mod._existing_rows(str(p))
     assert set(rows) == {"good_query"}
     assert bad == 2
+
+
+def test_scaling_md_ratios_match_scale_curve():
+    """Every '`query` N.NNx' ratio quoted in SCALING.md must match a
+    ratio recorded for that query in SCALE_CURVE.json — the PLANS.md
+    drift-guard pattern applied to the prose (round 10 shipped a 0.88x
+    claim the same-run refresh had already moved to 1.02x)."""
+    import json
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "SCALE_CURVE.json")) as f:
+        curve = json.load(f)["queries"]
+    with open(os.path.join(root, "SCALING.md")) as f:
+        prose = f.read()
+
+    quoted = re.findall(r"`([a-z][a-z0-9_]+)`\s+([0-9]+\.[0-9]+)×", prose)
+    assert quoted, "no quoted ratios found — did the prose format change?"
+    checked = 0
+    for name, val in quoted:
+        entry = curve.get(name)
+        if entry is None:
+            continue  # quoted for a non-curve metric (e.g. bench secs)
+        recorded = {
+            round(v, 2)
+            for k, v in entry.items()
+            if k.startswith(("ratio_", "two_phase_overhead"))
+            and isinstance(v, (int, float))
+        }
+        assert float(val) in recorded, (
+            f"SCALING.md quotes {name} at {val}x but SCALE_CURVE.json "
+            f"records {sorted(recorded)} — update the prose"
+        )
+        checked += 1
+    assert checked >= 5, f"guard only matched {checked} quotes"
