@@ -111,14 +111,35 @@ def _headline() -> list[str]:
     return [n for n in registry.REGISTRY if n not in BENCH_EXCLUDED]
 
 
+def _argval(flag: str, default: str | None = None) -> str | None:
+    if flag in sys.argv:
+        i = sys.argv.index(flag)
+        if i + 1 < len(sys.argv):
+            return sys.argv[i + 1]
+    return default
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # --passes N (default 2), --only a,b,c (subset for A/B probes),
+    # --out detail.json (alternate detail path so probe runs don't
+    # clobber the round record). The protocol is RECORDED in the
+    # output (n_passes) because round 10's silent 3->2 pass change
+    # confounded the round-over-round number (VERDICT r10).
+    n_passes = int(_argval("--passes", "2"))
+    only = _argval("--only")
+    only_names = only.split(",") if only else None
+
     spark = get_spark(app_name="talknet-segmentation-bench")
     registry._ensure_loaded()
     headline = _headline()
+    if only_names is not None:
+        unknown = set(only_names) - set(registry.REGISTRY)
+        assert not unknown, f"--only names unknown queries: {sorted(unknown)}"
+        headline = [n for n in headline if n in set(only_names)]
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT/IO noise.
@@ -137,6 +158,7 @@ def main() -> None:
     # always matched pass 2, both being warm-JIT — was dropped to keep
     # total bench wall inside the prior rounds' envelope.)
     timings: dict[str, float] = {}
+    pass_times: dict[str, list[float]] = {}
 
     def drop_session_tables() -> None:
         # the graph family publishes session-scoped bucketed edge
@@ -148,7 +170,7 @@ def main() -> None:
             if t.name.startswith(("graph_oriented_edges", "graph_sym_edges")):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
-    for _ in range(2):
+    for _ in range(n_passes):
         for name in headline:
             spec = registry.REGISTRY.get(name)
             if spec is None:
@@ -158,6 +180,7 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
+            pass_times.setdefault(name, []).append(round(elapsed, 3))
             timings[name] = round(min(timings.get(name, elapsed), elapsed), 3)
 
     # Fixed synthetic workload (pure-JVM range sum + hash-shuffle agg,
@@ -172,6 +195,41 @@ def main() -> None:
             "k"
         ).count().write.format("noop").mode("overwrite").save()
         calib = min(calib or 1e9, time.perf_counter() - t0)
+
+    # Near-bar exclusion re-check (VERDICT r10 ask #7): the recorded
+    # exclusion measurements are one host's snapshot and silently
+    # stale as hosts change. Any excluded query recorded within 20%
+    # of the bar gets re-measured THIS run (min-of-2, host-normalized
+    # by this run's calib); one crossing the bar fails the run loudly
+    # — the fix is promoting it out of BENCH_EXCLUDED, which is a
+    # measured decision by construction. Skipped for --only probe
+    # runs (they're not the round record).
+    excluded_recheck: dict[str, float] = {}
+    excluded_over_bar: dict[str, float] = {}
+    if only_names is None:
+        near_bar = [
+            n
+            for n, u in BENCH_EXCLUDED.items()
+            if u >= 0.8 * _EXCLUDE_MAX_CALIB_UNITS
+        ]
+        for name in near_bar:
+            spec = registry.REGISTRY.get(name)
+            if spec is None:
+                continue
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                drop_session_tables()
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            units = round(best / calib, 3)
+            excluded_recheck[name] = units
+            if units >= _EXCLUDE_MAX_CALIB_UNITS:
+                excluded_over_bar[name] = units
 
     # Round-over-round, host-normalized (VERDICT r4 Next #6): per-round
     # VMs differ ~1.4x in raw speed, so compare (query_sec / calib_sec)
@@ -232,11 +290,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calib_sec": round(calib, 3),
+        "n_passes": n_passes,
+        "pass_times": pass_times,
     }
+    if excluded_recheck:
+        detail["excluded_recheck_units"] = excluded_recheck
     if vs_prev:
         detail["vs_prev_normalized"] = vs_prev
         detail["vs_prev_baseline"] = prev_meta
-    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    detail_path = _argval("--out") or os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
@@ -253,15 +315,23 @@ def main() -> None:
         "sf": sf,
         "calib_sec": round(calib, 3),
         "n_queries": len(timings),
+        "n_passes": n_passes,
         "median_sec": median,
         "queries": worst5,  # worst-5 only; full dict in BENCH_DETAIL.json
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": os.path.basename(detail_path),
     }
     if ratios:
         out["vs_prev_median_normalized"] = ratios[len(ratios) // 2]
         out["vs_prev_baseline"] = prev_meta
+    if excluded_over_bar:
+        out["excluded_over_bar"] = excluded_over_bar
     print(json.dumps(out))
     spark.stop()
+    if excluded_over_bar:
+        raise SystemExit(
+            f"excluded queries measured OVER the bar this run — promote "
+            f"them out of BENCH_EXCLUDED: {excluded_over_bar}"
+        )
 
 
 if __name__ == "__main__":

@@ -2815,9 +2815,9 @@ def sim_nprobe_sweep_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
             F.col("rk") <= 3
         )
-        hits = topk.join(bf3, ["query_id", "neighbor_id"]).agg(
-            F.count("*").alias("_nh")
-        )
+        hits = topk.join(
+            F.broadcast(bf3), ["query_id", "neighbor_id"]
+        ).agg(F.count("*").alias("_nh"))
         per_width.append(
             counts.crossJoin(hits)
             .crossJoin(F.broadcast(nq))

@@ -145,58 +145,45 @@ _LOADED = False
 # registered query has at least one driver-green row; rotation debt
 # stays zero.
 _DRIVER_WINDOW = [
-    # Round-10 allocation. anchors: flagship + e2e + eval arm + kernels
+    # Round-11 allocation. anchors: flagship + e2e + eval arm + kernels
     # (checked every round)
     "w1_speaking_segments", "pipeline_scores_to_segments",
     "q1_pricing_summary", "ava_map_eval", "columbia_f1_eval",
     "j6_greedy_tracking", "w6_nms_greedy",
-    # NEW this round — driver-checked the round they land: the
-    # centroid-drift staleness audit for the frozen-quantizer
-    # incremental index (VERDICT r9 ask #6), and incremental
-    # maintenance for the COMPRESSED index (seed-build + frozen
-    # coarse+PQ quantizer append == full rebuild, sharing
-    # sim_ivfpq_topk's oracle — puts the r10 append_ivfpq_index path
-    # under the driver gate, not just pytest), the UniMax epoch-capped
-    # budget allocation (integer-exact recurrence vs a recursive-CTE
-    # oracle), the temperature-vs-UniMax strategy agreement audit, and
-    # the nprobe tuning curve (recall + candidate cost per probe width
-    # from one scoring pass, vs the brute-force oracle).
+    # NEW this round — driver-checked the round they land: the nprobe
+    # tuning curve driven through the PERSISTED index (one pruned scan
+    # per width, shares the in-session sweep's oracle — VERDICT r10
+    # ask #2), and the drift signal turned into a rebuild decision
+    # (seed vs appended cohort bands + should_rebuild verdict —
+    # VERDICT r10 ask #3).
+    "sim_nprobe_sweep_disk", "sim_ivf_rebuild_decision",
+    # R10 debuts stay in per VERDICT r10 ask #8.
     "sim_ivf_drift_audit", "sim_ivfpq_disk_merge", "mix_unimax_budgets",
     "mix_strategy_agreement", "sim_nprobe_sweep",
-    # R9 debuts stay in per VERDICT r9 ask #8 (and their shared module,
-    # sources/ivf_index.py, changed this round: compaction epoch
-    # marker, crash-window recovery, PQ append path).
+    # Shared module changed this round (sources/ivf_index.py: the
+    # probe_candidates extraction, read-only search resolution,
+    # checkpoint-verified compaction) — the disk-index queries that
+    # route through it are re-checked the round it changes.
     "sim_ivf_disk_topk", "sim_ivf_disk_merge", "sim_ivfpq_disk_topk",
-    # Plan changed this round — global_rank now emits BIGINT in both
-    # adaptive branches (ADVICE r9: the two-phase offset sum crosses
-    # 2^31 at scale), so every query whose expression carries that
-    # rank is re-checked the round it changes: the surfaced rank (j1),
-    # the modulo splits (u2, talkset), the arithmetic ntile (decile),
-    # and the Spearman rank pair (rank agreement).
-    "j1_equijoin_ranked", "u2_union_modulo_split",
-    "classifier_decile_lift", "quality_rank_agreement",
-    "talkset_generate",
-    # Round-10 rotation: re-confirm the queue deferred at round 9's
-    # rotation point (all last green in round 4, code unchanged,
-    # mirror-swept in-repo every round since)...
-    "sample_bernoulli_hash", "sample_stratified", "sim_pq_topk",
-    "split_train_val_test", "text_normalize", "text_pii_scrub",
-    "text_tfidf_topk", "text_vocab_topk",
-    # ...the rest of the round-4 cohort (same posture)...
-    "w10_sessionize", "w11_sliding_window", "w1_udtf_runs",
-    "w7_batch_packing", "x15_softmax_argmax", "x17_timecode",
-    "x19_json_field_stats", "x3_crop_geometry",
-    # ...and the oldest remaining driver rows (all last green in
-    # round 5, code unchanged, mirror-swept in-repo every round
-    # since). Deferred to round 11 (also r5): dedup_ngram_jaccard,
-    # doc_chunk_overlap, emb_cluster_balance and emb_dim_stats plus
-    # the remaining 18 r5 rows from dedup_semantic_keep through
-    # x21_zorder_value.
-    "a6_average_precision", "agg_time_rollup", "contamination_bloom",
-    "curation_pipeline", "dedup_cc_clusters", "dedup_cc_labelprop",
-    "dedup_cc_star", "dedup_containment", "dedup_embedding_cosine",
-    "dedup_exact_substring", "dedup_incremental", "dedup_keep_canonical",
-    "dedup_keep_canonical_lsh", "dedup_minhash_lsh",
+    # Round-11 rotation: the oldest remaining driver rows — the whole
+    # deferred round-5 cohort (last green r5, code unchanged,
+    # mirror-swept in-repo every round since) ...
+    "dedup_ngram_jaccard", "doc_chunk_overlap", "emb_cluster_balance",
+    "emb_dim_stats", "j10_interval_join", "sample_weighted_hash",
+    "shuffle_shard_assign", "sim_ivf_topk", "sketch_countmin_topk",
+    "sketch_hll_distinct", "sketch_kmv_distinct",
+    "sketch_quantile_sampled", "text_bigram_topk",
+    "text_langid_confusion", "text_sentence_stats", "ts_sax_similarity",
+    "u5_merge_upsert", "w12_funnel_steps", "w14_cohort_retention",
+    "w15_event_pattern", "x20_variant_json", "x21_zorder_value",
+    # ... and the first 11 of the round-6 cohort (same posture).
+    # Deferred to round 12: the remaining r6 rows from
+    # dedup_cluster_stats through text_classifier_score, then the r7
+    # cohort.
+    "bpe_merge_step", "curation_rule_attribution", "dataset_card_stats",
+    "dedup_char_ngram", "dedup_cluster_stats", "dedup_edit_distance",
+    "dedup_line_corpus", "dedup_threshold_sweep", "emb_covariance_pairs",
+    "emb_matryoshka_recall", "emb_norm_outliers",
 ]
 
 
