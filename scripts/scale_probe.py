@@ -158,6 +158,9 @@ HEAVY = [
     # growth tracks |queries| x corpus like the in-session sweep, with
     # the index build amortized by min-of-2
     "sim_nprobe_sweep_disk",
+    # its compressed-layout sibling: same pruned scans over codes, ADC
+    # scoring (4 lookups/candidate) instead of exact cosine
+    "sim_nprobe_sweep_pq_disk",
     # round 11: the monitor-to-decision wiring — reads the drift
     # audit's cohort bands, output O(1)
     "sim_ivf_rebuild_decision",

@@ -3717,6 +3717,191 @@ _late_bind_ivfpq_disk()
 
 
 @query(
+    "sim_nprobe_sweep_pq_disk",
+    oracle=None,  # late-bound below: per-width stitch of the ivfpq CTEs
+    doc="The nprobe tuning curve for the COMPRESSED persisted index — "
+    "sim_nprobe_sweep_disk's report for the layout you actually serve "
+    "at 100 TB (codes only on disk, 16x smaller): at every probe "
+    "width (1, 2, 4, 8 = full scan) one pruned cent_id IN scan of the "
+    "code partitions, ADC scoring against broadcast per-query LUTs "
+    "(the shared adc_score_codes stage, so the sweep scores exactly "
+    "like search_ivfpq_index), top-3 per query, recall@3 vs the "
+    "brute-force EXACT ground truth. Read next to the flat-index "
+    "sweep: the recall delta at equal nprobe is what COMPRESSION "
+    "loses, the per-width n_candidates column is identical by "
+    "construction (same routing) while each candidate costs 4 lookups "
+    "instead of a 64-dim dot product — the two knobs (nprobe vs "
+    "codebook bits) tuned from one pair of reports",
+    tags=("similarity", "eval", "quantization", "ext"),
+)
+def sim_nprobe_sweep_pq_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    from functools import reduce
+
+    from ..registry import track_persist
+    from ..sources.ivf_index import (
+        adc_score_codes,
+        build_ivfpq_index,
+        probe_candidates,
+    )
+    from .extensions import _NPROBE_AXIS, _ivf_disk_index_path, sim_topk_bruteforce
+
+    path = _ivf_disk_index_path(sf_dir) + "_pq"
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        build_ivfpq_index(spark, emb, path)
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PQ_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    bf3 = track_persist(
+        sim_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    nq = bf3.agg(F.countDistinct("query_id").alias("_q"))
+    per_width = []
+    for np_ in _NPROBE_AXIS:
+        cand = track_persist(
+            probe_candidates(spark, path, queries, np_, "codes")
+        )
+        counts = cand.agg(F.count("*").alias("n_candidates"))
+        scored = adc_score_codes(spark, path, queries, cand)
+        wq = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+        topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
+            F.col("rk") <= 3
+        )
+        hits = topk.join(
+            F.broadcast(bf3), ["query_id", "neighbor_id"]
+        ).agg(F.count("*").alias("_nh"))
+        per_width.append(
+            counts.crossJoin(hits)
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.col("n_candidates").cast("bigint").alias("n_candidates"),
+                F.col("_nh").cast("bigint").alias("n_hits"),
+                stable_round(
+                    F.col("_nh") * F.lit(1.0) / (F.col("_q") * 3), 6
+                ).alias("recall_at_3"),
+            )
+        )
+    return reduce(DataFrame.unionAll, per_width)
+
+
+def _late_bind_nprobe_sweep_pq() -> None:
+    """Per-width stitch of the registered ivfpq CTE chains: qprobe
+    keeps its probe rank, the ADC chain scores each (query, candidate)
+    pair ONCE, and the per-width top-3 just filters probe_rn <= np —
+    the same one-scoring-pass shape as the in-session sweep's oracle."""
+    from ..registry import REGISTRY
+    from .extensions import _COS_VC_DUCK, _NPROBE_AXIS, _ivf_kmeans_cte
+
+    bf = REGISTRY["sim_topk_bruteforce"].oracle
+    cand_sql = f"""
+  WITH {_ivf_kmeans_cte()}
+  ranked AS (
+    SELECT vec_id, cent_id, rn FROM (
+      SELECT e.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_COS_VC_DUCK} DESC, c.cent_id) AS rn
+      FROM e CROSS JOIN cent c
+    )
+  ),
+  assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+  qprobe AS (
+    SELECT vec_id AS query_id, cent_id, rn AS probe_rn
+    FROM ranked WHERE vec_id < {_PQ_NQ}
+  )
+  SELECT q.query_id, a.vec_id AS neighbor_id, q.probe_rn
+  FROM qprobe q JOIN assign a
+    ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+"""
+    pc_sql = f"""
+  WITH {_pq_kmeans_cte()}
+  allsub AS (
+    SELECT vec_id, m, list_transform(range(1, 17), i -> v[m*16 + i]) AS sv
+    FROM e CROSS JOIN ms
+  ),
+  codes AS (
+    SELECT vec_id, m, code_id FROM (
+      SELECT s.vec_id, s.m, c.code_id,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {_PQ_L2} ASC, c.code_id) AS rn
+      FROM allsub s JOIN cb c ON c.m = s.m
+    ) WHERE rn = 1
+  )
+  SELECT vec_id,
+         max(CASE WHEN m = 0 THEN code_id END) AS code0,
+         max(CASE WHEN m = 1 THEN code_id END) AS code1,
+         max(CASE WHEN m = 2 THEN code_id END) AS code2,
+         max(CASE WHEN m = 3 THEN code_id END) AS code3
+  FROM codes GROUP BY vec_id
+"""
+    lut_sql = f"""
+  WITH {_pq_kmeans_cte()}
+  q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {_PQ_NQ})
+  SELECT q.query_id, c.m, c.code_id,
+         list_sum(list_transform(range(1, 17),
+           i -> (q.v[c.m*16 + i] - c.cv[i]) * (q.v[c.m*16 + i] - c.cv[i]))) AS d2
+  FROM q CROSS JOIN cb c
+"""
+    REGISTRY["sim_nprobe_sweep_pq_disk"].oracle = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS ({cand_sql}),
+pc AS ({pc_sql}),
+lut AS ({lut_sql}),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id, cd.probe_rn,
+         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+  FROM cand cd
+  JOIN pc p ON p.vec_id = cd.neighbor_id
+  JOIN lut l0 ON l0.query_id = cd.query_id AND l0.m = 0 AND l0.code_id = p.code0
+  JOIN lut l1 ON l1.query_id = cd.query_id AND l1.m = 1 AND l1.code_id = p.code1
+  JOIN lut l2 ON l2.query_id = cd.query_id AND l2.m = 2 AND l2.code_id = p.code2
+  JOIN lut l3 ON l3.query_id = cd.query_id AND l3.m = 3 AND l3.code_id = p.code3
+),
+axis AS (SELECT unnest([{", ".join(str(x) for x in _NPROBE_AXIS)}]) AS np),
+pern AS (
+  SELECT a.query_id, a.neighbor_id, a.adc, x.np
+  FROM adc a CROSS JOIN axis x WHERE a.probe_rn <= x.np
+),
+topk AS (
+  SELECT np, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY np, query_id
+                                 ORDER BY adc, neighbor_id) AS rk
+    FROM pern
+  ) WHERE rk <= 3
+),
+bf AS ({bf}),
+hits AS (
+  SELECT t.np, count(*) AS n_hits
+  FROM topk t JOIN bf b
+    ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+   AND b.rank <= 3
+  GROUP BY t.np
+),
+counts AS (SELECT np, count(*) AS n_candidates FROM pern GROUP BY np),
+nq AS (SELECT count(DISTINCT query_id) AS q FROM bf)
+SELECT CAST(c.np AS INTEGER) AS nprobe,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       floor((coalesce(h.n_hits, 0) * 1.0 / (nq.q * 3)) * 1e6 + 0.5) / 1e6
+         AS recall_at_3
+FROM counts c LEFT JOIN hits h ON h.np = c.np CROSS JOIN nq
+"""
+
+
+_late_bind_nprobe_sweep_pq()
+
+
+@query(
     "sim_ivfpq_disk_merge",
     oracle=None,  # late-bound below: the full-rebuild contract
     doc="Incremental maintenance for the COMPRESSED index — "

@@ -155,8 +155,11 @@ _DRIVER_WINDOW = [
     # per width, shares the in-session sweep's oracle — VERDICT r10
     # ask #2), and the drift signal turned into a rebuild decision
     # (seed vs appended cohort bands + should_rebuild verdict —
-    # VERDICT r10 ask #3).
+    # VERDICT r10 ask #3), plus the COMPRESSED-index sweep (same
+    # per-width pruned scans over the codes layout, ADC scoring via
+    # the shared adc_score_codes stage).
     "sim_nprobe_sweep_disk", "sim_ivf_rebuild_decision",
+    "sim_nprobe_sweep_pq_disk",
     # R10 debuts stay in per VERDICT r10 ask #8.
     "sim_ivf_drift_audit", "sim_ivfpq_disk_merge", "mix_unimax_budgets",
     "mix_strategy_agreement", "sim_nprobe_sweep",
@@ -183,7 +186,7 @@ _DRIVER_WINDOW = [
     "bpe_merge_step", "curation_rule_attribution", "dataset_card_stats",
     "dedup_char_ngram", "dedup_cluster_stats", "dedup_edit_distance",
     "dedup_line_corpus", "dedup_threshold_sweep", "emb_covariance_pairs",
-    "emb_matryoshka_recall", "emb_norm_outliers",
+    "emb_matryoshka_recall",
 ]
 
 

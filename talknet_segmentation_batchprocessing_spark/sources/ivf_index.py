@@ -380,42 +380,10 @@ def search_ivfpq_index(
     never stored), per-query top-k. Mirrors sim_ivfpq_topk stage for
     stage, fixed m-order ADC sum included."""
     from ..functions.rounding import stable_round
-    from ..queries.dataset_ops import _PQ_M
 
     q = queries.select("query_id", "v")
     cand = probe_candidates(spark, index_path, q, nprobe, "codes")
-
-    cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
-    lut_d2 = F.expr(
-        "aggregate(zip_with(transform(sequence(1, 16), i -> element_at(v, int(m*16 + i))), cv,"
-        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    lut = q.crossJoin(F.broadcast(cb)).select(
-        "query_id", "m", "code_id", lut_d2.alias("d2")
-    )
-    lut_m = lut.groupBy("query_id", "m").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
-            lambda p: p["d2"],
-        ).alias("arr")
-    )
-    lut_q = lut_m.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "arr"))),
-            lambda p: p["arr"],
-        ).alias("luts")
-    )
-    base = cand.withColumnRenamed("vec_id", "neighbor_id").join(
-        F.broadcast(lut_q), "query_id"
-    )
-    d = [
-        F.element_at(
-            F.element_at(F.col("luts"), m + 1), F.col(f"code{m}").cast("int") + 1
-        )
-        for m in range(_PQ_M)
-    ]
-    adc = d[0] + d[1] + d[2] + d[3]  # fixed m-order, matching the oracle
-    scored = base.select("query_id", "neighbor_id", adc.alias("adc"))
+    scored = adc_score_codes(spark, index_path, q, cand)
     w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -450,6 +418,58 @@ def _last_committed_batch(checkpoint_dir: str) -> tuple[int, int]:
         return mx
 
     return _mx("commits"), _mx("offsets")
+
+
+def adc_score_codes(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    cand: DataFrame,
+) -> DataFrame:
+    """PQ asymmetric-distance scoring against the STORED codebooks:
+    (query_id, v) batch x candidate code rows (query_id, vec_id,
+    code0..code{M-1} — as produced by ``probe_candidates(..,
+    'codes')``) -> (query_id, neighbor_id, adc). Per-query distance
+    tables are built once from the broadcast codebooks (K·M rows) and
+    broadcast to the candidates; each candidate then costs M array
+    lookups, fixed m-order sum matching sim_ivfpq_topk's oracle.
+    Shared by :func:`search_ivfpq_index` and the persisted-index
+    nprobe sweep (sim_nprobe_sweep_pq_disk), so the two score in the
+    identical compressed domain."""
+    from ..queries.dataset_ops import _PQ_M
+
+    q = queries.select("query_id", "v")
+    cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
+    lut_d2 = F.expr(
+        "aggregate(zip_with(transform(sequence(1, 16), i -> element_at(v, int(m*16 + i))), cv,"
+        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "m", "code_id", lut_d2.alias("d2")
+    )
+    lut_m = lut.groupBy("query_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
+            lambda p: p["d2"],
+        ).alias("arr")
+    )
+    lut_q = lut_m.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "arr"))),
+            lambda p: p["arr"],
+        ).alias("luts")
+    )
+    base = cand.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(lut_q), "query_id"
+    )
+    d = [
+        F.element_at(
+            F.element_at(F.col("luts"), m + 1), F.col(f"code{m}").cast("int") + 1
+        )
+        for m in range(_PQ_M)
+    ]
+    adc = d[0] + d[1] + d[2] + d[3]  # fixed m-order, matching the oracle
+    return base.select("query_id", "neighbor_id", adc.alias("adc"))
 
 
 def _compact_layout(

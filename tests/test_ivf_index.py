@@ -329,3 +329,37 @@ def test_nprobe_sweep_disk_equals_in_session_curve(spark):
     got = sorted(tuple(r) for r in sim_nprobe_sweep_disk(spark, SF_SMOKE).collect())
     want = sorted(tuple(r) for r in sim_nprobe_sweep(spark, SF_SMOKE).collect())
     assert got == want and len(got) == 4
+
+
+def test_pq_sweep_shares_routing_with_flat_sweep(spark):
+    """sim_nprobe_sweep_pq_disk routes through the SAME coarse
+    quantizer as the flat-index sweep, so its per-width n_candidates
+    column must be identical (compression changes scoring cost and
+    recall, never the routing); recall is reported against the same
+    exact ground truth."""
+    from talknet_segmentation_batchprocessing_spark.queries.dataset_ops import (
+        sim_nprobe_sweep_pq_disk,
+    )
+    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+        sim_nprobe_sweep_disk,
+    )
+
+    pq = {
+        int(r["nprobe"]): (int(r["n_candidates"]), float(r["recall_at_3"]))
+        for r in sim_nprobe_sweep_pq_disk(spark, SF_SMOKE).collect()
+    }
+    flat = {
+        int(r["nprobe"]): (int(r["n_candidates"]), float(r["recall_at_3"]))
+        for r in sim_nprobe_sweep_disk(spark, SF_SMOKE).collect()
+    }
+    assert set(pq) == set(flat) == {1, 2, 4, 8}
+    for np_ in pq:
+        assert pq[np_][0] == flat[np_][0], f"routing diverged at np={np_}"
+    # widening the probe never hurts the EXACT-scoring curve (a
+    # superset of candidates under exact cosine can only improve the
+    # top-3); the PQ curve has no such guarantee — new candidates'
+    # QUANTIZED distances can displace true neighbors, which is
+    # precisely the compression-vs-routing trade-off the paired
+    # reports exist to show
+    rs = [flat[n][1] for n in sorted(flat)]
+    assert rs == sorted(rs)
