@@ -860,3 +860,63 @@ def test_scaling_md_ratios_match_scale_curve():
         )
         checked += 1
     assert checked >= 5, f"guard only matched {checked} quotes"
+
+
+def test_plan_audit_flags_stale_shared_modules(tmp_path):
+    """--only mode must surface package modules edited after the prior
+    PLANS.md that are NOT owned by the named queries — plan shape can
+    change through shared helpers (round 10's global_rank change
+    touched 5 queries via plans/two_phase.py)."""
+    import importlib.util
+    import os
+    import time
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit2",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class _Spec:
+        def __init__(self, fn):
+            self.fn = fn
+
+    class _Reg:
+        pass
+
+    # a fake package tree: the named query's module vs a shared helper
+    pkg = tmp_path / "fakepkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    owned = pkg / "owned.py"
+    owned.write_text("# the named query's own module\n")
+    shared = pkg / "shared_helper.py"
+    shared.write_text("# a helper the named query does not own\n")
+
+    plans = tmp_path / "PLANS.md"
+    plans.write_text("| q | 1 | 0 | 1 | 0 | 0 |\n")
+    past = time.time() - 3600
+    os.utime(plans, (past + 1800, past + 1800))
+    os.utime(owned, (past + 3000, past + 3000))   # newer than PLANS.md
+    os.utime(shared, (past + 3000, past + 3000))  # newer than PLANS.md
+
+    import types
+
+    fake_mod = types.ModuleType("fake_owned")
+    fake_mod.__file__ = str(owned)
+    import sys as _sys
+
+    _sys.modules["fake_owned"] = fake_mod
+    try:
+        reg = _Reg()
+        reg.__file__ = str(pkg / "__init__.py")
+        fn = lambda s, d: None  # noqa: E731
+        fn.__module__ = "fake_owned"
+        reg.REGISTRY = {"q": _Spec(fn)}
+        stale = mod._stale_modules(str(plans), {"q"}, reg)
+    finally:
+        _sys.modules.pop("fake_owned", None)
+    names = [os.path.basename(p) for p in stale]
+    assert "shared_helper.py" in names, stale
+    assert "owned.py" not in names, stale
