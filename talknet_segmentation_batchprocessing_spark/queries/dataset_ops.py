@@ -3740,8 +3740,10 @@ def sim_nprobe_sweep_pq_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..registry import track_persist
     from ..sources.ivf_index import (
+        adc_luts,
         adc_score_codes,
         build_ivfpq_index,
+        collect_probe_rows,
         probe_candidates,
     )
     from .extensions import _NPROBE_AXIS, _ivf_disk_index_path, sim_topk_bruteforce
@@ -3766,13 +3768,21 @@ def sim_nprobe_sweep_pq_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     nq = bf3.agg(F.countDistinct("query_id").alias("_q"))
+    # one ranking collect at the widest axis point, sliced per width —
+    # same single-ranking shape as the flat sweep; the per-query ADC
+    # distance tables are width-independent, so build them once too
+    ranked_rows = collect_probe_rows(spark, path, queries, max(_NPROBE_AXIS))
+    luts = track_persist(adc_luts(spark, path, queries))
     per_width = []
     for np_ in _NPROBE_AXIS:
+        width_rows = [r for r in ranked_rows if int(r["rn"]) <= np_]
         cand = track_persist(
-            probe_candidates(spark, path, queries, np_, "codes")
+            probe_candidates(
+                spark, path, queries, np_, "codes", probe_rows=width_rows
+            )
         )
         counts = cand.agg(F.count("*").alias("n_candidates"))
-        scored = adc_score_codes(spark, path, queries, cand)
+        scored = adc_score_codes(spark, path, queries, cand, luts=luts)
         wq = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
         topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
             F.col("rk") <= 3

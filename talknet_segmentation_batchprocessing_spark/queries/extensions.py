@@ -2754,7 +2754,11 @@ def sim_nprobe_sweep_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     from ..registry import track_persist
-    from ..sources.ivf_index import build_ivf_index, probe_candidates
+    from ..sources.ivf_index import (
+        build_ivf_index,
+        collect_probe_rows,
+        probe_candidates,
+    )
 
     path = _ivf_disk_index_path(sf_dir)
     if not os.path.exists(os.path.join(path, "vectors", "_SUCCESS")):
@@ -2785,12 +2789,19 @@ def sim_nprobe_sweep_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     nq = bf3.agg(F.countDistinct("query_id").alias("_q"))
+    # rank the query batch against the stored centroids ONCE at the
+    # widest axis point; each width slices rn <= np (the width-8
+    # ranking contains every narrower width)
+    ranked_rows = collect_probe_rows(spark, path, queries, max(_NPROBE_AXIS))
     per_width = []
     for np_ in _NPROBE_AXIS:
+        width_rows = [r for r in ranked_rows if int(r["rn"]) <= np_]
         # one pruned scan per width: candidates == the rows a search
         # at this width reads off disk (multi-consumer: count + top-k)
         cand = track_persist(
-            probe_candidates(spark, path, queries, np_, "vectors").select(
+            probe_candidates(
+                spark, path, queries, np_, "vectors", probe_rows=width_rows
+            ).select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("v").alias("bv"),

@@ -420,24 +420,14 @@ def _last_committed_batch(checkpoint_dir: str) -> tuple[int, int]:
     return _mx("commits"), _mx("offsets")
 
 
-def adc_score_codes(
-    spark: SparkSession,
-    index_path: str,
-    queries: DataFrame,
-    cand: DataFrame,
+def adc_luts(
+    spark: SparkSession, index_path: str, queries: DataFrame
 ) -> DataFrame:
-    """PQ asymmetric-distance scoring against the STORED codebooks:
-    (query_id, v) batch x candidate code rows (query_id, vec_id,
-    code0..code{M-1} — as produced by ``probe_candidates(..,
-    'codes')``) -> (query_id, neighbor_id, adc). Per-query distance
-    tables are built once from the broadcast codebooks (K·M rows) and
-    broadcast to the candidates; each candidate then costs M array
-    lookups, fixed m-order sum matching sim_ivfpq_topk's oracle.
-    Shared by :func:`search_ivfpq_index` and the persisted-index
-    nprobe sweep (sim_nprobe_sweep_pq_disk), so the two score in the
-    identical compressed domain."""
-    from ..queries.dataset_ops import _PQ_M
-
+    """Per-query PQ distance tables against the STORED codebooks:
+    (query_id, v) batch -> (query_id, luts) where luts[m][code+1] is
+    the squared distance of the query's m-th subvector to that code's
+    centroid. Width-independent — the nprobe sweep builds them ONCE
+    and reuses them at every probe width."""
     q = queries.select("query_id", "v")
     cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
     lut_d2 = F.expr(
@@ -453,12 +443,34 @@ def adc_score_codes(
             lambda p: p["d2"],
         ).alias("arr")
     )
-    lut_q = lut_m.groupBy("query_id").agg(
+    return lut_m.groupBy("query_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("m", "arr"))),
             lambda p: p["arr"],
         ).alias("luts")
     )
+
+
+def adc_score_codes(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    cand: DataFrame,
+    luts: DataFrame | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance scoring against the STORED codebooks:
+    (query_id, v) batch x candidate code rows (query_id, vec_id,
+    code0..code{M-1} — as produced by ``probe_candidates(..,
+    'codes')``) -> (query_id, neighbor_id, adc). Per-query distance
+    tables (:func:`adc_luts`, or pass precomputed ``luts``) are
+    broadcast to the candidates; each candidate then costs M array
+    lookups, fixed m-order sum matching sim_ivfpq_topk's oracle.
+    Shared by :func:`search_ivfpq_index` and the persisted-index
+    nprobe sweep (sim_nprobe_sweep_pq_disk), so the two score in the
+    identical compressed domain."""
+    from ..queries.dataset_ops import _PQ_M
+
+    lut_q = luts if luts is not None else adc_luts(spark, index_path, queries)
     base = cand.withColumnRenamed("vec_id", "neighbor_id").join(
         F.broadcast(lut_q), "query_id"
     )
@@ -645,12 +657,31 @@ def compact_ivfpq_index(
     )
 
 
+def collect_probe_rows(
+    spark: SparkSession, index_path: str, queries: DataFrame, nprobe: int
+) -> list:
+    """Rank the (bounded) query batch against the stored centroids and
+    collect the top-``nprobe`` probed lists per query WITH their probe
+    rank: rows of (query_id, cent_id, rn). The sweep queries collect
+    this ONCE at the widest axis point and slice ``rn <= np`` per
+    width — the width-8 ranking contains every narrower width, so
+    re-ranking per width would run the same small job N times."""
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    ranked = rank_centroids(
+        queries.select(F.col("query_id").alias("vec_id"), "v"), cent
+    ).filter(F.col("rn") <= nprobe)
+    return ranked.select(
+        F.col("vec_id").alias("query_id"), "cent_id", "rn"
+    ).collect()  # bounded: |queries| * nprobe
+
+
 def probe_candidates(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
     nprobe: int,
     sub: str = "vectors",
+    probe_rows: list | None = None,
 ) -> DataFrame:
     """The pruned candidate scan shared by every disk-search path:
     route each (query_id, v) query to its nprobe nearest stored
@@ -662,19 +693,23 @@ def probe_candidates(
     is bounded (|queries| x nprobe), collected to drive the pruning —
     the documented bounded-collect class. Exposed so cost audits
     (sim_nprobe_sweep_disk) can COUNT exactly what a search at that
-    width reads, from the identical scan."""
-    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
-    probe_rows = probe_lists(
-        queries.select("query_id", "v"), cent, nprobe
-    ).collect()  # bounded: |queries| * nprobe
-    probed_lists = sorted({int(r["cent_id"]) for r in probe_rows})
+    width reads, from the identical scan; pass pre-collected
+    ``probe_rows`` (from :func:`collect_probe_rows`, already filtered
+    to this width) to skip the per-call ranking job."""
+    if probe_rows is None:
+        cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+        probe_rows = probe_lists(
+            queries.select("query_id", "v"), cent, nprobe
+        ).collect()  # bounded: |queries| * nprobe
+    pairs = [(int(r["query_id"]), int(r["cent_id"])) for r in probe_rows]
+    probed_lists = sorted({c for _, c in pairs})
 
     rows = spark.read.parquet(_live_layout(index_path, sub)).filter(
         F.col("cent_id").isin(probed_lists)  # planning-time pruning
     )
     return rows.join(
         F.broadcast(
-            spark.createDataFrame(probe_rows, "query_id bigint, cent_id bigint")
+            spark.createDataFrame(pairs, "query_id bigint, cent_id bigint")
             .withColumn("cent_id", F.col("cent_id").cast("int"))
         ),
         "cent_id",
