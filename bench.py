@@ -114,7 +114,10 @@ def _headline() -> list[str]:
 def _argval(flag: str, default: str | None = None) -> str | None:
     if flag in sys.argv:
         i = sys.argv.index(flag)
-        if i + 1 < len(sys.argv):
+        # a trailing flag or one followed by another --flag has no
+        # value: fall through to the default rather than returning
+        # None (int(None)) or consuming the next flag as a value
+        if i + 1 < len(sys.argv) and not sys.argv[i + 1].startswith("--"):
             return sys.argv[i + 1]
     return default
 
@@ -298,7 +301,12 @@ def main() -> None:
     if vs_prev:
         detail["vs_prev_normalized"] = vs_prev
         detail["vs_prev_baseline"] = prev_meta
-    detail_path = _argval("--out") or os.path.join(here, "BENCH_DETAIL.json")
+    # --only probe runs default to a separate file: they must never
+    # silently replace the committed full-run round record
+    default_detail = (
+        "BENCH_DETAIL.json" if only_names is None else "BENCH_DETAIL_probe.json"
+    )
+    detail_path = _argval("--out") or os.path.join(here, default_detail)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 

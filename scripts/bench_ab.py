@@ -37,6 +37,10 @@ GROUP = 40
 def _run(args: list[str], out_path: str) -> dict:
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # a stale detail file from a previous A/B must never stand in for
+    # a crashed run's output — remove it before the subprocess starts
+    if os.path.exists(out_path):
+        os.remove(out_path)
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py"), "--out", out_path]
         + args,

@@ -3746,7 +3746,12 @@ def sim_nprobe_sweep_pq_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         collect_probe_rows,
         probe_candidates,
     )
-    from .extensions import _NPROBE_AXIS, _ivf_disk_index_path, sim_topk_bruteforce
+    from .extensions import (
+        _NPROBE_AXIS,
+        _ivf_disk_index_path,
+        _sweep_width_row,
+        sim_topk_bruteforce,
+    )
 
     path = _ivf_disk_index_path(sf_dir) + "_pq"
     if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
@@ -3790,18 +3795,7 @@ def sim_nprobe_sweep_pq_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = topk.join(
             F.broadcast(bf3), ["query_id", "neighbor_id"]
         ).agg(F.count("*").alias("_nh"))
-        per_width.append(
-            counts.crossJoin(hits)
-            .crossJoin(F.broadcast(nq))
-            .select(
-                F.lit(np_).cast("int").alias("nprobe"),
-                F.col("n_candidates").cast("bigint").alias("n_candidates"),
-                F.col("_nh").cast("bigint").alias("n_hits"),
-                stable_round(
-                    F.col("_nh") * F.lit(1.0) / (F.col("_q") * 3), 6
-                ).alias("recall_at_3"),
-            )
-        )
+        per_width.append(_sweep_width_row(np_, counts, hits, nq))
     return reduce(DataFrame.unionAll, per_width)
 
 

@@ -1542,11 +1542,17 @@ FROM piv
     "fresh index generation). One broadcast-centroid assign pass + a "
     "2-row pivot, O(1) output. Gaps subtract the ROUNDED cohort "
     "stats, so both engines compare identical 6-dp inputs and the "
-    "boolean can never straddle an ulp. The monitor-side operational "
-    "twin (streaming/ann_drift.py monitor_rebuild_decision) applies "
-    "the same threshold to the streamed per-batch rows; the lifecycle "
-    "e2e drives signal -> decision -> rebuild -> fresh-generation "
-    "resume end to end",
+    "boolean can never straddle an ulp. The seed cohort contains the "
+    "bounded k-means training sample, whose in-sample advantage "
+    "inflates the seed band by O(sample/cohort) — vanishing at real "
+    "scale; the streaming twin (monitor_rebuild_decision + "
+    "seed_drift_baseline in streaming/ann_drift.py) computes its "
+    "baseline on HELD-OUT seed rows instead, persists it in the "
+    "monitor table so compaction folding the seed partition cannot "
+    "blind it, and applies the same threshold to the streamed "
+    "per-batch rows; the lifecycle e2e drives signal -> decision -> "
+    "compaction-survival -> rebuild -> fresh-generation resume end "
+    "to end",
     tags=("similarity", "audit", "ext"),
 )
 def sim_ivf_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2732,6 +2738,27 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXT_REG["sim_nprobe_sweep"].oracle = _nprobe_sweep_oracle()
 
 
+def _sweep_width_row(np_: int, counts: DataFrame, hits: DataFrame, nq: DataFrame) -> DataFrame:
+    """One (nprobe, n_candidates, n_hits, recall_at_3) row — the shared
+    result assembly for the persisted-index sweep family
+    (sim_nprobe_sweep_disk / sim_nprobe_sweep_pq_disk). The recall
+    denominator and rounding grid live HERE once: the two reports are
+    documented as read side by side, so their column contract must not
+    be able to drift apart."""
+    return (
+        counts.crossJoin(hits)
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.lit(np_).cast("int").alias("nprobe"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("_nh").cast("bigint").alias("n_hits"),
+            stable_round(
+                F.col("_nh") * F.lit(1.0) / (F.col("_q") * 3), 6
+            ).alias("recall_at_3"),
+        )
+    )
+
+
 @query(
     "sim_nprobe_sweep_disk",
     oracle=None,  # late-bound below: identical curve to sim_nprobe_sweep
@@ -2829,18 +2856,7 @@ def sim_nprobe_sweep_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = topk.join(
             F.broadcast(bf3), ["query_id", "neighbor_id"]
         ).agg(F.count("*").alias("_nh"))
-        per_width.append(
-            counts.crossJoin(hits)
-            .crossJoin(F.broadcast(nq))
-            .select(
-                F.lit(np_).cast("int").alias("nprobe"),
-                F.col("n_candidates").cast("bigint").alias("n_candidates"),
-                F.col("_nh").cast("bigint").alias("n_hits"),
-                stable_round(
-                    F.col("_nh") * F.lit(1.0) / (F.col("_q") * 3), 6
-                ).alias("recall_at_3"),
-            )
-        )
+        per_width.append(_sweep_width_row(np_, counts, hits, nq))
     return reduce(DataFrame.unionAll, per_width)
 
 

@@ -63,6 +63,57 @@ def batch_drift_stats(
 REBUILD_GAP_PPB = 50_000_000
 
 
+def _seed_band_vectors(vecs: DataFrame) -> DataFrame:
+    """The seed rows the baseline band is computed over: HELD-OUT
+    vectors (vec_id >= the k-means sample bound) whenever any exist.
+    The training sample scores in-sample-optimistically against its
+    own centroids, which biases the baseline upward — negligibly when
+    the seed is millions of rows, fatally at small scale, and in every
+    case the arriving micro-batches the band is compared against are
+    out-of-sample, so held-out-vs-out-of-sample is the unbiased
+    comparison. Falls back to the whole seed when it fits entirely
+    inside the sample (nothing held out to measure)."""
+    from ..queries.extensions import _IVF_SAMPLE
+
+    held_out = vecs.filter(F.col("vec_id") >= _IVF_SAMPLE)
+    if held_out.limit(1).count() == 0:
+        return vecs
+    return held_out
+
+
+def seed_drift_baseline(
+    spark: SparkSession, index_path: str, monitor_path: str
+) -> None:
+    """Record the SEED cohort's drift band in the monitor table as its
+    ``batch_id=-1`` row (the same convention the index layout uses for
+    the seed partition). Call once after seeding the index — and again
+    after every rebuild — alongside starting the sinks. The baseline
+    must live in the MONITOR, not be recomputed from the index's seed
+    partitions, because compaction folds batch_id=-1 into the epoch
+    partition — a decision that scanned the index for its baseline
+    would go blind at exactly the point the compaction docs tell the
+    operator to compact. The band is computed over the seed's HELD-OUT
+    rows (:func:`_seed_band_vectors`) so it is comparable to the
+    out-of-sample micro-batches it will be held against. Idempotent
+    (dynamic overwrite of its own partition), so re-seeding after a
+    rebuild just refreshes the row."""
+    from ..sources.ivf_index import _live_layout
+
+    vecs = spark.read.parquet(_live_layout(index_path, "vectors"))
+    if "batch_id" in vecs.columns:
+        vecs = vecs.filter(F.col("batch_id") == -1)
+    band = _seed_band_vectors(vecs.select("vec_id", "v"))
+    (
+        batch_drift_stats(spark, band, index_path)
+        .withColumn("batch_id", F.lit(-1))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(monitor_path)
+    )
+
+
 def monitor_rebuild_decision(
     spark: SparkSession,
     index_path: str,
@@ -74,35 +125,62 @@ def monitor_rebuild_decision(
     the batch corpus, this is for the STREAM: read the drift-monitor
     table, pool the most recent ``recent_batches`` micro-batch rows
     (n_vecs-weighted mean on the integer ppb grid), compare against
-    the SEED cohort band (batch_id=-1 partitions of the index's own
-    vectors layout, scored by the shared batch_drift_stats), and emit
-    ONE row: (seed_mean_cos_ppb, recent_mean_cos_ppb, gap_ppb,
-    n_recent_batches, should_rebuild). Reads the monitor summaries and
-    K centroids plus one bounded seed-partition scan — never the
-    streamed corpus; should_rebuild = gap beyond the threshold means
-    the frozen quantizer no longer represents the arriving
-    distribution: rebuild the index (fresh generation, epoch cleared)
-    and resume the stream on a fresh checkpoint. The lifecycle e2e
-    (tests/test_index_lifecycle_e2e.py) drives exactly that sequence."""
+    the SEED cohort band (the monitor's own batch_id=-1 row, written
+    by :func:`seed_drift_baseline`; falls back to scoring the index's
+    batch_id=-1 seed partitions for monitors seeded before that row
+    existed), and emit ONE row: (seed_mean_cos_ppb,
+    recent_mean_cos_ppb, gap_ppb, n_recent_batches, should_rebuild).
+    Reads ONLY bounded summaries — never the streamed corpus;
+    should_rebuild = gap beyond the threshold means the frozen
+    quantizer no longer represents the arriving distribution: rebuild
+    the index (fresh generation, epoch cleared), re-run
+    seed_drift_baseline, and resume the stream on a fresh checkpoint.
+    Raises rather than returning NULLs when no baseline or no streamed
+    rows exist — a silent NULL here is a drift monitor that never
+    fires. The lifecycle e2e (tests/test_index_lifecycle_e2e.py)
+    drives the whole sequence across a compaction."""
     from ..sources.ivf_index import _live_layout
 
-    seed = (
-        spark.read.parquet(_live_layout(index_path, "vectors"))
-        .filter(F.col("batch_id") == -1)
-        .select("vec_id", "v")
-    )
-    seed_stats = batch_drift_stats(spark, seed, index_path).select(
-        F.col("mean_cos_ppb").alias("seed_mean_cos_ppb")
-    )
     mon = spark.read.parquet(monitor_path)
+    seed_rows = mon.filter(F.col("batch_id") == -1).limit(2).collect()
+    if seed_rows:
+        seed_mean = int(seed_rows[0]["mean_cos_ppb"])
+    else:
+        vecs = spark.read.parquet(_live_layout(index_path, "vectors"))
+        if "batch_id" in vecs.columns:
+            vecs = vecs.filter(F.col("batch_id") == -1)
+        fallback = batch_drift_stats(
+            spark,
+            _seed_band_vectors(vecs.select("vec_id", "v")),
+            index_path,
+        ).collect()[0]
+        if fallback["mean_cos_ppb"] is None:
+            raise RuntimeError(
+                f"no seed baseline: monitor {monitor_path} has no "
+                "batch_id=-1 row and the index layout holds no "
+                "batch_id=-1 seed partitions (compaction folds them "
+                "into the epoch partition). Run seed_drift_baseline "
+                "at seed time — and after every rebuild — so the "
+                "baseline survives compaction."
+            )
+        seed_mean = int(fallback["mean_cos_ppb"])
+    seed_stats = spark.createDataFrame(
+        [(seed_mean,)], "seed_mean_cos_ppb bigint"
+    )
     recent_ids = [
         r[0]
-        for r in mon.select("batch_id")
+        for r in mon.filter(F.col("batch_id") >= 0)
+        .select("batch_id")
         .distinct()
         .orderBy(F.desc("batch_id"))
         .limit(recent_batches)
         .collect()  # bounded: recent_batches ids
     ]
+    if not recent_ids:
+        raise RuntimeError(
+            f"no streamed monitor rows in {monitor_path}: the decision "
+            "needs at least one micro-batch summary (batch_id >= 0)."
+        )
     recent = (
         mon.filter(F.col("batch_id").isin(recent_ids))
         .agg(

@@ -140,30 +140,59 @@ def test_drift_decision_rebuild_cycle_e2e(spark, tmp_path):
     from talknet_segmentation_batchprocessing_spark.streaming.ann_drift import (
         ann_drift_monitor_sink,
         monitor_rebuild_decision,
+        seed_drift_baseline,
     )
     from talknet_segmentation_batchprocessing_spark.streaming.ann_ingest import (
         ann_index_sink,
     )
 
+    import numpy as np
+
     emb = load(spark, SF_SMOKE, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = emb.count()
-    cut = max(256, n // 2)
-    seed = emb.filter(F.col("vec_id") < cut)
-    # the drifted distribution: NEGATED vectors under fresh ids — as
-    # far from the seed-trained centroids as cosine can move
-    drifted = emb.filter(F.col("vec_id") >= cut).select(
-        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
-        F.transform("v", lambda x: -x).alias("v"),
-    )
-    # modulo split, NOT id ranges: the testdata embeddings cluster by
-    # id block, so range-chunks would be different subpopulations —
-    # the final same-distribution assertion needs i.i.d. chunks
-    chunks = [drifted.filter(F.col("vec_id") % 4 == i) for i in range(4)]
-
+    seed = emb  # gen-1 seed: the whole original corpus
     path = str(tmp_path / "drift_cycle_index")
     build_ivf_index(seed, path, batch_id=-1)
+
+    # The drifted distribution must actually leave the quantizer's
+    # reach: the test embeddings are near-uniform on the sphere, so
+    # ANY fixed direction scores ~the same max-cos as the originals
+    # (negation included — that was this test's round-11 review
+    # finding). Construct it adversarially: a direction orthogonal to
+    # every stored centroid (Gram-Schmidt over the 8 collected
+    # centroid rows), plus 5% of the old signal as jitter so the
+    # drifted cohort still has spread for the gen-2 retrain.
+    cents = np.array(
+        [
+            list(r["cv"])
+            for r in spark.read.parquet(
+                os.path.join(path, "centroids")
+            ).collect()
+        ]
+    )
+    u = np.ones(cents.shape[1])
+    for c in cents:
+        cn = c / np.linalg.norm(c)
+        u -= u.dot(cn) * cn
+    u /= np.linalg.norm(u)
+    u_arr = F.array(*[F.lit(float(x)) for x in u])
+    drifted = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.zip_with(u_arr, F.col("v"), lambda a, b: a + b * F.lit(0.05)).alias(
+            "v"
+        ),
+    )
+    # modulo split, NOT id ranges: chunks must be i.i.d. for the final
+    # same-distribution assertion
+    chunks = [drifted.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+
+    ckpt_index = str(tmp_path / "ckpt_index")
+    ckpt_mon = str(tmp_path / "ckpt_mon")
+    monitor = str(tmp_path / "monitor")
+    # the seed band lands in the MONITOR (batch_id=-1 row) so the
+    # decision survives compaction folding the index's seed partition
+    seed_drift_baseline(spark, path, monitor)
 
     drop = tmp_path / "drift_feed"
     drop.mkdir()
@@ -176,10 +205,6 @@ def test_drift_decision_rebuild_cycle_e2e(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(str(drop / "*"))
         )
-
-    ckpt_index = str(tmp_path / "ckpt_index")
-    ckpt_mon = str(tmp_path / "ckpt_mon")
-    monitor = str(tmp_path / "monitor")
 
     # 1) both sinks drain the same source
     ann_index_sink(_stream(), path, ckpt_index).awaitTermination()
@@ -207,7 +232,7 @@ def test_drift_decision_rebuild_cycle_e2e(spark, tmp_path):
         .filter(F.col("batch_id") >= 0)
         .count()
     )
-    mon_df = spark.read.parquet(monitor)
+    mon_df = spark.read.parquet(monitor).filter(F.col("batch_id") >= 0)
     assert mon_df.select("batch_id").distinct().count() == 3
     mon_total = mon_df.agg(F.sum("n_vecs")).collect()[0][0]
     assert int(mon_total) == streamed_rows == sum(c.count() for c in chunks[:3])
@@ -228,22 +253,33 @@ def test_drift_decision_rebuild_cycle_e2e(spark, tmp_path):
     with pytest.raises(RuntimeError, match="compaction epoch"):
         append_ivf_index(chunks[2], path, batch_id=2)
 
+    # ...and the DECISION still fires after compaction: the baseline
+    # lives in the monitor's batch_id=-1 row, so folding the index's
+    # seed partition into the epoch partition cannot blind it (the
+    # failure an index-scanning baseline would have here)
+    dec_post = monitor_rebuild_decision(spark, path, monitor).collect()[0]
+    assert bool(dec_post["should_rebuild"])
+    assert int(dec_post["gap_ppb"]) == old_gap
+
     # 6) rebuild on the CURRENT (drifted) corpus: the fresh generation
     # re-snapshots what the stream has been delivering under dense
     # fresh ids, so the bounded k-means sample (vec_id < _IVF_SAMPLE)
     # retrains on the drifted distribution — the whole point of the
-    # rebuild the decision asked for. Epoch marker gone afterwards.
+    # rebuild the decision asked for. Post-compaction the folded epoch
+    # partition holds seed AND streamed rows, so select the drifted
+    # cohort by its id range, not by batch level. Epoch gone after.
     from pyspark.sql import Window
 
     streamed = (
         spark.read.parquet(os.path.join(path, "vectors"))
-        .filter(F.col("batch_id") >= 0)
+        .filter(F.col("vec_id") >= 10_000_000)
         .select("vec_id", "v")
     )
     rekeyed = streamed.withColumn(
         "vec_id",
         (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("bigint"),
     )
+    assert rekeyed.count() == sum(c.count() for c in chunks[:3])
     build_ivf_index(rekeyed, path, batch_id=-1)
     assert not os.path.exists(os.path.join(path, "_COMPACTION_EPOCH"))
 
@@ -259,6 +295,9 @@ def test_drift_decision_rebuild_cycle_e2e(spark, tmp_path):
         .parquet(str(drop2 / "*"))
     )
     monitor2 = str(tmp_path / "monitor2")
+    # refresh the baseline for the new generation (the retrained
+    # quantizer has a new band)
+    seed_drift_baseline(spark, path, monitor2)
     ann_index_sink(
         (
             spark.readStream.schema(drifted.schema)
