@@ -138,3 +138,123 @@ def test_chunking_invariance_of_grid_stats(spark, tmp_path):
     # per-chunk means lose < 1 ppb each to integer division
     assert abs(weighted // n_sum - int(whole["mean_cos_ppb"])) <= 1
     assert int(whole["min_cos_ppb"]) == min(int(r["min_cos_ppb"]) for r in rows)
+
+
+def test_seed_baseline_is_held_out_and_survives_seed_partition_loss(
+    spark, tmp_path
+):
+    """seed_drift_baseline writes the monitor's batch_id=-1 row from
+    the seed's HELD-OUT rows (the k-means sample scores in-sample-
+    optimistically), and the decision reads THAT row — so deleting the
+    index's seed partitions (what compaction effectively does) cannot
+    blind it."""
+    import shutil
+
+    from talknet_segmentation_batchprocessing_spark.streaming.ann_drift import (
+        monitor_rebuild_decision,
+        seed_drift_baseline,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "baseline_index")
+    build_ivf_index(emb, path, batch_id=-1)
+    monitor = str(tmp_path / "monitor")
+    seed_drift_baseline(spark, path, monitor)
+
+    # the recorded band equals the held-out twin, not the whole-seed
+    held_out = batch_drift_stats(
+        spark, emb.filter(F.col("vec_id") >= 256), path
+    ).collect()[0]
+    whole = batch_drift_stats(spark, emb, path).collect()[0]
+    row = (
+        spark.read.parquet(monitor)
+        .filter(F.col("batch_id") == -1)
+        .collect()[0]
+    )
+    assert int(row["mean_cos_ppb"]) == int(held_out["mean_cos_ppb"])
+    assert int(row["mean_cos_ppb"]) != int(whole["mean_cos_ppb"])
+    assert int(row["n_vecs"]) == int(held_out["n_vecs"])
+
+    # one streamed summary row, then destroy the index's seed
+    # partitions — the decision must still answer from the monitor
+    delta = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "v"
+    )
+    stats = batch_drift_stats(spark, delta, path)
+    (
+        stats.withColumn("batch_id", F.lit(0))
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(monitor)
+    )
+    vec_root = os.path.join(path, "vectors")
+    for d in os.listdir(vec_root):
+        sub = os.path.join(vec_root, d)
+        if os.path.isdir(sub):
+            for b in os.listdir(sub):
+                if b == "batch_id=-1":
+                    shutil.rmtree(os.path.join(sub, b))
+    dec = monitor_rebuild_decision(spark, path, monitor).collect()[0]
+    assert dec["should_rebuild"] is not None
+    assert int(dec["seed_mean_cos_ppb"]) == int(held_out["mean_cos_ppb"])
+
+
+def test_decision_raises_instead_of_nulling(spark, tmp_path):
+    """No baseline anywhere (no monitor batch_id=-1 row, no index seed
+    partitions) or no streamed rows -> a LOUD error, never a NULL
+    should_rebuild (a silent NULL is a drift monitor that never
+    fires)."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.streaming.ann_drift import (
+        monitor_rebuild_decision,
+        seed_drift_baseline,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "raise_index")
+    build_ivf_index(emb, path)  # single-level layout, no batch_id=-1
+    monitor = str(tmp_path / "monitor")
+
+    # monitor with a streamed row but no baseline, index single-level:
+    # the fallback still finds held-out rows in the flat layout — so
+    # first check the no-streamed-rows error with a baseline present
+    seed_drift_baseline(spark, path, monitor)
+    with pytest.raises(RuntimeError, match="no streamed monitor rows"):
+        monitor_rebuild_decision(spark, path, monitor).collect()
+
+    # now a monitor whose only row is streamed, against an index whose
+    # layout holds NO vectors at all below the live dir -> no baseline
+    import shutil
+
+    path2 = str(tmp_path / "raise_index2")
+    build_ivf_index(emb, path2, batch_id=-1)
+    monitor2 = str(tmp_path / "monitor2")
+    stats = batch_drift_stats(spark, emb, path2)
+    (
+        stats.withColumn("batch_id", F.lit(0))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(monitor2)
+    )
+    vec_root = os.path.join(path2, "vectors")
+    for d in os.listdir(vec_root):
+        sub = os.path.join(vec_root, d)
+        if os.path.isdir(sub):
+            for b in os.listdir(sub):
+                if b == "batch_id=-1":
+                    shutil.rmtree(os.path.join(sub, b))
+    # drop one streamed partition in so the layout isn't empty
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        append_ivf_index,
+    )
+
+    append_ivf_index(
+        emb.select((F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "v"),
+        path2,
+        batch_id=0,
+    )
+    with pytest.raises(RuntimeError, match="no seed baseline"):
+        monitor_rebuild_decision(spark, path2, monitor2).collect()
