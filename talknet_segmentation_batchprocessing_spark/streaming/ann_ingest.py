@@ -46,6 +46,53 @@ def ann_index_sink(vectors: DataFrame, index_path: str, checkpoint_dir: str):
     )
 
 
+def ann_monitored_ingest(
+    spark,
+    schema,
+    source_glob: str,
+    index_path: str,
+    monitor_path: str,
+    checkpoint_root: str,
+    max_files_per_trigger: int = 1,
+):
+    """The REAL deployment in one call: start BOTH sinks over one file
+    source — the index ingest (:func:`ann_index_sink`) and the drift
+    monitor (streaming/ann_drift.py), each with its own checkpoint
+    under ``checkpoint_root`` — and record the seed drift baseline in
+    the monitor first (streaming/ann_drift.seed_drift_baseline), so
+    monitor_rebuild_decision works from the first micro-batch and
+    survives later compaction. Returns (index_query, monitor_query);
+    await both. Each sink gets its OWN readStream over the same glob:
+    two independent queries with independent checkpoints is the
+    Structured Streaming posture for two sinks of one source (a single
+    query cannot drive two foreachBatch sinks), and the monitor's
+    row-count agreement with the index under crash/replay is pinned in
+    tests/test_index_lifecycle_e2e.py."""
+    import os
+
+    from .ann_drift import ann_drift_monitor_sink, seed_drift_baseline
+
+    seed_drift_baseline(spark, index_path, monitor_path)
+
+    def _source():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_glob)
+        )
+
+    iq = ann_index_sink(
+        _source(), index_path, os.path.join(checkpoint_root, "index")
+    )
+    mq = ann_drift_monitor_sink(
+        _source(),
+        index_path,
+        monitor_path,
+        os.path.join(checkpoint_root, "monitor"),
+    )
+    return iq, mq
+
+
 def ann_pq_index_sink(vectors: DataFrame, index_path: str, checkpoint_dir: str):
     """Streaming ingest for the COMPRESSED index — the layout that
     matters at 100 TB, because only (vec_id, code0..code3) rows ever

@@ -499,3 +499,57 @@ def test_compact_refuses_uncommitted_inflight_batch(spark, tmp_path):
     assert _search(spark, path) == want
     with open(os.path.join(path, "_COMPACTION_EPOCH")) as f:
         assert int(f.read().strip()) == 0
+
+
+def test_monitored_ingest_composes_both_sinks(spark, tmp_path):
+    """ann_monitored_ingest: one call seeds the drift baseline and
+    starts both sinks; after draining, the index holds the streamed
+    vectors, the monitor holds the baseline row plus one summary per
+    batch in row-count agreement, and the rebuild decision answers."""
+    from talknet_segmentation_batchprocessing_spark.streaming.ann_drift import (
+        monitor_rebuild_decision,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.ann_ingest import (
+        ann_monitored_ingest,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    cut = max(256, n // 2)
+    path = str(tmp_path / "mon_ingest_index")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path, batch_id=-1)
+
+    drop = tmp_path / "feed"
+    drop.mkdir()
+    delta = emb.filter(F.col("vec_id") >= cut)
+    half = cut + (n - cut) // 2
+    delta.filter(F.col("vec_id") < half).coalesce(1).write.parquet(
+        str(drop / "b0")
+    )
+    delta.filter(F.col("vec_id") >= half).coalesce(1).write.parquet(
+        str(drop / "b1")
+    )
+
+    monitor = str(tmp_path / "monitor")
+    iq, mq = ann_monitored_ingest(
+        spark,
+        delta.schema,
+        str(drop / "*"),
+        path,
+        monitor,
+        str(tmp_path / "ckpt"),
+    )
+    iq.awaitTermination()
+    mq.awaitTermination()
+
+    streamed = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("batch_id") >= 0)
+        .count()
+    )
+    mon = spark.read.parquet(monitor)
+    assert mon.filter(F.col("batch_id") == -1).count() == 1  # the baseline
+    got = mon.filter(F.col("batch_id") >= 0).agg(F.sum("n_vecs")).collect()[0][0]
+    assert int(got) == streamed == delta.count()
+    dec = monitor_rebuild_decision(spark, path, monitor).collect()[0]
+    assert dec["should_rebuild"] is not None and int(dec["n_recent_batches"]) >= 1
