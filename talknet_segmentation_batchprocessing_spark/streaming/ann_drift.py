@@ -81,6 +81,20 @@ def _seed_band_vectors(vecs: DataFrame) -> DataFrame:
     return held_out
 
 
+def _seed_layout(spark: SparkSession, index_path: str) -> tuple[DataFrame, bool]:
+    """(seed vectors of the index's live layout, whether the layout
+    carries a batch level). THE one definition of 'the seed rows' for
+    both the baseline writer and the decision fallback — two copies of
+    this recipe could silently diverge on what the band means."""
+    from ..sources.ivf_index import _live_layout
+
+    vecs = spark.read.parquet(_live_layout(index_path, "vectors"))
+    has_level = "batch_id" in vecs.columns
+    if has_level:
+        vecs = vecs.filter(F.col("batch_id") == -1)
+    return vecs.select("vec_id", "v"), has_level
+
+
 def seed_drift_baseline(
     spark: SparkSession, index_path: str, monitor_path: str
 ) -> None:
@@ -96,22 +110,52 @@ def seed_drift_baseline(
     rows (:func:`_seed_band_vectors`) so it is comparable to the
     out-of-sample micro-batches it will be held against. Idempotent
     (dynamic overwrite of its own partition), so re-seeding after a
-    rebuild just refreshes the row."""
-    from ..sources.ivf_index import _live_layout
+    rebuild just refreshes the row.
 
-    vecs = spark.read.parquet(_live_layout(index_path, "vectors"))
-    if "batch_id" in vecs.columns:
-        vecs = vecs.filter(F.col("batch_id") == -1)
-    band = _seed_band_vectors(vecs.select("vec_id", "v"))
-    (
-        batch_drift_stats(spark, band, index_path)
-        .withColumn("batch_id", F.lit(-1))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(monitor_path)
-    )
+    Called with NO seed partitions left (post-compaction resume,
+    before any rebuild): if the monitor already holds a baseline row
+    it is KEPT (same generation, still valid) and this is a no-op;
+    with no existing row either, this raises — overwriting a good
+    baseline with a NULL row would permanently blind the decision,
+    which is the exact failure the monitor-resident baseline exists
+    to prevent."""
+    vecs, _has_level = _seed_layout(spark, index_path)
+    band = _seed_band_vectors(vecs)
+    stats = batch_drift_stats(spark, band, index_path).collect()[0]
+    if stats["mean_cos_ppb"] is None or int(stats["n_vecs"]) == 0:
+        try:
+            existing = (
+                spark.read.parquet(monitor_path)
+                .filter(F.col("batch_id") == -1)
+                .limit(1)
+                .collect()
+            )
+        except Exception:
+            existing = []
+        if existing and existing[0]["mean_cos_ppb"] is not None:
+            return  # post-compaction resume: the recorded row stands
+        raise RuntimeError(
+            f"index {index_path} has no seed vectors to compute a "
+            "baseline from (compaction folds the batch_id=-1 seed "
+            "partition into the epoch partition) and the monitor "
+            f"{monitor_path} holds no prior baseline row. Seed the "
+            "baseline BEFORE compacting, or rebuild the index to "
+            "start a fresh generation."
+        )
+    spark.createDataFrame(
+        [
+            (
+                int(stats["n_vecs"]),
+                int(stats["mean_cos_ppb"]),
+                int(stats["min_cos_ppb"]),
+                -1,
+            )
+        ],
+        "n_vecs bigint, mean_cos_ppb bigint, min_cos_ppb bigint, "
+        "batch_id int",
+    ).coalesce(1).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(monitor_path)
 
 
 def monitor_rebuild_decision(
@@ -128,7 +172,8 @@ def monitor_rebuild_decision(
     the SEED cohort band (the monitor's own batch_id=-1 row, written
     by :func:`seed_drift_baseline`; falls back to scoring the index's
     batch_id=-1 seed partitions for monitors seeded before that row
-    existed), and emit ONE row: (seed_mean_cos_ppb,
+    existed — only for layouts whose batch level can identify the
+    seed cohort), and emit ONE row: (seed_mean_cos_ppb,
     recent_mean_cos_ppb, gap_ppb, n_recent_batches, should_rebuild).
     Reads ONLY bounded summaries — never the streamed corpus;
     should_rebuild = gap beyond the threshold means the frozen
@@ -139,20 +184,32 @@ def monitor_rebuild_decision(
     rows exist — a silent NULL here is a drift monitor that never
     fires. The lifecycle e2e (tests/test_index_lifecycle_e2e.py)
     drives the whole sequence across a compaction."""
-    from ..sources.ivf_index import _live_layout
-
     mon = spark.read.parquet(monitor_path)
     seed_rows = mon.filter(F.col("batch_id") == -1).limit(2).collect()
     if seed_rows:
+        if seed_rows[0]["mean_cos_ppb"] is None:
+            raise RuntimeError(
+                f"the monitor {monitor_path} baseline row (batch_id=-1) "
+                "carries a NULL band — it was written against an empty "
+                "seed. Rebuild the index (fresh generation) and re-run "
+                "seed_drift_baseline."
+            )
         seed_mean = int(seed_rows[0]["mean_cos_ppb"])
     else:
-        vecs = spark.read.parquet(_live_layout(index_path, "vectors"))
-        if "batch_id" in vecs.columns:
-            vecs = vecs.filter(F.col("batch_id") == -1)
+        vecs, has_level = _seed_layout(spark, index_path)
+        if not has_level:
+            # a single-level layout cannot distinguish seed rows from
+            # later appends: pooling them would fold the drifted data
+            # into its own baseline and the decision would never fire
+            raise RuntimeError(
+                f"no seed baseline: monitor {monitor_path} has no "
+                f"batch_id=-1 row and the index {index_path} layout "
+                "has no batch level to identify the seed cohort by. "
+                "Run seed_drift_baseline at seed time (it records the "
+                "band while the layout is all-seed)."
+            )
         fallback = batch_drift_stats(
-            spark,
-            _seed_band_vectors(vecs.select("vec_id", "v")),
-            index_path,
+            spark, _seed_band_vectors(vecs), index_path
         ).collect()[0]
         if fallback["mean_cos_ppb"] is None:
             raise RuntimeError(

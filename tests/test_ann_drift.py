@@ -258,3 +258,97 @@ def test_decision_raises_instead_of_nulling(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="no seed baseline"):
         monitor_rebuild_decision(spark, path2, monitor2).collect()
+
+
+def test_rebaseline_after_compaction_is_a_noop_not_a_wipe(spark, tmp_path):
+    """Re-running seed_drift_baseline after compaction (the
+    ann_monitored_ingest resume posture) must KEEP the recorded
+    baseline — overwriting it with a NULL band computed from the
+    now-folded seed partition would permanently blind the decision.
+    With no prior row to keep, it raises instead."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        append_ivf_index,
+        compact_ivf_index,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.ann_drift import (
+        monitor_rebuild_decision,
+        seed_drift_baseline,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "rebase_index")
+    build_ivf_index(emb, path, batch_id=-1)
+    monitor = str(tmp_path / "monitor")
+    seed_drift_baseline(spark, path, monitor)
+    want = (
+        spark.read.parquet(monitor)
+        .filter(F.col("batch_id") == -1)
+        .collect()[0]
+    )
+
+    delta = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "v"
+    )
+    append_ivf_index(delta, path, batch_id=0)
+    stats = batch_drift_stats(spark, delta, path)
+    (
+        stats.withColumn("batch_id", F.lit(0))
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(monitor)
+    )
+    compact_ivf_index(spark, path)  # folds batch_id=-1 into the epoch
+
+    seed_drift_baseline(spark, path, monitor)  # resume: must be a no-op
+    got = (
+        spark.read.parquet(monitor)
+        .filter(F.col("batch_id") == -1)
+        .collect()[0]
+    )
+    assert (int(got["n_vecs"]), int(got["mean_cos_ppb"])) == (
+        int(want["n_vecs"]),
+        int(want["mean_cos_ppb"]),
+    )
+    dec = monitor_rebuild_decision(spark, path, monitor).collect()[0]
+    assert dec["should_rebuild"] is not None
+
+    # a FRESH monitor against the compacted index has nothing to keep
+    with pytest.raises(RuntimeError, match="no seed vectors"):
+        seed_drift_baseline(spark, path, str(tmp_path / "monitor_fresh"))
+
+
+def test_fallback_refuses_single_level_layout_with_appends(spark, tmp_path):
+    """Decision fallback on a batch-less layout must refuse, not pool:
+    appended rows in a single-level layout are indistinguishable from
+    the seed, and pooling drifted appends into their own baseline
+    makes the decision never fire."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        append_ivf_index,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.ann_drift import (
+        monitor_rebuild_decision,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "flat_index")
+    build_ivf_index(emb, path)  # single-level
+    append_ivf_index(
+        emb.select((F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "v"),
+        path,
+    )
+    monitor = str(tmp_path / "monitor")
+    stats = batch_drift_stats(spark, emb, path)
+    (
+        stats.withColumn("batch_id", F.lit(0))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(monitor)
+    )
+    with pytest.raises(RuntimeError, match="no batch level"):
+        monitor_rebuild_decision(spark, path, monitor).collect()

@@ -160,9 +160,11 @@ def test_drift_decision_rebuild_cycle_e2e(spark, tmp_path):
     # ANY fixed direction scores ~the same max-cos as the originals
     # (negation included — that was this test's round-11 review
     # finding). Construct it adversarially: a direction orthogonal to
-    # every stored centroid (Gram-Schmidt over the 8 collected
-    # centroid rows), plus 5% of the old signal as jitter so the
-    # drifted cohort still has spread for the gen-2 retrain.
+    # the SPAN of the stored centroids (QR-orthonormalize the centroid
+    # set first — a single Gram-Schmidt sweep over a non-orthogonal
+    # set only de-correlates from the last vector), plus 5% of the old
+    # signal as jitter so the drifted cohort still has spread for the
+    # gen-2 retrain.
     cents = np.array(
         [
             list(r["cv"])
@@ -171,11 +173,13 @@ def test_drift_decision_rebuild_cycle_e2e(spark, tmp_path):
             ).collect()
         ]
     )
+    q_basis, _ = np.linalg.qr(cents.T)  # orthonormal basis of the span
     u = np.ones(cents.shape[1])
-    for c in cents:
-        cn = c / np.linalg.norm(c)
-        u -= u.dot(cn) * cn
+    u -= q_basis @ (q_basis.T @ u)
     u /= np.linalg.norm(u)
+    assert max(
+        abs(u.dot(c) / np.linalg.norm(c)) for c in cents
+    ) < 1e-9, "u must be orthogonal to every centroid"
     u_arr = F.array(*[F.lit(float(x)) for x in u])
     drifted = emb.select(
         (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
