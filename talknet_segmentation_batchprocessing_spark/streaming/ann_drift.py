@@ -179,7 +179,11 @@ def monitor_rebuild_decision(
     should_rebuild = gap beyond the threshold means the frozen
     quantizer no longer represents the arriving distribution: rebuild
     the index (fresh generation, epoch cleared), re-run
-    seed_drift_baseline, and resume the stream on a fresh checkpoint.
+    seed_drift_baseline, and resume the stream on a fresh checkpoint
+    AND a fresh monitor path — the old monitor's summaries were scored
+    against the old centroids, so pooling them under the new baseline
+    reads a stale gap until the recent window refills (the lifecycle
+    e2e starts monitor2 for generation 2 for exactly this reason).
     Raises rather than returning NULLs when no baseline or no streamed
     rows exist — a silent NULL here is a drift monitor that never
     fires. The lifecycle e2e (tests/test_index_lifecycle_e2e.py)
