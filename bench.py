@@ -220,7 +220,13 @@ def main() -> None:
             if spec is None:
                 continue
             best = None
-            for _ in range(2):
+            # min-of-2, plus a third confirmation pass for a crossing:
+            # on this stall-prone host a single 40-50s pause can
+            # inflate both passes, and a false positive here fails the
+            # round's bench record
+            for attempt in range(3):
+                if attempt == 2 and best / calib < _EXCLUDE_MAX_CALIB_UNITS:
+                    break
                 spark.catalog.clearCache()
                 drop_session_tables()
                 t0 = time.perf_counter()
