@@ -111,6 +111,24 @@ def _headline() -> list[str]:
     return [n for n in registry.REGISTRY if n not in BENCH_EXCLUDED]
 
 
+def _resolve_only(only_names: list[str], headline: list[str]) -> list[str]:
+    """Validate a --only probe list against the registry AND the
+    headline set. Naming an excluded query must fail loudly: silently
+    filtering it out would report fewer queries than requested with no
+    hint which name measured nothing — the same silent-omission class
+    the near-bar recheck exists to eliminate."""
+    unknown = set(only_names) - set(registry.REGISTRY)
+    assert not unknown, f"--only names unknown queries: {sorted(unknown)}"
+    excluded_hit = set(only_names) & set(BENCH_EXCLUDED)
+    assert not excluded_hit, (
+        f"--only names BENCH_EXCLUDED queries: {sorted(excluded_hit)} — "
+        "they are not in the headline set; probe them by temporarily "
+        "removing the exclusion, or rely on the automatic near-bar "
+        "recheck which re-measures every excluded query each run"
+    )
+    return [n for n in headline if n in set(only_names)]
+
+
 def _argval(flag: str, default: str | None = None) -> str | None:
     if flag in sys.argv:
         i = sys.argv.index(flag)
@@ -140,9 +158,7 @@ def main() -> None:
     registry._ensure_loaded()
     headline = _headline()
     if only_names is not None:
-        unknown = set(only_names) - set(registry.REGISTRY)
-        assert not unknown, f"--only names unknown queries: {sorted(unknown)}"
-        headline = [n for n in headline if n in set(only_names)]
+        headline = _resolve_only(only_names, headline)
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT/IO noise.

@@ -85,10 +85,38 @@ def _seed_layout(spark: SparkSession, index_path: str) -> tuple[DataFrame, bool]
     """(seed vectors of the index's live layout, whether the layout
     carries a batch level). THE one definition of 'the seed rows' for
     both the baseline writer and the decision fallback — two copies of
-    this recipe could silently diverge on what the band means."""
+    this recipe could silently diverge on what the band means.
+
+    Raises loudly for the codes-only IVF+PQ layout (centroids /
+    codebooks / codes — raw vectors are never stored, that IS the
+    compression): its band cannot be recomputed from the index, it
+    must be seeded from the source vectors via
+    ``seed_drift_baseline(..., seed_vectors=...)``. Without this guard
+    the read surfaces as a raw path-not-found AnalysisException —
+    exactly the silent-ish failure the monitor's raises-not-NULLs
+    contract exists to prevent."""
     from ..sources.ivf_index import _live_layout
 
-    vecs = spark.read.parquet(_live_layout(index_path, "vectors"))
+    vec_path = _live_layout(index_path, "vectors")
+    if not os.path.isdir(vec_path):
+        if os.path.isdir(_live_layout(index_path, "codes")):
+            raise RuntimeError(
+                f"index {index_path} is a codes-only IVF+PQ layout "
+                "(centroids/codebooks/codes — raw vectors are never "
+                "stored), so its seed band cannot be recomputed from "
+                "the index itself. Seed the monitor from the SOURCE "
+                "vectors: seed_drift_baseline(spark, index_path, "
+                "monitor_path, seed_vectors=<the seed (vec_id, v) "
+                "frame>) — batch_drift_stats scores against the stored "
+                "centroids only, so the monitor works unchanged once "
+                "the baseline row exists."
+            )
+        raise RuntimeError(
+            f"index {index_path} has no vectors/ layout (and no codes/ "
+            "layout either) — not a seeded IVF index. Build it first "
+            "(build_ivf_index / build_ivfpq_index)."
+        )
+    vecs = spark.read.parquet(vec_path)
     has_level = "batch_id" in vecs.columns
     if has_level:
         vecs = vecs.filter(F.col("batch_id") == -1)
@@ -96,7 +124,10 @@ def _seed_layout(spark: SparkSession, index_path: str) -> tuple[DataFrame, bool]
 
 
 def seed_drift_baseline(
-    spark: SparkSession, index_path: str, monitor_path: str
+    spark: SparkSession,
+    index_path: str,
+    monitor_path: str,
+    seed_vectors: DataFrame | None = None,
 ) -> None:
     """Record the SEED cohort's drift band in the monitor table as its
     ``batch_id=-1`` row (the same convention the index layout uses for
@@ -118,8 +149,18 @@ def seed_drift_baseline(
     with no existing row either, this raises — overwriting a good
     baseline with a NULL row would permanently blind the decision,
     which is the exact failure the monitor-resident baseline exists
-    to prevent."""
-    vecs, _has_level = _seed_layout(spark, index_path)
+    to prevent.
+
+    ``seed_vectors``: the seed (vec_id, v) frame, REQUIRED for the
+    codes-only IVF+PQ layout (raw vectors never touch its disk, so the
+    band cannot be recomputed from the index — pass the same frame you
+    seeded ``build_ivfpq_index`` with). Optional for the flat layout,
+    where it overrides the index scan (useful when the source is
+    cheaper to read than the index)."""
+    if seed_vectors is not None:
+        vecs = seed_vectors.select("vec_id", "v")
+    else:
+        vecs, _has_level = _seed_layout(spark, index_path)
     band = _seed_band_vectors(vecs)
     stats = batch_drift_stats(spark, band, index_path).collect()[0]
     if stats["mean_cos_ppb"] is None or int(stats["n_vecs"]) == 0:
@@ -228,9 +269,15 @@ def monitor_rebuild_decision(
     seed_stats = spark.createDataFrame(
         [(seed_mean,)], "seed_mean_cos_ppb bigint"
     )
+    # n_vecs > 0: an all-empty micro-batch row carries no band (its
+    # mean is NULL), and pooling over only such rows would divide by a
+    # zero weight and surface should_rebuild=NULL — violating the
+    # raises-instead-of-NULLs contract. Empty batches don't say
+    # anything about drift; pool the most recent batches that carried
+    # vectors instead.
     recent_ids = [
         r[0]
-        for r in mon.filter(F.col("batch_id") >= 0)
+        for r in mon.filter((F.col("batch_id") >= 0) & (F.col("n_vecs") > 0))
         .select("batch_id")
         .distinct()
         .orderBy(F.desc("batch_id"))
@@ -240,7 +287,8 @@ def monitor_rebuild_decision(
     if not recent_ids:
         raise RuntimeError(
             f"no streamed monitor rows in {monitor_path}: the decision "
-            "needs at least one micro-batch summary (batch_id >= 0)."
+            "needs at least one micro-batch summary (batch_id >= 0) "
+            "with n_vecs > 0 — empty micro-batches carry no band."
         )
     recent = (
         mon.filter(F.col("batch_id").isin(recent_ids))

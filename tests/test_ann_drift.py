@@ -352,3 +352,112 @@ def test_fallback_refuses_single_level_layout_with_appends(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="no batch level"):
         monitor_rebuild_decision(spark, path, monitor).collect()
+
+
+def test_pq_layout_baseline_needs_source_vectors(spark, tmp_path):
+    """The codes-only IVF+PQ layout stores no raw vectors (that IS the
+    compression): seeding a baseline from the index must raise the
+    designed loud error — not a raw path-not-found AnalysisException —
+    and passing the source vectors explicitly closes the whole
+    monitor -> decision loop against the PQ index, because
+    batch_drift_stats scores against the stored centroids only
+    (ADVICE r11)."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.sources.ivf_index import (
+        build_ivfpq_index,
+    )
+    from talknet_segmentation_batchprocessing_spark.streaming.ann_drift import (
+        monitor_rebuild_decision,
+        seed_drift_baseline,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "pq_index")
+    build_ivfpq_index(spark, emb, path, batch_id=-1)
+    monitor = str(tmp_path / "monitor")
+
+    with pytest.raises(RuntimeError, match="codes-only"):
+        seed_drift_baseline(spark, path, monitor)
+
+    # the documented recipe: band from the SOURCE seed vectors
+    seed_drift_baseline(spark, path, monitor, seed_vectors=emb)
+    stats = batch_drift_stats(spark, emb, path)
+    (
+        stats.withColumn("batch_id", F.lit(0))
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(monitor)
+    )
+    dec = monitor_rebuild_decision(spark, path, monitor).collect()[0]
+    assert dec["should_rebuild"] is not None
+
+    # the decision FALLBACK (fresh monitor, no baseline row) hits the
+    # same loud guard
+    monitor2 = str(tmp_path / "monitor2")
+    (
+        stats.withColumn("batch_id", F.lit(0))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(monitor2)
+    )
+    with pytest.raises(RuntimeError, match="codes-only"):
+        monitor_rebuild_decision(spark, path, monitor2).collect()
+
+
+def test_decision_skips_empty_batch_rows(spark, tmp_path):
+    """n_vecs=0 monitor rows (all-empty micro-batches) carry no band:
+    pooling ONLY over them must raise the no-streamed-rows error (not
+    surface should_rebuild=NULL through a zero-weight division), and a
+    zero row newer than a real row is skipped so the real rows pool
+    (ADVICE r11)."""
+    import pytest
+
+    from talknet_segmentation_batchprocessing_spark.streaming.ann_drift import (
+        monitor_rebuild_decision,
+        seed_drift_baseline,
+    )
+
+    emb = _emb(spark)
+    path, cut, n = _seeded_index(spark, emb, tmp_path)
+    monitor = str(tmp_path / "monitor")
+    seed_drift_baseline(spark, path, monitor)
+
+    schema = (
+        "n_vecs bigint, mean_cos_ppb bigint, min_cos_ppb bigint, "
+        "batch_id int"
+    )
+
+    # only an empty-batch row streamed -> loud error, not NULL verdict
+    spark.createDataFrame([(0, None, None, 0)], schema).coalesce(
+        1
+    ).write.mode("append").partitionBy("batch_id").parquet(monitor)
+    with pytest.raises(RuntimeError, match="no streamed monitor rows"):
+        monitor_rebuild_decision(spark, path, monitor).collect()
+
+    # a real row older than the empty one: the empty row is skipped
+    # and the real row pools to a non-NULL verdict
+    real = batch_drift_stats(
+        spark, emb.filter(F.col("vec_id") >= cut), path
+    ).collect()[0]
+    spark.createDataFrame(
+        [
+            (
+                int(real["n_vecs"]),
+                int(real["mean_cos_ppb"]),
+                int(real["min_cos_ppb"]),
+                1,
+            ),
+            (0, None, None, 2),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").partitionBy("batch_id").parquet(
+        monitor
+    )
+    dec = monitor_rebuild_decision(
+        spark, path, monitor, recent_batches=1
+    ).collect()[0]
+    assert dec["should_rebuild"] is not None
+    assert int(dec["recent_mean_cos_ppb"]) == int(real["mean_cos_ppb"])

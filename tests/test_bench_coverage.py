@@ -73,3 +73,28 @@ def test_flagships_never_excluded():
         "sim_ivf_drift_audit",
     ):
         assert name not in bench.BENCH_EXCLUDED
+
+
+def test_resolve_only_rejects_excluded_and_unknown_names():
+    """--only probes must fail loudly, never silently measure less
+    than requested: an unknown name and an excluded name both assert
+    (the excluded case used to pass the registry check and then be
+    silently dropped by the headline filter — ADVICE r11)."""
+    import pytest
+
+    bench = _bench()
+    registry._ensure_loaded()
+    headline = bench._headline()
+
+    got = bench._resolve_only(["w1_speaking_segments"], headline)
+    assert got == ["w1_speaking_segments"]
+
+    with pytest.raises(AssertionError, match="unknown"):
+        bench._resolve_only(["no_such_query"], headline)
+
+    if bench.BENCH_EXCLUDED:
+        some_excluded = sorted(bench.BENCH_EXCLUDED)[0]
+        with pytest.raises(AssertionError, match="BENCH_EXCLUDED"):
+            bench._resolve_only(
+                ["w1_speaking_segments", some_excluded], headline
+            )
