@@ -19,12 +19,81 @@ asserts row equality against the registered query.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _EPOCH_MARKER = "_COMPACTION_EPOCH"
+_LOCK_FILE = "_WRITE_LOCK"
+# a lock older than this is presumed crashed and may be stolen — the
+# escape hatch for a writer that died without releasing. Far above any
+# real write's duration at test scale; at 100 TB tune it to the
+# cluster's longest compaction.
+_LOCK_STALE_SECONDS = 6 * 3600
+
+
+@contextlib.contextmanager
+def _write_lock(index_path: str):
+    """Enforce the index's single-writer discipline: every write path
+    (build / append / compact) holds an ``O_CREAT|O_EXCL`` lock file
+    under the index root for its duration, so two concurrent writers —
+    two compactions, or compact + rebuild — fail LOUDLY instead of
+    interleaving the layout swap (the documented-but-unenforced
+    posture through round 11). Readers never take it: search resolves
+    the live layout read-only (:func:`_live_layout`).
+
+    Crash escape hatch: a lock whose mtime is older than
+    ``_LOCK_STALE_SECONDS`` is presumed orphaned by a dead writer and
+    stolen (one retry; losing the steal race to another claimant
+    raises like any held lock). A fresher lock raises with the
+    holder's recorded pid/op so the operator can verify before
+    removing it by hand."""
+    os.makedirs(index_path, exist_ok=True)
+    p = os.path.join(index_path, _LOCK_FILE)
+    fd = None
+    for attempt in (0, 1):
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(p).st_mtime
+                with open(p) as f:
+                    holder = f.read().strip()
+            except FileNotFoundError:
+                continue  # holder released between open and stat: retry
+            if attempt == 0 and age > _LOCK_STALE_SECONDS:
+                # presumed-crashed holder: steal by removing, then
+                # re-race the O_EXCL open (a concurrent claimant wins
+                # at most one of the two removes+opens)
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(p)
+                continue
+            raise RuntimeError(
+                f"index {index_path} is locked by another writer "
+                f"({holder or 'unknown'}, lock age {age:.0f}s): the "
+                "index admits ONE writer at a time — concurrent "
+                "build/append/compact would interleave the layout "
+                "swap. Wait for the holder, or if it crashed, remove "
+                f"{p} by hand (locks older than {_LOCK_STALE_SECONDS}s "
+                "are stolen automatically)."
+            )
+    if fd is None:  # both attempts lost the race
+        raise RuntimeError(
+            f"index {index_path} write lock contended: lost the "
+            f"acquisition race twice on {p}. Retry once the other "
+            "writer finishes."
+        )
+    try:
+        os.write(fd, f"pid={os.getpid()} t={int(time.time())}".encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(p)
 
 
 def _recover_layout(index_path: str, sub: str) -> str:
@@ -183,7 +252,17 @@ def build_ivf_index(emb: DataFrame, out_path: str, batch_id: int | None = None) 
     the seed conventionally takes batch_id=-1 (micro-batch epochs
     start at 0). cent_id stays the OUTER level, so probe-time
     partition pruning is unchanged.
+
+    Holds the index write lock (single-writer discipline, see
+    :func:`_write_lock`).
     """
+    with _write_lock(out_path):
+        return _build_ivf_index_locked(emb, out_path, batch_id)
+
+
+def _build_ivf_index_locked(
+    emb: DataFrame, out_path: str, batch_id: int | None
+) -> int:
     from ..queries.extensions import _ivf_centroids
 
     cent = _ivf_centroids(emb.select("vec_id", "v"))
@@ -234,7 +313,17 @@ def append_ivf_index(
     checkpoint commit) rewrites exactly its own partitions to the same
     content, so the streaming sink is idempotent; batches never touch
     each other's or the seed's (batch_id=-1) partitions.
+
+    Holds the index write lock (single-writer discipline, see
+    :func:`_write_lock`).
     """
+    with _write_lock(index_path):
+        _append_ivf_index_locked(emb_delta, index_path, batch_id)
+
+
+def _append_ivf_index_locked(
+    emb_delta: DataFrame, index_path: str, batch_id: int | None
+) -> None:
     if batch_id is not None:
         _check_replay_epoch(index_path, batch_id)
     _recover_layout(index_path, "vectors")
@@ -278,7 +367,17 @@ def build_ivfpq_index(
     overwrite exactly their own batch partition on replay; the seed
     conventionally takes batch_id=-1. cent_id stays the OUTER level,
     so probe-time partition pruning is unchanged.
+
+    Holds the index write lock (single-writer discipline, see
+    :func:`_write_lock`).
     """
+    with _write_lock(out_path):
+        _build_ivfpq_index_locked(spark, emb, out_path, batch_id)
+
+
+def _build_ivfpq_index_locked(
+    spark: SparkSession, emb: DataFrame, out_path: str, batch_id: int | None
+) -> None:
     from ..queries.dataset_ops import _pq_assign_long, _pq_cb, _pq_wide_codes
     from ..queries.extensions import _ivf_centroids
 
@@ -332,7 +431,17 @@ def append_ivfpq_index(
     its own partitions to the same content, idempotent like the flat
     index's sink; a replay at or below the compaction epoch is
     refused (see :func:`_check_replay_epoch`).
+
+    Holds the index write lock (single-writer discipline, see
+    :func:`_write_lock`).
     """
+    with _write_lock(index_path):
+        _append_ivfpq_index_locked(emb_delta, index_path, batch_id)
+
+
+def _append_ivfpq_index_locked(
+    emb_delta: DataFrame, index_path: str, batch_id: int | None
+) -> None:
     from ..queries.dataset_ops import _pq_assign_long, _pq_wide_codes
 
     if batch_id is not None:
@@ -532,7 +641,25 @@ def _compact_layout(
     stream will replay that batch on resume, so folding it now would
     first corrupt the baseline with the half-written rows and then
     block the legitimate replay).
+
+    Holds the index write lock for the WHOLE read-stage-swap sequence
+    (single-writer discipline, see :func:`_write_lock`): two
+    concurrent compactions, or compact racing a rebuild/append, fail
+    loudly instead of interleaving the swap's renames.
     """
+    with _write_lock(index_path):
+        return _compact_layout_locked(
+            spark, index_path, sub, data_cols, checkpoint_dir
+        )
+
+
+def _compact_layout_locked(
+    spark: SparkSession,
+    index_path: str,
+    sub: str,
+    data_cols: list[str],
+    checkpoint_dir: str | None,
+) -> tuple[int, int]:
     import shutil
 
     live_root = _recover_layout(index_path, sub)

