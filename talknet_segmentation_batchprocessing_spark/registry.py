@@ -210,6 +210,7 @@ def _ensure_loaded() -> None:
     from .queries import dataset_ops  # noqa: F401  training-data curation ops
     from .queries import sketches  # noqa: F401  cardinality sketches
     from .queries import curation_audit  # noqa: F401  curation audits & reports
+    from .queries import image_dedup  # noqa: F401  perceptual image dedup
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW if n in REGISTRY}
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
