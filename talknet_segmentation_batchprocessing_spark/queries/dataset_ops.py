@@ -416,14 +416,23 @@ def _pq_codebooks(emb):
     the training sample is bounded, so local iteration beats a chain of
     tiny Spark stages; only the full-table ASSIGN phase is distributed
     (against the broadcast codebooks) — the honest PQ shape at 100 TB."""
+    return _pq_codebooks_param(emb, _PQ_M, 16)
+
+
+def _pq_codebooks_param(emb, n_sub: int, subdim: int):
+    """:func:`_pq_codebooks` generalized to any (n_sub, subdim) split
+    of the embedding — the compression axis sim_pq_bits_sweep walks.
+    Identical arithmetic (iteration order, tie-breaks, 1e-6 mean
+    rounding) at every split; the fixed-_PQ_M caller delegates here so
+    the two cannot drift."""
     import math
 
     rows = emb.filter(F.col("vec_id") < _PQ_SAMPLE).select("vec_id", "v").collect()
     rows.sort(key=lambda r: r.vec_id)
     samp = [(int(r.vec_id), [float(x) for x in r.v]) for r in rows]
     books = {}
-    for m in range(_PQ_M):
-        sub = [(vid, v[m * 16 : m * 16 + 16]) for vid, v in samp]
+    for m in range(n_sub):
+        sub = [(vid, v[m * subdim : m * subdim + subdim]) for vid, v in samp]
         cb = {vid: sv for vid, sv in sub if vid < _PQ_K}
         for _ in range(_PQ_ITERS):
             members = {}
@@ -441,7 +450,7 @@ def _pq_codebooks(emb):
             for cid, vs in members.items():
                 cb[cid] = [
                     math.floor(sum(v[d] for v in vs) / len(vs) * 1e6 + 0.5) / 1e6
-                    for d in range(16)
+                    for d in range(subdim)
                 ]
         books[m] = cb
     return [
@@ -466,11 +475,27 @@ def _pq_assign_long(
     bounded sample and broadcast; the scan is the only big side."""
     if cb is None:
         cb = _pq_cb(spark, emb)
-    ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    return _pq_assign_long_param(spark, emb, cb, _PQ_M, 16)
+
+
+def _pq_assign_long_param(
+    spark: SparkSession,
+    emb: DataFrame,
+    cb: DataFrame,
+    n_sub: int,
+    subdim: int,
+) -> DataFrame:
+    """:func:`_pq_assign_long` generalized to any (n_sub, subdim)
+    split — identical expression text at the default split, so the
+    delegating caller's plans are unchanged."""
+    ms = spark.range(n_sub).select(F.col("id").cast("int").alias("m"))
     subv = emb.crossJoin(F.broadcast(ms)).select(
         "vec_id",
         "m",
-        F.expr("transform(sequence(1, 16), i -> element_at(v, int(m*16 + i)))").alias("sv"),
+        F.expr(
+            f"transform(sequence(1, {subdim}), "
+            f"i -> element_at(v, int(m*{subdim} + i)))"
+        ).alias("sv"),
     )
     d2 = F.expr(
         "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
@@ -1005,6 +1030,274 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("adc"), 6).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_bits_sweep — the COMPRESSION axis (VERDICT r11 ask #4)
+# ---------------------------------------------------------------------------
+
+_PQ_DIM = 64
+_PQ_BITS_AXIS = (2, 4, 8)  # subspace counts: 32/16/8 dims per subspace
+
+
+def _pq_bits_arm_sql(n_sub: int) -> str:
+    """One compression-axis arm of the sweep oracle: the parametric
+    twin of _pq_kmeans_cte + the sim_pq_topk ADC joins at an arbitrary
+    (n_sub, subdim) split, CTE names prefixed ``s{n_sub}_`` so three
+    arms coexist in one statement. ADC is summed in fixed m-order via
+    the m-wise joins (same cross-engine tie discipline as
+    sim_pq_topk's oracle)."""
+    sd = _PQ_DIM // n_sub
+    p = f"s{n_sub}_"
+    l2 = (
+        f"list_sum(list_transform(range(1, {sd + 1}), "
+        "i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
+    )
+    parts = [
+        f"{p}ms AS (SELECT unnest(range(0, {n_sub})) AS m),",
+        f"{p}dims AS (SELECT unnest(generate_series(1, {sd})) AS dim),",
+        f"{p}subv AS (SELECT vec_id, m, "
+        f"list_transform(range(1, {sd + 1}), i -> v[m*{sd} + i]) AS sv"
+        f"  FROM samp CROSS JOIN {p}ms),",
+        f"{p}c0 AS (SELECT m, vec_id AS code_id, sv AS cv "
+        f"FROM {p}subv WHERE vec_id < {_PQ_K}),",
+    ]
+    for it in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"""{p}a{it} AS (
+  SELECT vec_id, m, code_id, sv FROM (
+    SELECT s.vec_id, s.m, c.code_id, s.sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {l2} ASC, c.code_id) AS rn
+    FROM {p}subv s JOIN {p}c{it - 1} c ON c.m = s.m
+  ) WHERE rn = 1
+),
+{p}c{it} AS (
+  SELECT m, code_id, list(xa ORDER BY dim) AS cv FROM (
+    SELECT m, code_id, dim, floor(avg(sv[dim]) * 1e6 + 0.5) / 1e6 AS xa
+    FROM {p}a{it} CROSS JOIN {p}dims GROUP BY m, code_id, dim
+  ) GROUP BY m, code_id
+),"""
+        )
+    lut_joins = "\n  ".join(
+        f"JOIN {p}lut l{m} ON l{m}.m = {m} AND l{m}.code_id = p.c{m}"
+        + (f" AND l{m}.query_id = l0.query_id" if m else "")
+        for m in range(n_sub)
+    )
+    adc_sum = " + ".join(f"l{m}.d2" for m in range(n_sub))
+    code_cols = ",\n         ".join(
+        f"max(CASE WHEN m = {m} THEN code_id END) AS c{m}"
+        for m in range(n_sub)
+    )
+    # fixed m-order per-vector sum (cross-engine fp discipline), then
+    # a plain mean whose ~1e-13 order sensitivity cannot move the
+    # 1e-6 grid
+    err_sum = " + ".join(
+        f"max(CASE WHEN m = {m} THEN d2 END)" for m in range(n_sub)
+    )
+    parts.append(
+        f"""{p}allsub AS (
+  SELECT vec_id, m, list_transform(range(1, {sd + 1}), i -> v[m*{sd} + i]) AS sv
+  FROM e CROSS JOIN {p}ms
+),
+{p}codes AS (
+  SELECT vec_id, m, code_id, d2 FROM (
+    SELECT s.vec_id, s.m, c.code_id, {l2} AS d2,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {l2} ASC, c.code_id) AS rn
+    FROM {p}allsub s JOIN {p}c{_PQ_ITERS} c ON c.m = s.m
+  ) WHERE rn = 1
+),
+{p}pcodes AS (
+  SELECT vec_id,
+         {code_cols}
+  FROM {p}codes GROUP BY vec_id
+),
+{p}err AS (
+  SELECT avg(e) AS me FROM (
+    SELECT vec_id, {err_sum} AS e
+    FROM {p}codes GROUP BY vec_id
+  )
+),
+{p}lut AS (
+  SELECT q.query_id, c.m, c.code_id,
+         list_sum(list_transform(range(1, {sd + 1}),
+           i -> (q.v[c.m*{sd} + i] - c.cv[i]) * (q.v[c.m*{sd} + i] - c.cv[i]))) AS d2
+  FROM q CROSS JOIN {p}c{_PQ_ITERS} c
+),
+{p}adc AS (
+  SELECT l0.query_id, p.vec_id AS neighbor_id, {adc_sum} AS adc
+  FROM {p}pcodes p
+  {lut_joins}
+  WHERE p.vec_id <> l0.query_id
+),
+{p}topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS rn
+    FROM {p}adc
+  ) WHERE rn <= 3
+),
+{p}hits AS (
+  SELECT count(*) AS n_hits FROM {p}topk t
+  JOIN bf b ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+           AND b.rank <= 3
+),"""
+    )
+    return "\n".join(parts)
+
+
+def _pq_bits_sweep_oracle() -> str:
+    from ..registry import REGISTRY
+
+    bf = REGISTRY["sim_topk_bruteforce"].oracle
+    arms = "\n".join(_pq_bits_arm_sql(n) for n in _PQ_BITS_AXIS)
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({n} AS INTEGER) AS n_subspaces,
+       CAST({n * 3} AS BIGINT) AS code_bits,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       floor((h.n_hits * 1.0 / (nq.q * 3)) * 1e6 + 0.5) / 1e6 AS recall_at_3,
+       floor(r.me * 1e6 + 0.5) / 1e6 AS mean_recon_err
+FROM s{n}_hits h CROSS JOIN nq CROSS JOIN s{n}_err r"""
+        for n in _PQ_BITS_AXIS
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+samp AS (SELECT vec_id, v FROM e WHERE vec_id < {_PQ_SAMPLE}),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {_PQ_NQ}),
+bf AS ({bf}),
+nq AS (SELECT count(DISTINCT query_id) AS q FROM bf),
+{arms}
+_done AS (SELECT 1)
+{rows}
+"""
+
+
+@query(
+    "sim_pq_bits_sweep",
+    oracle=None,  # late-bound below (needs sim_topk_bruteforce registered)
+    doc="The COMPRESSION tuning curve — the codebook analog of "
+    "sim_nprobe_sweep: recall@3 vs the shared brute-force ground "
+    "truth at m = 2/4/8 subspaces over the 64-dim embeddings (code "
+    "size 6/12/24 bits per vector at K=8 codewords), each arm a full "
+    "driver-trained-codebook + distributed-ADC pass in fixed m-order. "
+    "nprobe prices ROUTING error; this prices QUANTIZATION error — "
+    "OPERATIONS.md sizes an index by reading both curves side by "
+    "side. Every arm reuses the exact sim_pq_topk machinery "
+    "parametrically (delegating helpers, so the splits cannot drift "
+    "from the registered 4x16 queries)",
+    tags=("similarity", "eval", "quantization", "ext"),
+)
+def sim_pq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .extensions import sim_topk_bruteforce
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    bf3 = track_persist(
+        sim_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    nq = bf3.agg(F.countDistinct("query_id").alias("_q"))
+    arms = []
+    for n_sub in _PQ_BITS_AXIS:
+        sd = _PQ_DIM // n_sub
+        cb = spark.createDataFrame(
+            _pq_codebooks_param(emb, n_sub, sd),
+            "m int, code_id bigint, cv array<double>",
+        )
+        wide = track_persist(
+            _pq_assign_long_param(spark, emb, cb, n_sub, sd)
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    _pq_pick(m, "code_id").alias(f"code{m}")
+                    for m in range(n_sub)
+                ],
+                reduce(
+                    lambda a, b: a + b,
+                    [_pq_pick(m, "d2") for m in range(n_sub)],
+                ).alias("_err"),  # fixed m-order sum (fp discipline)
+            )
+        )
+        recon = wide.agg(
+            stable_round(F.avg("_err"), 6).alias("mean_recon_err")
+        )
+        pcodes = wide.drop("_err")
+        lut_d2 = F.expr(
+            f"aggregate(zip_with(transform(sequence(1, {sd}), "
+            f"i -> element_at(v, int(m*{sd} + i))), cv,"
+            " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+            "(acc, x) -> acc + x)"
+        )
+        lut = q.crossJoin(F.broadcast(cb)).select(
+            "query_id", "m", "code_id", lut_d2.alias("d2")
+        )
+        lut_m = lut.groupBy("query_id", "m").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
+                lambda pr: pr["d2"],
+            ).alias("arr")
+        )
+        lut_q = lut_m.groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "arr"))),
+                lambda pr: pr["arr"],
+            ).alias("luts")
+        )
+        base = pcodes.crossJoin(F.broadcast(q.select("query_id"))).join(
+            F.broadcast(lut_q), "query_id"
+        )
+        d = [
+            F.element_at(
+                F.element_at(F.col("luts"), m + 1),
+                F.col(f"code{m}").cast("int") + 1,
+            )
+            for m in range(n_sub)
+        ]
+        adc = reduce(lambda a, b: a + b, d)  # fixed m-order sum
+        scored = base.filter(F.col("vec_id") != F.col("query_id")).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        )
+        wq = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+        topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
+            F.col("rk") <= 3
+        )
+        hits = topk.join(F.broadcast(bf3), ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("_nh")
+        )
+        arms.append(
+            hits.crossJoin(F.broadcast(nq))
+            .crossJoin(F.broadcast(recon))
+            .select(
+                F.lit(n_sub).cast("int").alias("n_subspaces"),
+                F.lit(n_sub * 3).cast("bigint").alias("code_bits"),
+                F.col("_nh").cast("bigint").alias("n_hits"),
+                stable_round(
+                    F.col("_nh") * F.lit(1.0) / (F.col("_q") * 3), 6
+                ).alias("recall_at_3"),
+                "mean_recon_err",
+            )
+        )
+    return reduce(DataFrame.unionAll, arms)
+
+
+def _late_bind_pq_bits() -> None:
+    # sim_topk_bruteforce lives in extensions.py — same late-bind
+    # discipline as _late_bind_rrf below.
+    from . import extensions  # noqa: F401
+    from ..registry import REGISTRY
+
+    REGISTRY["sim_pq_bits_sweep"].oracle = _pq_bits_sweep_oracle()
+
+
+_late_bind_pq_bits()
 
 
 # ---------------------------------------------------------------------------
