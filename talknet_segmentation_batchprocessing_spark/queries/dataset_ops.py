@@ -419,17 +419,33 @@ def _pq_codebooks(emb):
     return _pq_codebooks_param(emb, _PQ_M, 16)
 
 
+def _pq_sample_rows(emb) -> list[tuple[int, list[float]]]:
+    """ONE bounded driver collect of the PQ training sample, shared by
+    every codebook the caller trains from it (sim_pq_bits_sweep trains
+    three splits from the same sample — round-12 optimization: one
+    scan+collect job instead of one per arm, guide §1.2/§5)."""
+    rows = emb.filter(F.col("vec_id") < _PQ_SAMPLE).select("vec_id", "v").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    return [(int(r.vec_id), [float(x) for x in r.v]) for r in rows]
+
+
 def _pq_codebooks_param(emb, n_sub: int, subdim: int):
     """:func:`_pq_codebooks` generalized to any (n_sub, subdim) split
     of the embedding — the compression axis sim_pq_bits_sweep walks.
     Identical arithmetic (iteration order, tie-breaks, 1e-6 mean
     rounding) at every split; the fixed-_PQ_M caller delegates here so
     the two cannot drift."""
+    return _pq_train_books(_pq_sample_rows(emb), n_sub, subdim)
+
+
+def _pq_train_books(
+    samp: list[tuple[int, list[float]]], n_sub: int, subdim: int
+):
+    """Pure-local per-subspace Lloyd over an already-collected sample
+    (the driver-side training loop factored out of
+    :func:`_pq_codebooks_param` so multi-split sweeps collect once)."""
     import math
 
-    rows = emb.filter(F.col("vec_id") < _PQ_SAMPLE).select("vec_id", "v").collect()
-    rows.sort(key=lambda r: r.vec_id)
-    samp = [(int(r.vec_id), [float(x) for x in r.v]) for r in rows]
     books = {}
     for m in range(n_sub):
         sub = [(vid, v[m * subdim : m * subdim + subdim]) for vid, v in samp]
@@ -522,6 +538,107 @@ def _pq_wide_codes(long_codes: DataFrame) -> DataFrame:
     )
 
 
+# --- expression-form PQ assign/LUT (round-12 optimization) -----------------
+#
+# The codebooks are DRIVER-LOCAL by construction (bounded-sample Lloyd
+# on the driver), so the assign phase does not need the broadcast-join
+# + two keyed aggregations the long-form pivot paid: embedding each
+# codeword as a LITERAL array turns assignment into a pure projection —
+# zero exchanges over the n x m code stream (guide §2.4 "remove
+# shuffles outright"; at 100 TB this is the FAISS add() shape: a
+# map-only encode pass). The per-element arithmetic is the EXACT
+# expression the join form evaluated — same zip_with/aggregate fold,
+# same doubles (F.lit round-trips the Python float the codebook rows
+# held), same (d2, code_id) lexicographic tie-break (array_min of
+# structs == min(struct(d2, code_id)) aggregate) — so codes, d2s, ADC
+# ranks and every downstream rounded column are bit-identical; the
+# registered oracles re-verify that.
+
+
+def _pq_books_by_m(books) -> dict[int, list[tuple[int, list[float]]]]:
+    """(m, code_id, cv) rows -> {m: [(code_id, cv), ...] sorted by
+    code_id} — the layout the expression builders index."""
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, cid, cv in books:
+        by_m.setdefault(int(m), []).append((int(cid), [float(x) for x in cv]))
+    for m in by_m:
+        by_m[m].sort()
+    return by_m
+
+
+def _dlit(x: float) -> str:
+    """Exact double literal for Spark SQL: Python repr round-trips the
+    IEEE-754 value and Java's parser is correctly-rounding, so the JVM
+    sees the identical double the codebook row held; the D suffix
+    keeps the parser off the DECIMAL default."""
+    return f"{float(x)!r}D"
+
+
+def _pq_sub_d2_sql(m: int, subdim: int, cv: list[float]) -> str:
+    """L2^2 of subvector m of ``v`` against a LITERAL codeword: the
+    same transform/zip_with/aggregate fold as the join-form d2, cv as
+    an array literal. Built as ONE SQL string — a Column-API build of
+    these trees costs thousands of py4j round-trips (measured: +2.4 s
+    of driver time on sim_pq_topk alone), the parser does it in one."""
+    arr = ", ".join(_dlit(x) for x in cv)
+    return (
+        f"aggregate(zip_with(transform(sequence(1, {subdim}), "
+        f"i -> element_at(v, int({m * subdim} + i))), array({arr}), "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _pq_best_sql(m: int, subdim: int, book_m: list[tuple[int, list[float]]]) -> str:
+    """struct(d2, code_id) of the winning codeword for subspace m —
+    array_min over the per-codeword structs reproduces the join form's
+    min(struct(_d2, code_id)) tie-break exactly."""
+    entries = ", ".join(
+        f"named_struct('d2', {_pq_sub_d2_sql(m, subdim, cv)}, "
+        f"'code_id', CAST({int(cid)} AS BIGINT))"
+        for cid, cv in book_m
+    )
+    return f"array_min(array({entries}))"
+
+
+def _pq_wide_books(
+    emb: DataFrame, books, n_sub: int, subdim: int
+) -> DataFrame:
+    """(vec_id, v) -> (vec_id, code0.., d2_0..): the map-only PQ
+    encode pass (no join, no aggregation). Two selects so each
+    subspace's array_min evaluates ONCE; CollapseProject keeps them
+    separate because the struct is referenced twice."""
+    by_m = _pq_books_by_m(books)
+    best = emb.select(
+        "vec_id",
+        *[
+            F.expr(_pq_best_sql(m, subdim, by_m[m])).alias(f"_b{m}")
+            for m in range(n_sub)
+        ],
+    )
+    return best.select(
+        "vec_id",
+        *[F.col(f"_b{m}.code_id").alias(f"code{m}") for m in range(n_sub)],
+        *[F.col(f"_b{m}.d2").alias(f"d2_{m}") for m in range(n_sub)],
+    )
+
+
+def _pq_luts_lit(q: DataFrame, books, n_sub: int, subdim: int) -> DataFrame:
+    """(query_id, v) -> (query_id, luts) with luts[m][i] = d2 of the
+    query's m-th subvector against the i-th-smallest code_id's
+    codeword — the nested-array layout sim_pq_topk's ADC lookups
+    index, built as one projection instead of crossJoin + two
+    collect_list aggregations."""
+    by_m = _pq_books_by_m(books)
+    inner = ", ".join(
+        "array("
+        + ", ".join(_pq_sub_d2_sql(m, subdim, cv) for _cid, cv in by_m[m])
+        + ")"
+        for m in range(n_sub)
+    )
+    return q.select("query_id", F.expr(f"array({inner})").alias("luts"))
+
+
 @query(
     "emb_pq_codes",
     oracle=_PQ_ORACLE,
@@ -537,12 +654,17 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    best = _pq_assign_long(spark, emb)
-    return best.groupBy("vec_id").agg(
-        *[_pq_pick(m, "code_id").alias(f"code{m}") for m in range(_PQ_M)],
+    # expression-form encode (round-12): codebooks are driver-local,
+    # so assignment is one projection — the broadcast join + two keyed
+    # aggregations of the long-form pivot are gone (guide §2.4); the
+    # fold arithmetic and (d2, code_id) tie-break are identical, so
+    # codes and the rounded recon_err are bit-identical (oracle-held).
+    wide = _pq_wide_books(emb, _pq_codebooks(emb), _PQ_M, 16)
+    return wide.select(
+        "vec_id",
+        *[f"code{m}" for m in range(_PQ_M)],
         stable_round(
-            _pq_pick(0, "d2") + _pq_pick(1, "d2") + _pq_pick(2, "d2")
-            + _pq_pick(3, "d2"),
+            F.col("d2_0") + F.col("d2_1") + F.col("d2_2") + F.col("d2_3"),
             6,
         ).alias("recon_err"),
     )
@@ -971,42 +1093,24 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cb = _pq_cb(spark, emb)  # trained ONCE, shared by assign + LUT
-    pcodes = _pq_wide_codes(_pq_assign_long(spark, emb, cb))
+    # Round-12 expression form: codebooks are driver-local, so BOTH
+    # the encode pass and the per-query LUT are pure projections with
+    # literal codewords — the assign's broadcast join + two keyed
+    # aggregations AND the LUT's crossJoin + two collect_list
+    # aggregations are gone (guide §2.4); the two broadcast joins
+    # attaching (query_id, luts) fuse into one. Fold arithmetic,
+    # (d2, code_id) tie-break, and luts[m][code] layout are identical
+    # to the join form, so every ADC and rank is bit-identical
+    # (oracle-held).
+    books = _pq_codebooks(emb)  # trained ONCE, shared by assign + LUT
+    pcodes = _pq_wide_books(emb, books, _PQ_M, 16).select(
+        "vec_id", *[f"code{m}" for m in range(_PQ_M)]
+    )
     q = emb.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("query_id"), "v"
     )
-    # zip_with fold == the oracle's list_sum over range(1,17): identical
-    # per-element arithmetic, identical left-to-right order.
-    lut_d2 = F.expr(
-        "aggregate(zip_with(transform(sequence(1, 16), i -> element_at(v, int(m*16 + i))), cv,"
-        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    lut = q.crossJoin(F.broadcast(cb)).select(
-        "query_id", "m", "code_id", lut_d2.alias("d2")
-    )
-    # Fuse the per-query LUT into ONE nested array (luts[m][code]) and
-    # broadcast-join it once, instead of one broadcast join per
-    # subspace: the code-table scan keeps a single join operator and
-    # the ADC becomes four element_at lookups. array_sort on the
-    # (code_id,…)/(m,…) structs pins collect_list's nondeterministic
-    # order with exact integer keys, so the d2 values land at exact
-    # code positions.
-    lut_m = lut.groupBy("query_id", "m").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
-            lambda p: p["d2"],
-        ).alias("arr")
-    )
-    lut_q = lut_m.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "arr"))),
-            lambda p: p["arr"],
-        ).alias("luts")
-    )
-    base = pcodes.crossJoin(F.broadcast(q.select("query_id"))).join(
-        F.broadcast(lut_q), "query_id"
-    )
+    lut_q = _pq_luts_lit(q, books, _PQ_M, 16)
+    base = pcodes.crossJoin(F.broadcast(lut_q))
     d = [
         F.element_at(
             F.element_at(F.col("luts"), m + 1), F.col(f"code{m}").cast("int") + 1
@@ -1205,24 +1309,25 @@ def sim_pq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     nq = bf3.agg(F.countDistinct("query_id").alias("_q"))
+    # Round-12 expression form (see sim_pq_topk): ONE sample collect
+    # trains all three splits (was one scan+collect per arm), and per
+    # arm the encode pass and per-query LUT are pure projections with
+    # literal codewords — each arm drops its assign broadcast-join +
+    # two keyed aggregations and its LUT crossJoin + two collect_list
+    # aggregations (guide §2.4). Identical fold arithmetic and
+    # tie-breaks; the sweep's oracle re-verifies bit-equality.
+    samp = _pq_sample_rows(emb)
     arms = []
     for n_sub in _PQ_BITS_AXIS:
         sd = _PQ_DIM // n_sub
-        cb = spark.createDataFrame(
-            _pq_codebooks_param(emb, n_sub, sd),
-            "m int, code_id bigint, cv array<double>",
-        )
+        books = _pq_train_books(samp, n_sub, sd)
         wide = track_persist(
-            _pq_assign_long_param(spark, emb, cb, n_sub, sd)
-            .groupBy("vec_id")
-            .agg(
-                *[
-                    _pq_pick(m, "code_id").alias(f"code{m}")
-                    for m in range(n_sub)
-                ],
+            _pq_wide_books(emb, books, n_sub, sd).select(
+                "vec_id",
+                *[f"code{m}" for m in range(n_sub)],
                 reduce(
                     lambda a, b: a + b,
-                    [_pq_pick(m, "d2") for m in range(n_sub)],
+                    [F.col(f"d2_{m}") for m in range(n_sub)],
                 ).alias("_err"),  # fixed m-order sum (fp discipline)
             )
         )
@@ -1230,30 +1335,8 @@ def sim_pq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.avg("_err"), 6).alias("mean_recon_err")
         )
         pcodes = wide.drop("_err")
-        lut_d2 = F.expr(
-            f"aggregate(zip_with(transform(sequence(1, {sd}), "
-            f"i -> element_at(v, int(m*{sd} + i))), cv,"
-            " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
-            "(acc, x) -> acc + x)"
-        )
-        lut = q.crossJoin(F.broadcast(cb)).select(
-            "query_id", "m", "code_id", lut_d2.alias("d2")
-        )
-        lut_m = lut.groupBy("query_id", "m").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
-                lambda pr: pr["d2"],
-            ).alias("arr")
-        )
-        lut_q = lut_m.groupBy("query_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "arr"))),
-                lambda pr: pr["arr"],
-            ).alias("luts")
-        )
-        base = pcodes.crossJoin(F.broadcast(q.select("query_id"))).join(
-            F.broadcast(lut_q), "query_id"
-        )
+        lut_q = _pq_luts_lit(q, books, n_sub, sd)
+        base = pcodes.crossJoin(F.broadcast(lut_q))
         d = [
             F.element_at(
                 F.element_at(F.col("luts"), m + 1),
@@ -3825,31 +3908,17 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    # ---- PQ compressed-domain scoring (sim_pq_topk's exact stages) ----
-    cb = _pq_cb(spark, emb)
-    pcodes = _pq_wide_codes(_pq_assign_long(spark, emb, cb))
+    # ---- PQ compressed-domain scoring (sim_pq_topk's exact stages,
+    # round-12 expression form: map-only encode + literal LUT, same
+    # arithmetic — see sim_pq_topk) ----
+    books = _pq_codebooks(emb)
+    pcodes = _pq_wide_books(emb, books, _PQ_M, 16).select(
+        "vec_id", *[f"code{m}" for m in range(_PQ_M)]
+    )
     q = emb.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("query_id"), "v"
     )
-    lut_d2 = F.expr(
-        "aggregate(zip_with(transform(sequence(1, 16), i -> element_at(v, int(m*16 + i))), cv,"
-        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    lut = q.crossJoin(F.broadcast(cb)).select(
-        "query_id", "m", "code_id", lut_d2.alias("d2")
-    )
-    lut_m = lut.groupBy("query_id", "m").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
-            lambda p: p["d2"],
-        ).alias("arr")
-    )
-    lut_q = lut_m.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "arr"))),
-            lambda p: p["arr"],
-        ).alias("luts")
-    )
+    lut_q = _pq_luts_lit(q, books, _PQ_M, 16)
     base = cand.join(
         pcodes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     ).join(F.broadcast(lut_q), "query_id")
