@@ -218,7 +218,13 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_ngram_jaccard(spark, sf_dir)
         .select(F.col("doc_a").cast("long").alias("doc_a"),
                 F.col("doc_b").cast("long").alias("doc_b"))
-        .localCheckpoint()
+        # eager=False (round-12): every consumer takes its own
+        # materializing action immediately (the CC operator's edge
+        # count, the graph tables' bucketed write), so the eager
+        # checkpoint's dedicated job was pure overhead — one job
+        # computes AND stores the edges now. Stored partitions are
+        # shared by later reads exactly as before.
+        .localCheckpoint(eager=False)
     )
 
 
@@ -3330,7 +3336,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets directly — only the rank vector moves per round
     edd = _sym_edges_bucketed(spark, sf_dir)
     n = docs.count()
-    r = docs.select("doc_id", (F.lit(1.0) / n).alias("r")).localCheckpoint()
+    # eager=False checkpoints (round-12, guide §1.2/§2.4): the round
+    # count is FIXED, so no per-round driver action is needed at all —
+    # lineage is still cut per round (constant-depth plans), but the
+    # whole 5-round cascade materializes under the ONE final action
+    # instead of 6 sequential driver round-trips. Same trick the CC
+    # operator documents; identical results (checkpointing is a
+    # recompute hint, and each round's checkpointed partitions are
+    # still stored, so the next round's double read hits storage).
+    r = docs.select("doc_id", (F.lit(1.0) / n).alias("r")).localCheckpoint(
+        eager=False
+    )
     for _ in range(_PR_ITERS):
         cin = (
             edd.join(r.withColumnRenamed("doc_id", "u"), "u")
@@ -3347,7 +3363,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     9,
                 ).alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return r.select("doc_id", stable_round("r", 6).alias("pagerank"))
 
