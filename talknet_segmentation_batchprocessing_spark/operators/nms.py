@@ -73,3 +73,84 @@ def nms(detections: DataFrame, overlap: float = 0.1, top_k: int | None = None) -
         return nms_frame(pdf, overlap)
 
     return detections.groupBy("video_id", "frame_idx").applyInPandas(fn, NMS_SCHEMA)
+
+
+def nms_expr(
+    detections: DataFrame, overlap: float = 0.1, top_k: int | None = None
+) -> DataFrame:
+    """W6 greedy NMS as a pure-JVM fold — same rows as :func:`nms`.
+
+    Round-12 optimization (guide §4.1): ``groupBy().applyInPandas``
+    ships every frame's boxes to a Python worker and pays pandas
+    per-GROUP overhead on thousands of tiny frames; the greedy loop
+    over a conf-sorted candidate list is exactly an ``aggregate()``
+    fold (keep a candidate iff every already-kept box has IoU <=
+    overlap — the standard equivalence with suppress-and-advance,
+    since only KEPT boxes ever suppress). One collect_list aggregation
+    replaces the top-k window AND the applyInPandas exchange, and no
+    Python boundary remains in the plan.
+
+    Exactness contract (pinned by tests/test_nms_expr_parity.py):
+
+    - sort: array_sort comparator reproduces the kernel's
+      (conf DESC, det_id ASC); the top-k cap is slice() of that order,
+      identical to the row_number window the kernel path used.
+    - IoU: same IEEE ops in the kernel's order —
+      inter = max(0, min(x2) - max(x1)) * max(0, min(y2) - max(y1)),
+      denominator (area_kept + area_cand) - inter.
+    - suppression: keep iff forall(kept, iou <= overlap) — NOT
+      "not exists(iou > overlap)". A degenerate zero-area pair makes
+      the division 0/0: numpy yields NaN (mask False -> suppressed),
+      DuckDB yields NULL (list_filter drops -> suppressed); here
+      try_divide yields NULL (plain / throws under Spark 4 ANSI),
+      forall goes NULL, and the CASE's ELSE suppresses — all three
+      engines agree on suppression.
+    """
+    from pyspark.sql import functions as F
+
+    box_t = (
+        "struct<x1: double, y1: double, x2: double, y2: double,"
+        " conf: double, det_id: int>"
+    )
+    sort_cmp = (
+        "(l, r) -> CASE WHEN l.conf > r.conf THEN -1 "
+        "WHEN l.conf < r.conf THEN 1 "
+        "WHEN l.det_id < r.det_id THEN -1 "
+        "WHEN l.det_id > r.det_id THEN 1 ELSE 0 END"
+    )
+    cap = f"slice(_sorted, 1, {int(top_k)})" if top_k is not None else "_sorted"
+    iou = (
+        "try_divide("
+        "(greatest(0.0D, least(k.x2, b.x2) - greatest(k.x1, b.x1))"
+        " * greatest(0.0D, least(k.y2, b.y2) - greatest(k.y1, b.y1))), "
+        "(((k.x2 - k.x1) * (k.y2 - k.y1)"
+        " + (b.x2 - b.x1) * (b.y2 - b.y1))"
+        " - (greatest(0.0D, least(k.x2, b.x2) - greatest(k.x1, b.x1))"
+        " * greatest(0.0D, least(k.y2, b.y2) - greatest(k.y1, b.y1)))))"
+    )
+    kept = (
+        f"aggregate({cap}, cast(array() as array<{box_t}>), "
+        f"(acc, b) -> CASE WHEN forall(acc, k -> {iou} <= {float(overlap)!r}D) "
+        "THEN array_append(acc, b) ELSE acc END)"
+    )
+    grouped = detections.groupBy("video_id", "frame_idx").agg(
+        F.expr(
+            "array_sort(collect_list(struct(x1, y1, x2, y2, conf, det_id)), "
+            f"{sort_cmp})"
+        ).alias("_sorted")
+    )
+    return (
+        grouped.select(
+            "video_id", "frame_idx", F.explode(F.expr(kept)).alias("_b")
+        )
+        .select(
+            "video_id",
+            "frame_idx",
+            F.col("_b.det_id").alias("det_id"),
+            F.col("_b.x1").alias("x1"),
+            F.col("_b.y1").alias("y1"),
+            F.col("_b.x2").alias("x2"),
+            F.col("_b.y2").alias("y2"),
+            F.col("_b.conf").alias("conf"),
+        )
+    )

@@ -307,8 +307,12 @@ def text_unigram_logprob(
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     ln2 = F.log(F.lit(2.0))
+    # explicit broadcast (round-12, guide §3.1): the vocab head is the
+    # zipf-capped side this docstring already declares broadcastable at
+    # 100 TB — hinting it keeps the TOKEN STREAM out of a by-token
+    # exchange at plan time instead of hoping AQE converts post-shuffle
     per_doc = (
-        toks.join(vocab, "tok")
+        toks.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -3318,9 +3322,18 @@ FROM pairs, tot t
     tags=("dataset", "analytics", "ext"),
 )
 def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 (guide §2.4 "two operations keyed the same way can share
+    # one exchange"): hash-partition the item stream by basket key ONCE
+    # — HashPartitioning(o) satisfies the distinct's
+    # ClusteredDistribution((o, p)) AND the basket collect's
+    # ClusteredDistribution((o,)), so both aggregations run exchange-
+    # free on top of it (the old plan exchanged by (o, p) for the
+    # distinct and AGAIN by o for the basket build). Same rows out of
+    # every stage; only the exchange count changes.
     b = track_persist(
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .repartition(spark.sparkContext.defaultParallelism, "o")
         .distinct()
     )
     tot = b.agg(F.countDistinct("o").alias("n_orders"))
@@ -3526,9 +3539,13 @@ def text_bigram_logprob(
     )
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     ln2 = F.log(F.lit(2.0))
+    # uni (the unigram vocab) is the zipf-capped broadcastable side —
+    # hint it so the bigram stream is only exchanged for the (w1, w2)
+    # count join, which stays a shuffle join (the bigram table is NOT
+    # broadcast-safe at 100 TB). Round-12, guide §3.1.
     joined = (
         bg.join(bc, ["w1", "w2"])
-        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
         .crossJoin(F.broadcast(vsz))
     )
     per_doc = joined.groupBy("doc_id").agg(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.nms import nms
+from ..operators.nms import nms, nms_expr
 from ..operators.segmentation import extract_segments
 from ..operators.tracking import track_faces
 from ..functions.rounding import stable_round
@@ -254,7 +254,13 @@ def w6_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dets = _synthetic_detections(spark, sf_dir).withColumn(
         "conf", (F.col("x1") / 100.0) + 0.5
     )
-    kept = nms(dets.select(
+    # Round-12 (guide §4.1): the JVM fold variant — same rows as the
+    # applyInPandas kernel (parity-pinned in tests/test_nms_expr_parity
+    # and by this query's recursive-CTE oracle), but no Python boundary
+    # and no top-k window: one collect_list aggregation replaces both.
+    # The media pipeline (pipeline_ingest_to_segments) still exercises
+    # the operators/nms.py kernel itself.
+    kept = nms_expr(dets.select(
         "video_id", "frame_idx", "det_id", "x1", "y1", "x2", "y2", "conf"
     ), overlap=0.3, top_k=10)
     # Exact-integer-grid sum (see oracle comment): per-row conf is

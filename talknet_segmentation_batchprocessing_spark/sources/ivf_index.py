@@ -537,27 +537,30 @@ def adc_luts(
     the squared distance of the query's m-th subvector to that code's
     centroid. Width-independent — the nprobe sweep builds them ONCE
     and reuses them at every probe width."""
+    from ..queries.dataset_ops import _pq_luts_lit
+
     q = queries.select("query_id", "v")
-    cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
-    lut_d2 = F.expr(
-        "aggregate(zip_with(transform(sequence(1, 16), i -> element_at(v, int(m*16 + i))), cv,"
-        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+    # The stored codebook is M x K rows (32 at the default split) — the
+    # same bounded-collect class as the probe lists. Collecting it and
+    # embedding the codewords as literals turns the LUT build into ONE
+    # projection over the query batch (round-12, guide §2.4): the
+    # crossJoin + two collect_list aggregations this previously ran are
+    # gone. _pq_luts_lit evaluates the IDENTICAL zip_with/aggregate
+    # fold with the identical luts[m][code] layout (sorted code_id
+    # within sorted m — what the array_sorts pinned), so every d2 is
+    # bit-identical; the sweep/search parity tests re-verify that.
+    cb_rows = (
+        spark.read.parquet(os.path.join(index_path, "codebooks"))
+        .select("m", "code_id", "cv")
+        .collect()
     )
-    lut = q.crossJoin(F.broadcast(cb)).select(
-        "query_id", "m", "code_id", lut_d2.alias("d2")
-    )
-    lut_m = lut.groupBy("query_id", "m").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code_id", "d2"))),
-            lambda p: p["d2"],
-        ).alias("arr")
-    )
-    return lut_m.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "arr"))),
-            lambda p: p["arr"],
-        ).alias("luts")
-    )
+    books = [
+        (int(r["m"]), int(r["code_id"]), [float(x) for x in r["cv"]])
+        for r in cb_rows
+    ]
+    n_sub = len({m for m, _c, _v in books})
+    subdim = len(books[0][2]) if books else 0
+    return _pq_luts_lit(q, books, n_sub, subdim)
 
 
 def adc_score_codes(
