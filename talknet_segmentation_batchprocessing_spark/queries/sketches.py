@@ -68,6 +68,28 @@ def _lang_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("lang", F.explode(word_shingles("w", 3)).alias("tok")).distinct()
 
 
+def _lang_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (lang, h) pairs in ONE distinct pass (round-12, guide
+    §2.3/§2.4): hash every shingle OCCURRENCE and dedup the 8-byte
+    hashes directly, instead of the old distinct-strings pass followed
+    by a second distinct over the hashed rows — one full aggregation
+    stage fewer, and the one shuffle that remains carries (lang,
+    BIGINT) instead of (lang, string). Set equality is exact:
+    distinct(hash(occurrences)) == distinct(hash(distinct(tok))) for
+    any function of tok. KMV and HLL consume ONLY this hashed set, so
+    their results are unchanged (oracle-held)."""
+    from ..functions.shingles import word_shingles
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    d = docs.select("lang", F.split(F.lower("text"), " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    occ = d.select("lang", F.explode(word_shingles("w", 3)).alias("tok"))
+    return occ.select("lang", _tok_hash().alias("h")).distinct()
+
+
 _KMV_ORACLE = f"""
 WITH toks AS ({_SQL_LANG_SHINGLES}),
 hashed AS (
@@ -108,10 +130,7 @@ FROM exact e JOIN kth k ON k.lang = e.lang
     tags=("sketch", "dataset", "ext"),
 )
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _lang_shingles(spark, sf_dir)
-    hashed = track_persist(
-        toks.select("lang", _tok_hash().alias("h")).distinct()
-    )
+    hashed = track_persist(_lang_shingle_hashes(spark, sf_dir))
     exact = hashed.groupBy("lang").agg(F.count("*").alias("n_exact"))
     w = Window.partitionBy("lang").orderBy("h")
     kth = (
@@ -196,10 +215,7 @@ FROM exact e JOIN est s ON s.lang = e.lang
     tags=("sketch", "dataset", "ext"),
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _lang_shingles(spark, sf_dir)
-    hashed = track_persist(
-        toks.select("lang", _tok_hash().alias("h")).distinct()
-    )
+    hashed = track_persist(_lang_shingle_hashes(spark, sf_dir))
     regs = hashed.groupBy(
         "lang", (F.col("h") % _HLL_M).alias("reg")
     ).agg(F.max(F.expr(_SPARK_RHO)).alias("rho"))
@@ -368,10 +384,23 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = track_persist(
+    # Round-12 rewrite (guide §2.3 "aggregate before you shuffle"):
+    # aggregate the occurrence stream to per-token counts ONCE, then
+    # build the sketch from the (distinct token, count) frame with the
+    # counts as weights — sum(count) per cell equals the old per-
+    # occurrence count(*) exactly (integer arithmetic), the exact
+    # counts double as the audit column, and the 4-way salted md5 runs
+    # over the distinct vocabulary instead of over every occurrence
+    # (the old plan hashed occurrences x 4 for the cells AND distinct
+    # x 4 again for the estimates, plus a third full aggregation for
+    # the exact counts). One candidate frame feeds both cell build and
+    # estimate lookup.
+    occ = track_persist(
         docs.select(F.split(F.lower("text"), " ").alias("w"))
         .filter(F.size("w") >= 3)
         .select(F.explode(word_shingles("w", 3)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
     )
     rows = F.broadcast(
         spark.range(0, _CM_D).select(F.col("id").alias("i"))
@@ -388,24 +417,17 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % _CM_W
     )
-    cells = track_persist(
-        toks.crossJoin(rows)
-        .select("i", cm_hash.alias("h"))
-        .groupBy("i", "h")
-        .agg(F.count("*").alias("c"))
+    cand = track_persist(
+        occ.crossJoin(rows).select("tok", "n_exact", "i", cm_hash.alias("h"))
     )
+    cells = cand.groupBy("i", "h").agg(F.sum("n_exact").alias("c"))
     est = (
-        toks.distinct()
-        .crossJoin(rows)
-        .select("tok", "i", cm_hash.alias("h"))
-        .join(F.broadcast(cells), ["i", "h"])
+        cand.join(F.broadcast(cells), ["i", "h"])
         .groupBy("tok")
-        .agg(F.min("c").alias("n_est"))
+        .agg(F.min("c").alias("n_est"), F.first("n_exact").alias("n_exact"))
     )
-    exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
     return (
-        exact.join(est, "tok")
-        .select(
+        est.select(
             "tok",
             "n_est",
             "n_exact",
@@ -665,13 +687,15 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.shingles import word_shingles
 
-    toks = (
+    # one distinct pass over the 8-byte hashes (round-12 — see
+    # _lang_shingle_hashes for the set-equality argument); the old
+    # distinct-strings stage before it was a second full aggregation
+    occ = (
         docs.select("source", F.split(F.lower("text"), " ").alias("w"))
         .filter(F.size("w") >= 3)
         .select("source", F.explode(word_shingles("w", 3)).alias("tok"))
-        .distinct()
     )
-    hashed = track_persist(toks.select("source", _tok_hash().alias("h")).distinct())
+    hashed = track_persist(occ.select("source", _tok_hash().alias("h")).distinct())
 
     def _hll_est(regs: DataFrame, out: str) -> DataFrame:
         return regs.agg(
