@@ -134,7 +134,10 @@ def connected_components_star(
     if not edges_distinct:
         e = e.distinct()
     if not edges_materialized:
-        e = e.localCheckpoint()
+        # eager=False (round-12): the n_edges count right below is the
+        # materializing action, so the checkpoint's own dedicated job
+        # was pure overhead — one job computes AND stores the edges.
+        e = e.localCheckpoint(eager=False)
     n_edges = e.count()
     if n_edges <= local_threshold:
         import pandas as pd

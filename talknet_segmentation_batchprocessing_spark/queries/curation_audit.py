@@ -674,25 +674,25 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = edges.join(
         F.broadcast(ts), F.col("jaccard") >= F.col("threshold")
     ).select("threshold", "doc_a", "doc_b")
-    pairs = hits.groupBy("threshold").agg(
-        F.count("*").cast("bigint").alias("n_pairs")
+    # ONE aggregation pass (round-12, guide §2.4): over the endpoint
+    # union, count(*)/2 IS the pair count exactly (every pair
+    # contributes both endpoints, so the count is even by
+    # construction), and the distinct-endpoint count rides in the same
+    # groupBy — the old plan aggregated hits twice and joined the two
+    # results back.
+    u = hits.select("threshold", F.col("doc_a").alias("d")).unionAll(
+        hits.select("threshold", F.col("doc_b").alias("d"))
     )
-    docs = (
-        hits.select("threshold", F.col("doc_a").alias("d"))
-        .unionAll(hits.select("threshold", F.col("doc_b").alias("d")))
-        .groupBy("threshold")
-        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_involved"))
+    both = u.groupBy("threshold").agg(
+        F.expr("count(*) div 2").cast("bigint").alias("n_pairs"),
+        F.countDistinct("d").cast("bigint").alias("n_docs_involved"),
     )
-    return (
-        ts.join(pairs, "threshold", "left")
-        .join(docs, "threshold", "left")
-        .select(
-            "threshold",
-            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
-            F.coalesce("n_docs_involved", F.lit(0))
-            .cast("bigint")
-            .alias("n_docs_involved"),
-        )
+    return ts.join(both, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce("n_docs_involved", F.lit(0))
+        .cast("bigint")
+        .alias("n_docs_involved"),
     )
 
 

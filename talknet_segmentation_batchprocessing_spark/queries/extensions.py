@@ -229,6 +229,11 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GRAPH_BUCKETS = 8  # scale knob: pick O(cluster cores) at 100 TB
+# below this row count the degree-annotated edge table is broadcast-
+# sized (1M rows ~ 24 MB < the 64 MB auto-broadcast threshold), so the
+# bucketed on-disk publication costs more than it saves — the same
+# size-adaptive rule as operators/graph.py's local_threshold
+_GRAPH_PUBLISH_THRESHOLD = 1_000_000
 
 
 def _graph_table_name(spark: SparkSession, base: str, sf_dir: str) -> str:
@@ -268,10 +273,25 @@ def _write_graph_table(
     name = _graph_table_name(spark, base, sf_dir)
     if spark.catalog.tableExists(name):
         return spark.table(name)
+    # ADAPTIVE publication (round-12), mirroring the CC operator's
+    # local_threshold switch: below the threshold the edge table is
+    # broadcast-sized, so every downstream keyed join beats the
+    # bucketed-scan plan anyway and the parquet write + catalog
+    # round-trip (~1.3 s at bench scale for a 520-row table) buys
+    # nothing — hand consumers a locally-checkpointed frame instead
+    # (stored partitions, so PageRank's five iteration joins re-read
+    # it without re-deriving the degree join; the count below is the
+    # materializing action). Above the threshold — the actual 100 TB
+    # regime — the bucketed zero-exchange publication engages exactly
+    # as before. Results are unaffected either way (storage layout
+    # only).
+    df = build().localCheckpoint(eager=False)
+    if df.count() <= _GRAPH_PUBLISH_THRESHOLD:
+        return df
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_graph_tables", name
     )
-    write_bucketed(build(), name, [key], _GRAPH_BUCKETS, sort_cols=[key], path=path)
+    write_bucketed(df, name, [key], _GRAPH_BUCKETS, sort_cols=[key], path=path)
     return spark.table(name)
 
 
