@@ -1333,12 +1333,19 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "audit", "ext"),
 )
 def curation_dsir_vs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dataset_ops import dsir_importance_weights, text_gopher_rules
-
-    d = dsir_importance_weights(spark, sf_dir).select(
+    from .dataset_ops import (
+        _doc_token_arrays,
+        dsir_importance_weights,
+        text_gopher_rules,
+    )
+    # one tokenization DEFINITION feeds both scorers (round-12; NOT
+    # persisted — see quality_ensemble_vote's note: caching the
+    # array<string> frame measured slower than re-running the split)
+    t = _doc_token_arrays(spark, sf_dir, with_source=True)
+    d = dsir_importance_weights(spark, sf_dir, t=t).select(
         "doc_id", F.col("keep").alias("dsir_keep")
     )
-    g = text_gopher_rules(spark, sf_dir).select(
+    g = text_gopher_rules(spark, sf_dir, t=t.select("doc_id", "toks")).select(
         "doc_id", F.col("keep").alias("rules_keep")
     )
     j = d.join(g, "doc_id")
@@ -1445,15 +1452,27 @@ _late_bind_dsir_vs_rules()
     tags=("curation", "text", "quality", "ext"),
 )
 def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dataset_ops import text_gopher_rules, text_unigram_logprob
-
-    clf = text_classifier_score(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("clf_keep")
+    from .dataset_ops import (
+        _doc_token_arrays,
+        text_gopher_rules,
+        text_unigram_logprob,
     )
-    gop = text_gopher_rules(spark, sf_dir).select(
+    # one tokenization DEFINITION feeds all three voters (round-12 —
+    # the mix_doremi_weights sharing pattern extended to this
+    # composition; each parent's own expression over the bound array
+    # is unchanged, so each voter's verdict is bit-identical and the
+    # composed oracle re-verifies it). Deliberately NOT persisted:
+    # caching the array<string> frame measured SLOWER than re-running
+    # the codegen'd split per consumer (2.6 s to materialize + slower
+    # cached scans vs a 0.6 MB parquet re-read).
+    t = _doc_token_arrays(spark, sf_dir)
+    clf = _clf_margins(spark, sf_dir, t=t).select(
+        "doc_id", (F.col("margin_ppm") > 0).alias("clf_keep")
+    )
+    gop = text_gopher_rules(spark, sf_dir, t=t).select(
         "doc_id", F.col("keep").alias("rules_keep")
     )
-    lm = text_unigram_logprob(spark, sf_dir).select(
+    lm = text_unigram_logprob(spark, sf_dir, t=t).select(
         "doc_id",
         F.floor(F.col("mean_neg_logprob") * F.lit(1e6) + F.lit(0.5))
         .cast("bigint")

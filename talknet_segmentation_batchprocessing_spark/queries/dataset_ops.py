@@ -271,14 +271,20 @@ FROM per_doc d CROSS JOIN tot
 """
 
 
-def _doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, toks array) — the shared tokenization frame: one scan,
-    one split, doc_id-partitioned. Compositions scoring a corpus with
-    BOTH corpus LMs (mix_doremi_weights) persist this once and hand it
-    to each parent, so the corpus is read and tokenized a single time."""
+def _doc_token_arrays(
+    spark: SparkSession, sf_dir: str, with_source: bool = False
+) -> DataFrame:
+    """(doc_id[, source], toks array) — the shared tokenization frame:
+    one scan, one split, doc_id-partitioned. Compositions scoring a
+    corpus with several token-level parents (mix_doremi_weights,
+    quality_ensemble_vote, curation_dsir_vs_rules) persist this once
+    and hand it to each parent, so the corpus is read and tokenized a
+    single time. ``with_source`` additionally carries the source
+    column (DSIR's target/raw split key)."""
+    cols = ["doc_id"] + (["source"] if with_source else [])
     return load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    ).select(*cols, F.split(F.lower("text"), " ").alias("toks"))
 
 
 @query(
@@ -2251,8 +2257,10 @@ FROM flags
     "float noise",
     tags=("text", "dataset", "ext"),
 )
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flags = gopher_rounded_frame(spark, sf_dir)
+def text_gopher_rules(
+    spark: SparkSession, sf_dir: str, t: DataFrame | None = None
+) -> DataFrame:
+    flags = gopher_rounded_frame(spark, sf_dir, t=t)
     rules = gopher_rule_exprs()
     n_failed = sum(
         (r.cast("int") for r in rules.values()), F.lit(0)
@@ -2262,16 +2270,24 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def gopher_rounded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gopher_rounded_frame(
+    spark: SparkSession, sf_dir: str, t: DataFrame | None = None
+) -> DataFrame:
     """Per-doc ROUNDED quality stats (the values the rule battery
     thresholds): doc_id, n_words, mean_word_len, stopword_hits,
-    top_tok_frac. Mirrors ``_GOPHER_ROUNDED_CTE`` exactly."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    )
+    top_tok_frac. Mirrors ``_GOPHER_ROUNDED_CTE`` exactly. Pass ``t``
+    (the _doc_token_arrays frame) to reuse an already-materialized
+    tokenization — exploding the bound array column is the identical
+    token stream (no empty-token filter here, matching the CTE)."""
+    if t is not None:
+        toks = t.select("doc_id", F.explode("toks").alias("tok"))
+    else:
+        docs = load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
     freq = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
     per_doc = freq.groupBy("doc_id").agg(
         F.sum("cnt").cast("bigint").alias("n_words"),
@@ -3768,16 +3784,20 @@ FROM m CROSS JOIN thr
     "doc_id-keyed fold; no sort, no self-join, linear end to end",
     tags=("dataset", "curation", "text", "ext"),
 )
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str, t: DataFrame | None = None
+) -> DataFrame:
     # materialize the token array before the lambda (the round-4
     # expression-capture finding: a lambda over raw split() re-splits
-    # per element)
-    t = docs.select(
-        "doc_id", "source", F.split(F.lower("text"), " ").alias("toks")
-    )
+    # per element); pass t = _doc_token_arrays(..., with_source=True)
+    # to share one scan+tokenization with composition siblings
+    if t is None:
+        docs = load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        t = docs.select(
+            "doc_id", "source", F.split(F.lower("text"), " ").alias("toks")
+        )
     # size >= 2 guard: sequence(0, -1) yields [0, -1] not [] (the
     # text_bigram_logprob edge finding); single-token docs have no
     # bigram features and drop out on both engines
