@@ -1585,8 +1585,13 @@ def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_unigram_logprob,
     )
 
-    # one scan + one tokenization feeds BOTH corpus LMs
-    t = track_persist(_doc_token_arrays(spark, sf_dir))
+    # one tokenization DEFINITION feeds BOTH corpus LMs — unpersisted
+    # (round-12): caching the array<string> frame measured slower than
+    # re-running the codegen'd split per consumer (see
+    # quality_ensemble_vote's note), and the parents no longer persist
+    # their exploded streams either, so the cached-array scan would
+    # now run once per explode
+    t = _doc_token_arrays(spark, sf_dir)
     u = text_unigram_logprob(spark, sf_dir, t=t).select(
         "doc_id",
         F.floor(F.col("mean_neg_logprob") * 1e4 + 0.5).cast("bigint").alias("u4"),
@@ -1708,8 +1713,9 @@ def quality_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import track_persist
     from .dataset_ops import _doc_token_arrays, text_unigram_logprob
 
-    # one scan + one tokenization feeds both scorers
-    t = track_persist(_doc_token_arrays(spark, sf_dir))
+    # one tokenization DEFINITION feeds both scorers — unpersisted
+    # (round-12, same note as quality_ensemble_vote)
+    t = _doc_token_arrays(spark, sf_dir)
     clf = _clf_margins(spark, sf_dir, t=t).select(
         "doc_id",
         F.expr("(margin_ppm * 1000000) div n_tokens")

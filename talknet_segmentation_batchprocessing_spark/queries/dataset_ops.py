@@ -307,9 +307,15 @@ def text_unigram_logprob(
 
     if t is None:
         t = _doc_token_arrays(spark, sf_dir)
-    toks = track_persist(
-        t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    )
+    # NOT persisted (round-12, guide §5 "caching is only worth it
+    # when recomputing is more expensive than the memory pressure"):
+    # the explode is map-only, so "recomputing" it for the second
+    # consumer is one extra codegen'd split pass over a small scan,
+    # which measured FASTER than materializing the token stream into
+    # the cache (A/B: 0.94 s vs 1.02 s warm, 1.4 s vs 4.3 s cold) —
+    # and at 100 TB the exploded corpus does not fit memory anyway,
+    # so the unpersisted form is also the honest scale posture.
+    toks = t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     ln2 = F.log(F.lit(2.0))
@@ -3535,13 +3541,21 @@ def text_bigram_logprob(
     # the round-4 text_bigram_topk finding)
     if t is None:
         t = _doc_token_arrays(spark, sf_dir)
-    toks = track_persist(t.select("doc_id", F.explode("toks").alias("tok")))
+    # toks/bg deliberately NOT persisted (round-12, guide §5): both
+    # are map-only explodes, the downstream aggregations' exchanges
+    # are deduplicated by Spark's exchange reuse within the one
+    # action, and caching the exploded streams measured slower than
+    # re-running the codegen'd explode (see text_unigram_logprob's
+    # note); at 100 TB the exploded corpus does not fit memory anyway.
+    # uni stays persisted: it is the tiny post-aggregation vocab read
+    # by two differently-shaped consumers.
+    toks = t.select("doc_id", F.explode("toks").alias("tok"))
     uni = track_persist(toks.groupBy("tok").agg(F.count("*").alias("c1")))
     vsz = uni.agg(F.count("*").alias("v"))
     # size >= 2 guard: Spark's sequence(0, -1) generates DESCENDING
     # [0, -1] for single-token docs instead of an empty array (edge-
     # fixture finding) — and such docs have no bigrams anyway
-    bg = track_persist(
+    bg = (
         t.filter(F.size("toks") >= 2).select(
             "doc_id",
             F.posexplode(
