@@ -59,7 +59,16 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         d.select("doc_id", F.explode(word_shingles("w", k)).alias("shingle"))
         .distinct()
     )
-    return track_persist(sh)
+    # NOT persisted since round 12 (guide §5): within one action
+    # Spark's exchange reuse dedups the distinct's shuffle across
+    # every consumer branch (the self-join's two sides canonicalize to
+    # the same exchange), so the cache bought nothing warm (A/B on the
+    # jaccard shape: 0.97 s persisted vs 0.99 s unpersisted warm,
+    # 5.19 vs 2.16 cold — the materialization itself was the cost),
+    # and at 100 TB the distinct shingle set does not fit memory
+    # anyway. Multi-action consumers (the CC family) read the
+    # downstream localCheckpoint-ed edge table, not this frame.
+    return sh
 
 
 _SQL_SHINGLES = """
