@@ -3924,28 +3924,20 @@ def dsir_importance_weights(
     tags=("similarity", "quantization", "ext"),
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .extensions import (
-        _DOT_VC_SPARK,
-        _IVF_NPROBE,
-        _NORM_CV_SPARK,
-        _NORM_SPARK,
-        _ivf_centroids,
-    )
+    from .extensions import _IVF_NPROBE, _ivf_centroids
 
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    # ---- IVF routing (sim_ivf_topk's exact assign/probe stages) ----
-    ivf_emb = emb.withColumn("nrm", F.expr(_NORM_SPARK))
-    cent = _ivf_centroids(ivf_emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
-    pairs = ivf_emb.crossJoin(F.broadcast(cent)).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
+    # ---- IVF routing (sim_ivf_topk's exact assign/probe stages,
+    # round-12: through the shared rank_centroids literal projection —
+    # no crossJoin, no per-vector window shuffle, same arithmetic) ----
+    from ..sources.ivf_index import rank_centroids
+
     ranked = track_persist(
-        pairs.withColumn("rn", F.row_number().over(wv))
+        rank_centroids(emb.select("vec_id", "v"), _ivf_centroids(emb))
         .filter(F.col("rn") <= max(1, _IVF_NPROBE))
         .select("vec_id", "cent_id", "rn")
     )

@@ -1222,15 +1222,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .withColumn("nrm", F.expr(_NORM_SPARK))
     )
-    cent = _ivf_centroids(emb).withColumn("cn", F.expr(_NORM_CV_SPARK))
-    pairs = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "cc", F.try_divide(F.expr(_DOT_VC_SPARK), F.col("nrm") * F.col("cn"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cent_id")
-    # assign and qprobe both branch off this window — persist the (tiny,
-    # nprobe-capped) ranked frame so the scan+crossJoin+window runs once.
+    # THE shared coarse-assignment definition (round-12: now the
+    # literal-expression projection in sources/ivf_index.py — no
+    # crossJoin, no per-vector window shuffle; identical arithmetic
+    # and tie-breaks, held by this query's own oracle). assign and
+    # qprobe both branch off the (tiny, nprobe-capped) ranked frame —
+    # persist so it materializes once.
+    from ..sources.ivf_index import rank_centroids
+
     ranked = track_persist(
-        pairs.withColumn("rn", F.row_number().over(wv))
+        rank_centroids(emb.select("vec_id", "v"), _ivf_centroids(emb))
         .filter(F.col("rn") <= max(1, _IVF_NPROBE))
         .select("vec_id", "cent_id", "rn")
     )
