@@ -220,16 +220,20 @@ def test_ap_one_phase_sorts_exactly_twice(spark):
         assert n_sorts <= 2, f"{name}: {n_sorts} Sort nodes\n{plan}"
 
 
-def test_triangle_bucketed_wedge_join_zero_exchange(spark):
+def test_triangle_bucketed_wedge_join_zero_exchange(spark, monkeypatch):
     """Round 6: the oriented near-dup edge table is published bucketed
     on s_rk (sources/bucketed.py), so the wedge SELF-join — the hot
     join of triangle counting — must plan with zero Exchange on either
-    side (broadcast disabled to expose the SMJ the 100 TB plan uses)."""
+    side (broadcast disabled to expose the SMJ the 100 TB plan uses).
+    Round 12 made the publication SIZE-ADAPTIVE (below the broadcast
+    threshold consumers get the checkpointed frame directly); force
+    the large-scale path so this test keeps guarding the 100 TB plan."""
     from pyspark.sql import functions as F
 
-    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
-        _oriented_edges_bucketed,
-    )
+    from talknet_segmentation_batchprocessing_spark.queries import extensions
+
+    monkeypatch.setattr(extensions, "_GRAPH_PUBLISH_THRESHOLD", -1)
+    _oriented_edges_bucketed = extensions._oriented_edges_bucketed
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
