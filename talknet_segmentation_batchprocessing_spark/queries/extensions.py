@@ -296,7 +296,13 @@ def _write_graph_table(
     # only).
     df = build().localCheckpoint(eager=False)
     if df.count() <= _GRAPH_PUBLISH_THRESHOLD:
-        return df
+        # broadcast hint: the checkpointed RDD carries no size stats,
+        # so plan-time broadcast would never fire and every consumer
+        # join would plan as SMJ until AQE converts it at runtime —
+        # but the frame is broadcast-sized BY CONSTRUCTION here (the
+        # threshold is the point of this branch), so hint it and let
+        # the wedge/iteration joins plan exchange-free up front.
+        return F.broadcast(df)
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_graph_tables", name
     )
