@@ -44,11 +44,14 @@ from talknet_segmentation_batchprocessing_spark.session import get_spark
 # measuring first.
 _EXCLUDE_MAX_CALIB_UNITS = 1.0
 BENCH_EXCLUDED = {  # name -> measured sf0.1 wall, in calib units
-    "j2_tolerance_check": 0.98,
+    # j2_tolerance_check and x19_json_field_stats were promoted OUT of
+    # this list in round 13: the round-12 record run measured them over
+    # the bar on the driver host (1.058 / 1.485 units, BENCH_r12.json)
+    # and the near-bar recheck failed that run by design. They are
+    # headline queries now.
     "m2_scene_change_islands": 0.95,
     "f4_having_greatest_avg": 0.95,
     "ext_cube": 0.93,
-    "x19_json_field_stats": 0.93,
     "w2_centered_smoothing": 0.93,
     "ext_pivot": 0.86,
     "ext_semi_anti_join": 0.82,
