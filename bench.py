@@ -183,11 +183,17 @@ def main() -> None:
     pass_times: dict[str, list[float]] = {}
 
     def drop_session_tables() -> None:
-        # the graph family publishes session-scoped bucketed edge
-        # tables and reuses them on repeat invocations (the documented
-        # pay-once posture) — drop them per measurement so the bench
-        # keeps reporting the full build+consume cost, not the cache
-        # hit
+        # the graph family publishes session-scoped edge tables
+        # (bucketed catalog tables, or memoized checkpointed frames on
+        # the small-graph path) and reuses them on repeat invocations
+        # (the documented pay-once posture) — drop BOTH caches per
+        # measurement so the bench keeps reporting the full
+        # build+consume cost, not the cache hit
+        from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+            release_graph_frames,
+        )
+
+        release_graph_frames()
         for t in spark.catalog.listTables():
             if t.name.startswith(("graph_oriented_edges", "graph_sym_edges")):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")

@@ -45,9 +45,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     passes: dict[str, list[float]] = {}
+    from talknet_segmentation_batchprocessing_spark.queries.extensions import (
+        release_graph_frames,
+    )
+
     for _ in range(args.passes):
         for name in args.names:
             spark.catalog.clearCache()
+            release_graph_frames()
             for t in spark.catalog.listTables():
                 if t.name.startswith(("graph_oriented_edges", "graph_sym_edges")):
                     spark.sql(f"DROP TABLE IF EXISTS {t.name}")

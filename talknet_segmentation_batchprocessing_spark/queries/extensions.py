@@ -245,6 +245,23 @@ _GRAPH_BUCKETS = 8  # scale knob: pick O(cluster cores) at 100 TB
 _GRAPH_PUBLISH_THRESHOLD = 1_000_000
 
 
+# Small-graph publication memo (round-13, ADVICE r12): the checkpointed
+# broadcast frame analog of the catalog-table cache below. Keyed by the
+# same session+source-scoped table name, so triangle-then-pagerank in
+# one session pays the near-dup edge build ONCE like the bucketed path
+# always did. Checkpointing pins only a few hundred small partitions
+# per (session, sf_dir); benchmarks clear it per measurement via
+# release_graph_frames() exactly as they drop the catalog tables.
+_GRAPH_FRAMES: dict[str, DataFrame] = {}
+
+
+def release_graph_frames() -> None:
+    """Drop the memoized small-graph frames (bench/probe honesty hook:
+    called wherever the graph catalog tables are dropped, so every
+    measurement pays the full build+consume cost)."""
+    _GRAPH_FRAMES.clear()
+
+
 def _graph_table_name(spark: SparkSession, base: str, sf_dir: str) -> str:
     """Session+source-scoped catalog name: concurrent sessions each
     write their own table, and the sf_dir hash keys the cache so the
@@ -269,17 +286,26 @@ def _write_graph_table(
     otherwise each re-shuffle it.
 
     Within a session the table is built AT MOST ONCE per source dir
-    (testdata is immutable for a session's lifetime): repeat
-    invocations — pagerank after triangle, a second analytics pass —
-    reuse the published buckets without recomputing the similarity
-    chain. ``build`` is a thunk so the cache hit skips plan
-    construction entirely."""
+    (testdata is immutable for a session's lifetime) on BOTH
+    publication paths: the bucketed catalog table is found via
+    ``tableExists``, and the small-graph checkpointed frame is memoized
+    in ``_GRAPH_FRAMES`` under the same session+source-scoped name —
+    repeat invocations (pagerank after triangle, a second analytics
+    pass) reuse the stored partitions without recomputing the
+    similarity chain or re-running the sizing count. ``build`` is a
+    thunk so a cache hit skips plan construction entirely. bench.py /
+    probe_time.py / scale_probe.py drop BOTH caches per measurement
+    (:func:`release_graph_frames`) so benchmarks keep reporting the
+    full build+consume cost."""
     import os
     import tempfile
 
     from ..sources.bucketed import write_bucketed
 
     name = _graph_table_name(spark, base, sf_dir)
+    cached = _GRAPH_FRAMES.get(name)
+    if cached is not None:
+        return cached
     if spark.catalog.tableExists(name):
         return spark.table(name)
     # ADAPTIVE publication (round-12), mirroring the CC operator's
@@ -302,7 +328,9 @@ def _write_graph_table(
         # but the frame is broadcast-sized BY CONSTRUCTION here (the
         # threshold is the point of this branch), so hint it and let
         # the wedge/iteration joins plan exchange-free up front.
-        return F.broadcast(df)
+        out = F.broadcast(df)
+        _GRAPH_FRAMES[name] = out
+        return out
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_graph_tables", name
     )
@@ -885,7 +913,15 @@ def dedup_embedding_cosine(
         # vec_id % K == 0 (dedup_keep_lsh_recall's sampled-audit mode)
         emb = emb.filter(F.col("vec_id") % stratum_mod == 0)
     ensure_worker_imports(emb)
-    n = emb.count()  # one scalar action: sizes the block grid
+    if stratum_mod is None:
+        # unfiltered scan: exact row count from parquet footers, no job
+        from ..plans.two_phase import parquet_rows
+
+        n = parquet_rows(sf_dir, "embeddings")
+        if n is None:
+            n = emb.count()
+    else:
+        n = emb.count()  # one scalar action: sizes the block grid
     n_blocks = max(1, -(-n // _COS_TILE_ROWS))
 
     def seq_dot(a, b):
@@ -3019,9 +3055,16 @@ def dedup_semantic_keep(
     if s > 1:
         emb = emb.filter(F.col("vec_id") % s == 0)
     if bound_target:
-        # one bounded scalar action sizing the adaptive stratum — the
-        # same class as dedup_embedding_cosine's block-grid count
-        n = emb.count()
+        # sizing count for the adaptive stratum: parquet footers when
+        # the scan is unfiltered (exact, zero jobs), else the bounded
+        # scalar action — the same class as dedup_embedding_cosine's
+        n = None
+        if s == 1:
+            from ..plans.two_phase import parquet_rows
+
+            n = parquet_rows(sf_dir, "embeddings")
+        if n is None:
+            n = emb.count()
         md = max(1, -(-n // bound_target))
     else:
         md = 1
@@ -3128,8 +3171,15 @@ def dedup_semantic_keep_lsh(
         emb = emb.filter(F.col("vec_id") % stratum_mod == 0)
     # adaptive bits, integer-exact mirror of the oracle's params CTE
     # (on the restricted corpus when a stratum is set, so bucket
-    # occupancy matches what the audit's oracle computes)
-    n = emb.count()
+    # occupancy matches what the audit's oracle computes); unfiltered
+    # scans take the exact parquet-footer count — zero jobs
+    n = None
+    if stratum_mod is None:
+        from ..plans.two_phase import parquet_rows
+
+        n = parquet_rows(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
     m = (n + _SKL_TARGET_BUCKET - 1) // _SKL_TARGET_BUCKET
     bits = max(4, min(12, (m - 1).bit_length() if m > 1 else 1))
     # signatures via the shared BLAS kernel (functions/lsh.py): one
@@ -3265,24 +3315,31 @@ FROM agree a
 )
 def dedup_keep_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = _AUDIT_STRATUM_K
-    # three scalar actions consume each survivor frame — persist both
-    # so each SemDeDup pipeline runs once, not per-action
-    ex = track_persist(
-        dedup_semantic_keep(
-            spark, sf_dir, stratum_mod=K, bound_target=None
-        ).select("vec_id")
+    # ONE lazy aggregation instead of three scalar driver actions
+    # (round-13, guide §5): survivor vec_ids are unique within each
+    # frame, so a full-outer join carries exactly |exact ∪ lsh| rows
+    # and the three counts (exact side, lsh side, intersection) ride a
+    # single aggregate — each SemDeDup pipeline is consumed once, no
+    # persists, and the whole audit materializes under the caller's
+    # action. Same three integers, same output expression.
+    ex = (
+        dedup_semantic_keep(spark, sf_dir, stratum_mod=K, bound_target=None)
+        .select("vec_id")
+        .withColumn("_e", F.lit(1))
     )
-    ls = track_persist(
-        dedup_semantic_keep_lsh(spark, sf_dir, stratum_mod=K).select("vec_id")
+    ls = (
+        dedup_semantic_keep_lsh(spark, sf_dir, stratum_mod=K)
+        .select("vec_id")
+        .withColumn("_l", F.lit(1))
     )
-    n_common = ex.join(ls, "vec_id").count()
-    n_exact = ex.count()
-    n_lsh = ls.count()
-    spark_df = spark.createDataFrame(
-        [(n_exact, n_lsh, n_common)],
-        "n_exact long, n_lsh long, n_common long",
+    agg = ex.join(ls, "vec_id", "full_outer").agg(
+        F.count("_e").cast("long").alias("n_exact"),
+        F.count("_l").cast("long").alias("n_lsh"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1))
+        .cast("long")
+        .alias("n_common"),
     )
-    return spark_df.select(
+    return agg.select(
         "n_exact",
         "n_lsh",
         "n_common",
@@ -3366,12 +3423,19 @@ FROM final
     tags=("graph", "ext"),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.two_phase import parquet_rows
+
     docs = load(spark, sf_dir, "documents").select("doc_id")
     # degree-annotated symmetric edge table published once as a
     # bucketed table on u: each iteration's rank join reads matching
     # buckets directly — only the rank vector moves per round
     edd = _sym_edges_bucketed(spark, sf_dir)
-    n = docs.count()
+    # |documents| from parquet footers (exact row-count metadata over
+    # the unfiltered scan) — zero Spark jobs instead of a per-query
+    # count() action; the Spark count stays as the fallback
+    n = parquet_rows(sf_dir, "documents")
+    if n is None:
+        n = docs.count()
     # eager=False checkpoints (round-12, guide §1.2/§2.4): the round
     # count is FIXED, so no per-round driver action is needed at all —
     # lineage is still cut per round (constant-depth plans), but the
@@ -3848,10 +3912,16 @@ def sim_maxsim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     out_schema = "q_label int, d_label int, maxsim double"
-    maxd = emb.agg(F.max(F.size("embedding"))).collect()[0][0]
+    # ONE sizing action instead of two: the modal-width max and the
+    # total count ride the same aggregate job (guide §5 — fold size
+    # probes into actions that already run)
+    g = emb.agg(
+        F.max(F.size("embedding")).alias("_maxd"), F.count("*").alias("_n")
+    ).collect()[0]
+    maxd = g["_maxd"]
     if maxd is None:
         return spark.createDataFrame([], out_schema)
-    n_total = emb.count()
+    n_total = int(g["_n"])
     md = max(
         _MAXSIM_Q_STRATUM,
         (n_total + _MAXSIM_TARGET_Q - 1) // _MAXSIM_TARGET_Q,
@@ -4008,7 +4078,12 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_v = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = all_v.count()
+    # exact footer count over the unfiltered scan — zero Spark jobs
+    from ..plans.two_phase import parquet_rows
+
+    n = parquet_rows(sf_dir, "embeddings")
+    if n is None:
+        n = all_v.count()
     m = (n + _KNN_TARGET_BUCKET - 1) // _KNN_TARGET_BUCKET
     bits = max(
         _KNN_MIN_BITS,
@@ -4182,7 +4257,11 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     ensure_worker_imports(emb)
-    n = emb.count()
+    from ..plans.two_phase import parquet_rows
+
+    n = parquet_rows(sf_dir, "embeddings")  # exact footer count, no job
+    if n is None:
+        n = emb.count()
     md = max(_HN_MIN_MD, -(-n // _HN_TARGET_Q))
     q_rows = (
         emb.filter(F.col("vec_id") % md == 0)
@@ -4380,7 +4459,11 @@ def sim_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .withColumn("nrm", F.expr(_NORM_SPARK))
     )
-    n = emb.count()
+    from ..plans.two_phase import parquet_rows
+
+    n = parquet_rows(sf_dir, "embeddings")  # exact footer count, no job
+    if n is None:
+        n = emb.count()
     md = max(_HN_MIN_MD, -(-n // _HN_TARGET_Q))
     ranked = _ivf_ranked(emb)
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
