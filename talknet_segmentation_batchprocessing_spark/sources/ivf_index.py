@@ -569,6 +569,7 @@ def adc_score_codes(
     queries: DataFrame,
     cand: DataFrame,
     luts: DataFrame | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ asymmetric-distance scoring against the STORED codebooks:
     (query_id, v) batch x candidate code rows (query_id, vec_id,
@@ -579,7 +580,9 @@ def adc_score_codes(
     lookups, fixed m-order sum matching sim_ivfpq_topk's oracle.
     Shared by :func:`search_ivfpq_index` and the persisted-index
     nprobe sweep (sim_nprobe_sweep_pq_disk), so the two score in the
-    identical compressed domain."""
+    identical compressed domain. ``extra_cols`` names candidate columns
+    carried through unchanged (the sweep's width tag); the ADC
+    expression itself never varies with them."""
     from ..queries.dataset_ops import _PQ_M
 
     lut_q = luts if luts is not None else adc_luts(spark, index_path, queries)
@@ -593,7 +596,9 @@ def adc_score_codes(
         for m in range(_PQ_M)
     ]
     adc = d[0] + d[1] + d[2] + d[3]  # fixed m-order, matching the oracle
-    return base.select("query_id", "neighbor_id", adc.alias("adc"))
+    return base.select(
+        *extra_cols, "query_id", "neighbor_id", adc.alias("adc")
+    )
 
 
 def _compact_layout(
