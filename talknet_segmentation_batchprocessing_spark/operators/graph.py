@@ -134,15 +134,20 @@ def connected_components_star(
     if not edges_distinct:
         e = e.distinct()
     if not edges_materialized:
-        # eager=False (round-12): the n_edges count right below is the
-        # materializing action, so the checkpoint's own dedicated job
-        # was pure overhead — one job computes AND stores the edges.
+        # eager=False (round-12): the first consuming action below
+        # materializes the checkpoint, so its own dedicated job was
+        # pure overhead — one job computes AND stores the edges.
         e = e.localCheckpoint(eager=False)
-    n_edges = e.count()
-    if n_edges <= local_threshold:
-        import pandas as pd
+    # ONE driver action decides the path AND fetches the edge list when
+    # it is small (round-13, guide §5 — the old count-then-toPandas
+    # pair was two round-trips over the same frame): limit(threshold+1)
+    # returns every edge when the list is at or under the threshold
+    # (nothing is dropped), and exactly threshold+1 rows — the "too
+    # big, go distributed" signal — when it is not.
+    import pandas as pd
 
-        pdf = e.toPandas()
+    pdf = e.limit(local_threshold + 1).toPandas()
+    if len(pdf) <= local_threshold:
         labels = _union_find_labels(pdf["u"].to_numpy(), pdf["v"].to_numpy())
         nonroot = [(k, r) for k, r in labels.items() if k != r]
         spark = nodes.sparkSession
@@ -161,6 +166,12 @@ def connected_components_star(
                 F.coalesce(F.col("component"), F.col(node_col)).alias("component"),
             )
         )
+    del pdf
+    # distributed path: fully materialize the (lazily) checkpointed
+    # edge frame before the rounds — the limit probe above may have
+    # computed only part of it, and round 1 double-reads ``e`` (the
+    # symmetrized union), which must hit stored partitions.
+    e.count()
     prev_sig = None
     converged = False
     for _ in range(max_rounds):

@@ -80,7 +80,13 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zip_with over the materialized token array and its tails — no
     # per-doc window sort (same rewrite as extensions._doc_shingles).
     # Persisted: the shingle set fans into the benchmark side, the
-    # corpus sizes, and the hit join.
+    # corpus sizes, and the hit join — and unlike _doc_shingles (whose
+    # consumers all sit under reused SHUFFLE exchanges), the benchmark
+    # side here feeds a BROADCAST build, which cannot reuse a shuffle
+    # exchange and would recompute the whole distinct on its own.
+    # Round-13 A/B (same host, min-of-3): unpersisted measured 1.32 s
+    # vs 1.00 s persisted (curation_pipeline 4.43 vs 3.84) — persist
+    # kept.
     d = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w")).filter(
         F.size("w") >= k
     )
