@@ -105,6 +105,14 @@ def nms_expr(
       try_divide yields NULL (plain / throws under Spark 4 ANSI),
       forall goes NULL, and the CASE's ELSE suppresses — all three
       engines agree on suppression.
+    - ``conf`` must be non-NULL and non-NaN (ADVICE r12): the sort
+      comparator's CASE branches all fail on NaN/NULL conf, so such
+      boxes would interleave by det_id where the pandas kernel sorts
+      NaN conf LAST — the parity contract is only defined on real
+      confidences. Every in-repo caller computes conf (w6_nms_greedy,
+      the media pipeline), and the S3FD post-processing that feeds
+      this operator clamps scores to [0, 1]; callers with external
+      detections must filter NULL/NaN conf first.
     """
     from pyspark.sql import functions as F
 

@@ -325,12 +325,16 @@ def text_unigram_logprob(
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     ln2 = F.log(F.lit(2.0))
-    # explicit broadcast (round-12, guide §3.1): the vocab head is the
-    # zipf-capped side this docstring already declares broadcastable at
-    # 100 TB — hinting it keeps the TOKEN STREAM out of a by-token
-    # exchange at plan time instead of hoping AQE converts post-shuffle
+    # NO broadcast hint (round-13, ADVICE r12): the distinct-token
+    # vocabulary grows with the corpus (Heaps' law on raw split
+    # tokens), so an unconditional hint — which bypasses the size
+    # threshold entirely — could OOM the driver at the 100 TB posture
+    # instead of degrading to a shuffle join. The round-12 hint was
+    # recorded as plan-neutral at bench scale (AQE/the 64 MB threshold
+    # already pick broadcast here), so dropping it costs nothing
+    # measured and restores the runtime size check as the decider.
     per_doc = (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -3655,13 +3659,15 @@ def text_bigram_logprob(
     )
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     ln2 = F.log(F.lit(2.0))
-    # uni (the unigram vocab) is the zipf-capped broadcastable side —
-    # hint it so the bigram stream is only exchanged for the (w1, w2)
-    # count join, which stays a shuffle join (the bigram table is NOT
-    # broadcast-safe at 100 TB). Round-12, guide §3.1.
+    # NO broadcast hint on the unigram vocab (round-13, ADVICE r12):
+    # like the unigram query, the vocab is Heaps-unbounded on raw split
+    # tokens, so the unconditional hint risked a driver OOM at 100 TB
+    # where AQE would have degraded to a shuffle join; the hint was
+    # plan-neutral at bench scale, so the runtime size check decides
+    # again. vsz (one row) keeps its hint.
     joined = (
         bg.join(bc, ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
         .crossJoin(F.broadcast(vsz))
     )
     per_doc = joined.groupBy("doc_id").agg(
@@ -4018,8 +4024,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     # ---- IVF routing (sim_ivf_topk's exact assign/probe stages,
-    # round-12: through the shared rank_centroids literal projection —
-    # no crossJoin, no per-vector window shuffle, same arithmetic) ----
+    # round-12: routed through the ONE shared rank_centroids definition
+    # — crossJoin(broadcast centroids) + row_number window; the
+    # literal-projection ranking variant was tried and REVERTED as
+    # measured slower. Same plan as before, same arithmetic) ----
     from ..sources.ivf_index import rank_centroids
 
     ranked = track_persist(

@@ -1264,9 +1264,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .withColumn("nrm", F.expr(_NORM_SPARK))
     )
-    # THE shared coarse-assignment definition (round-12: now the
-    # literal-expression projection in sources/ivf_index.py — no
-    # crossJoin, no per-vector window shuffle; identical arithmetic
+    # THE shared coarse-assignment definition (sources/ivf_index.py's
+    # rank_centroids: crossJoin(broadcast centroids) + row_number
+    # window — round-12 tried a literal-expression ranking here and
+    # REVERTED it as measured slower; this call merely routes through
+    # the one shared definition, identical plan, identical arithmetic
     # and tie-breaks, held by this query's own oracle). assign and
     # qprobe both branch off the (tiny, nprobe-capped) ranked frame —
     # persist so it materializes once.
