@@ -1412,7 +1412,16 @@ def sim_pq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregations (guide §2.4). Identical fold arithmetic and
     # tie-breaks; the sweep's oracle re-verifies bit-equality.
     samp = _pq_sample_rows(emb)
-    arms = []
+    # Round-13 one-pass stitch (the disk-sweep reshape applied here):
+    # the per-arm encode/LUT stay arm-local (their schemas differ with
+    # n_sub), but every arm's scored stream has the SAME shape — tag it
+    # with the arm and union, so ONE (arm, query_id) top-k window and
+    # ONE grouped hits join replace 3x(window + single-row hits +
+    # crossJoin stitch). The per-arm recon aggregates (1 row each, over
+    # the persisted wide frame) union into the 3-row spine the hits
+    # left-join onto — an arm with zero hits still emits its row with
+    # n_hits 0, exactly as the old crossJoin form did.
+    scored_arms, recon_arms = [], []
     for n_sub in _PQ_BITS_AXIS:
         sd = _PQ_DIM // n_sub
         books = _pq_train_books(samp, n_sub, sd)
@@ -1426,8 +1435,12 @@ def sim_pq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("_err"),  # fixed m-order sum (fp discipline)
             )
         )
-        recon = wide.agg(
-            stable_round(F.avg("_err"), 6).alias("mean_recon_err")
+        recon_arms.append(
+            wide.agg(stable_round(F.avg("_err"), 6).alias("mean_recon_err"))
+            .select(
+                F.lit(n_sub).cast("int").alias("n_subspaces"),
+                "mean_recon_err",
+            )
         )
         pcodes = wide.drop("_err")
         lut_q = _pq_luts_lit(q, books, n_sub, sd)
@@ -1440,30 +1453,41 @@ def sim_pq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(n_sub)
         ]
         adc = reduce(lambda a, b: a + b, d)  # fixed m-order sum
-        scored = base.filter(F.col("vec_id") != F.col("query_id")).select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
-        )
-        wq = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-        topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
-            F.col("rk") <= 3
-        )
-        hits = topk.join(F.broadcast(bf3), ["query_id", "neighbor_id"]).agg(
-            F.count("*").alias("_nh")
-        )
-        arms.append(
-            hits.crossJoin(F.broadcast(nq))
-            .crossJoin(F.broadcast(recon))
-            .select(
+        scored_arms.append(
+            base.filter(F.col("vec_id") != F.col("query_id")).select(
                 F.lit(n_sub).cast("int").alias("n_subspaces"),
-                F.lit(n_sub * 3).cast("bigint").alias("code_bits"),
-                F.col("_nh").cast("bigint").alias("n_hits"),
-                stable_round(
-                    F.col("_nh") * F.lit(1.0) / (F.col("_q") * 3), 6
-                ).alias("recall_at_3"),
-                "mean_recon_err",
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                adc.alias("adc"),
             )
         )
-    return reduce(DataFrame.unionAll, arms)
+    scored = reduce(DataFrame.unionAll, scored_arms)
+    wq = Window.partitionBy("n_subspaces", "query_id").orderBy(
+        "adc", "neighbor_id"
+    )
+    topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") <= 3
+    )
+    hits = (
+        topk.join(F.broadcast(bf3), ["query_id", "neighbor_id"])
+        .groupBy("n_subspaces")
+        .agg(F.count("*").alias("_nh"))
+    )
+    recon = reduce(DataFrame.unionAll, recon_arms)
+    nh = F.coalesce(F.col("_nh"), F.lit(0))
+    return (
+        recon.join(hits, "n_subspaces", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("n_subspaces").cast("int").alias("n_subspaces"),
+            (F.col("n_subspaces").cast("bigint") * 3).alias("code_bits"),
+            nh.cast("bigint").alias("n_hits"),
+            stable_round(nh * F.lit(1.0) / (F.col("_q") * 3), 6).alias(
+                "recall_at_3"
+            ),
+            "mean_recon_err",
+        )
+    )
 
 
 def _late_bind_pq_bits() -> None:
